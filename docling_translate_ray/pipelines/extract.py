@@ -1,0 +1,205 @@
+"""The flagship streaming extraction pipeline (SURVEY.md §3.4).
+
+Phase layout mirrors the reference's 3-phase lifecycle (core.py:417-525) but
+each phase is a streaming Ray Data DAG with durable, bucket-partitioned
+output between phases:
+
+Phase 1 — extract::
+
+    read_parquet(pages, columns=[url, html, lang])   # pruned at the read
+      → add_url_bucket                               # key = hash64(url) % B
+      → filter completed buckets                     # resume, BEFORE the expensive stage
+      → map_batches(extract_batch)                   # decode→detect→segment→assemble
+      → write_parquet(out/docs, partition_cols=["bucket"])
+      → lineage read-back aggregate → out/lineage    # checkpoint
+
+Phase 2 (optional) — score/translate::
+
+    read_parquet(out/docs)                           # durable input, no recompute
+      → explode sentences → exact dedup (hash-partition)
+      → scorer actor pool (engine registry)
+      → join-back (broadcast map | hash join) → translated_text
+      → write_parquet(out/scored, partition_cols=["bucket"])
+
+Everything streams: no ``take_all``/``materialize`` on the main path; the
+only driver-side materialization is the *unique scored sentence* map in
+broadcast mode (the reference's translation_map analog, core.py:486) and
+lineage (one row per bucket).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+
+from docling_translate_ray.stages import dedup as dd
+from docling_translate_ray.stages.extract import (
+    add_url_bucket,
+    explode_sentences_batch,
+    explode_spans_batch,
+    extract_batch,
+    extract_docs_text_batch,
+)
+from docling_translate_ray.stages.scorer import ScoreSentences
+from docling_translate_ray.state import checkpoint as ckpt
+
+PAGES_COLUMNS = ["url", "html", "lang"]  # prune warc_ts/text at the read
+
+
+def read_pages(path: str):
+    import ray.data
+
+    return ray.data.read_parquet(path, columns=PAGES_COLUMNS)
+
+
+def extract_docs(pages_ds, n_buckets: int = 64):
+    """pages → docs Dataset (with bucket column). Lazy; nothing executes."""
+    return pages_ds.map_batches(
+        add_url_bucket, batch_format="pyarrow", fn_kwargs={"n_buckets": n_buckets}
+    ).map_batches(extract_batch_keep_bucket, batch_format="pyarrow")
+
+
+def extract_batch_keep_bucket(batch: pa.Table) -> pa.Table:
+    """extract_batch, carrying the pre-computed bucket column through."""
+    bucket = batch["bucket"]
+    out = extract_batch(batch)
+    return out.append_column("bucket", bucket)
+
+
+def spans_of(docs_ds):
+    return docs_ds.map_batches(explode_spans_batch, batch_format="pyarrow")
+
+
+def sentences_of(docs_ds):
+    return docs_ds.map_batches(explode_sentences_batch, batch_format="pyarrow")
+
+
+def score_docs(
+    docs_ds,
+    engine: str = "identity",
+    miss_policy: str = "empty",
+    scorer_concurrency: int | tuple | None = None,
+    score_batch_size: int = 2048,
+    strategy: str = "broadcast",
+):
+    """Dedup-score-join: the Phase-2 translation analog (core.py:460-497).
+
+    ``docs_ds`` must carry ``url``/``spans`` (and any passthrough columns).
+
+    ``strategy='broadcast'``: unique sentences → actor-pool scorer → driver
+    dict → ``ray.put`` once → probe inside an actor pool.  Right when
+    uniques fit in memory (the reference's own per-file-map assumption).
+    NOTE: this consumes ``docs_ds`` twice — hand it a *read-back* dataset
+    (parquet-backed), not a long transform chain, or extraction reruns.
+
+    ``strategy='join'``: fully distributed — scored uniques hash-join back
+    to the sentences table, per-url regroup, then join onto docs.
+    """
+    if scorer_concurrency is None:
+        from docling_translate_ray.util import auto_pool_size
+
+        scorer_concurrency = auto_pool_size()
+    sent = sentences_of(docs_ds)
+    uniq = dd.unique_sentences(sent)
+    scored = uniq.map_batches(
+        ScoreSentences,
+        fn_constructor_kwargs={"engine": engine},
+        batch_format="pyarrow",
+        batch_size=score_batch_size,
+        concurrency=scorer_concurrency,
+    )
+    if strategy == "broadcast":
+        map_ref = dd.broadcast_score_map(scored)
+        return docs_ds.map_batches(
+            dd.ProbeScoreMap,
+            fn_constructor_kwargs={"map_ref": map_ref, "miss_policy": miss_policy},
+            batch_format="pyarrow",
+            concurrency=scorer_concurrency,
+        )
+    # join strategy: sentences ⋈ scored → per-url assemble via groupby
+    joined = dd.join_scores(sent, scored)
+
+    def assemble_group(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g).sort(["seg_id", "sent_idx"])
+        miss = df["sentence"] if miss_policy == "identity" else pl.Series([""] * len(df))
+        scored_col = df["scored"].fill_null(miss)
+        # per-seg " " join, segs joined by "\n" — html_generator.py:570-571
+        per_seg = (
+            df.with_columns(scored_col.alias("scored"))
+            .group_by("seg_id", maintain_order=True)
+            .agg(pl.col("scored").str.join(" "))
+        )
+        text = "\n".join(per_seg["scored"].to_list())
+        return pa.table({"url": [g["url"][0].as_py()], "translated_text": [text]})
+
+    per_url = joined.groupby("url").map_groups(assemble_group, batch_format="pyarrow")
+    return docs_ds.drop_columns(["spans"]).join(
+        per_url, join_type="left_outer", num_partitions=16, on=("url",)
+    )
+
+
+def run_extract_job(
+    input_path: str,
+    out_dir: str,
+    n_buckets: int = 64,
+    resume: bool = True,
+    engine: str | None = None,
+    miss_policy: str = "empty",
+    source_kind: str = "pages",
+    strategy: str = "broadcast",
+) -> dict:
+    """End-to-end job: extract → docs+lineage; optionally score → scored.
+
+    Idempotent per bucket: with ``resume=True`` a rerun skips buckets whose
+    lineage row and output directory both exist — the filter runs *before*
+    extraction so skipped pages never pay the parse.
+    """
+    import ray.data
+
+    run_id = uuid.uuid4().hex[:12]
+
+    done: set[int] = set()
+    if resume:
+        done = ckpt.completed_buckets(out_dir)
+
+    if source_kind == "pages":
+        src = read_pages(input_path)
+    else:  # docs_text fixtures (text/code path, core.py:164-321)
+        src = ray.data.read_parquet(input_path)
+    src = src.map_batches(
+        add_url_bucket, batch_format="pyarrow", fn_kwargs={"n_buckets": n_buckets}
+    )
+    src = ckpt.filter_completed(src, done)
+    if source_kind == "pages":
+        docs = src.map_batches(extract_batch_keep_bucket, batch_format="pyarrow")
+    else:
+        docs = src.map_batches(_docs_text_keep_bucket, batch_format="pyarrow")
+
+    docs.write_parquet(ckpt.docs_dir(out_dir), partition_cols=["bucket"])
+    lineage = ckpt.compute_lineage(out_dir, run_id=run_id)
+    ckpt.write_lineage(out_dir, lineage, run_id)
+
+    result = {
+        "run_id": run_id,
+        "skipped_buckets": len(done),
+        "buckets": lineage.num_rows,
+        "doc_count": sum(lineage["doc_count"].to_pylist()),
+        "ok_count": sum(lineage["ok_count"].to_pylist()),
+    }
+
+    if engine:
+        back = ray.data.read_parquet(ckpt.docs_dir(out_dir))
+        scored = score_docs(back, engine=engine, miss_policy=miss_policy, strategy=strategy)
+        sink = scored.drop_columns(["spans"]) if strategy == "broadcast" else scored
+        sink.write_parquet(os.path.join(out_dir, "scored"), partition_cols=["bucket"])
+        result["scored"] = True
+    return result
+
+
+def _docs_text_keep_bucket(batch: pa.Table) -> pa.Table:
+    bucket = batch["bucket"]
+    return extract_docs_text_batch(batch).append_column("bucket", bucket)

@@ -1,0 +1,124 @@
+"""Scorer / "translation engine" actor-pool stages.
+
+Re-expresses the reference's engine layer (BaseTranslator ABC + registry +
+thread-pool batch driver, /root/reference/src/translation/base.py:18-97 and
+translation/__init__.py:23-54) as Ray Data actor-pool stages:
+
+* a registry of named engines (T1-T9 analogs) — string key → engine class;
+* each engine loads its state ONCE per actor in ``__init__`` (model-load
+  analog: here a deterministic lexicon, since no model weights exist in this
+  sandbox) and transforms a batch of unique sentences in ``__call__``;
+* retry + engine-fallback semantics (openai.py:60-91, google.py:29-31
+  analogs): per-sentence try/except with bounded retries, falling back to the
+  ``identity`` engine — a failure never kills the block;
+* the reference's ``ThreadPoolExecutor(max_workers)`` (base.py:63-88) is
+  subsumed by ``map_batches(Engine, concurrency=N, batch_size=B)``.
+
+Engines are pure/deterministic so golden tests and the DuckDB oracle can
+reproduce them.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+class BaseEngine:
+    """Engine protocol: ``prepare()`` once per actor, ``score(list[str])``.
+
+    Analog of BaseTranslator (base.py:18-36); subclasses override ``score``.
+    ``max_retries``/fallback mirror the API-engine policy (openai.py:60-91).
+    """
+
+    name = "base"
+    max_retries = 3
+
+    def __init__(self) -> None:
+        self.prepare()
+
+    def prepare(self) -> None:  # model load / regex compile / lexicon build
+        pass
+
+    def score(self, texts: list[str]) -> list[str]:
+        raise NotImplementedError
+
+    def score_with_retry(self, texts: list[str]) -> list[str]:
+        for attempt in range(self.max_retries):
+            try:
+                return self.score(texts)
+            except Exception:
+                if attempt == self.max_retries - 1:
+                    return list(texts)  # final fallback: identity (google.py:29-31)
+        return list(texts)
+
+
+class IdentityEngine(BaseEngine):
+    """Round-trip oracle engine — output == input."""
+
+    name = "identity"
+
+    def score(self, texts: list[str]) -> list[str]:
+        return list(texts)
+
+
+class UpperEngine(BaseEngine):
+    """Deterministic visible transform (uppercase) for join-back tests."""
+
+    name = "upper"
+
+    def score(self, texts: list[str]) -> list[str]:
+        return [t.upper() for t in texts]
+
+
+class LexiconEngine(BaseEngine):
+    """Word-lexicon 'model' built once per actor (T2-T7 local-model analog).
+
+    The lexicon stands in for GGUF/CT2 weights: built deterministically in
+    ``prepare`` (once per actor, amortized over every batch the actor sees),
+    applied vectorized per batch.
+    """
+
+    name = "lexicon"
+
+    def prepare(self) -> None:
+        # deterministic "weights": reverse-map of common words
+        words = (
+            "data stream engine block batch arrow parquet shuffle actor pool "
+            "page document extract translate sentence span token cluster"
+        ).split()
+        self.lexicon = {w: w[::-1] for w in words}
+
+    def score(self, texts: list[str]) -> list[str]:
+        lex = self.lexicon
+        return [" ".join(lex.get(w.lower(), w) for w in t.split()) for t in texts]
+
+
+ENGINE_REGISTRY: dict[str, type[BaseEngine]] = {
+    "identity": IdentityEngine,
+    "upper": UpperEngine,
+    "lexicon": LexiconEngine,
+}
+
+
+def register_engine(cls: type[BaseEngine]) -> type[BaseEngine]:
+    """User-extension surface (translation/__init__.py:36-48 analog)."""
+    ENGINE_REGISTRY[cls.name] = cls
+    return cls
+
+
+class ScoreSentences:
+    """Actor-pool callable: score a ``sentence`` column → add ``scored``.
+
+    Use as ``ds.map_batches(ScoreSentences, fn_constructor_kwargs=
+    {"engine": "identity"}, concurrency=N, batch_size=B,
+    batch_format="pyarrow")`` — engine state pinned per actor.
+    """
+
+    def __init__(self, engine: str = "identity", column: str = "sentence") -> None:
+        self._engine = ENGINE_REGISTRY[engine]()
+        self._column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self._column].to_pylist()
+        scored = self._engine.score_with_retry(texts)
+        return batch.append_column("scored", pa.array(scored, pa.string()))

@@ -1,0 +1,21 @@
+"""Small shared utilities (no Ray session ownership)."""
+
+from __future__ import annotations
+
+
+def auto_pool_size(frac: float = 0.5, reserve: int = 1, cap: int = 16) -> int:
+    """Size an actor pool to the cluster, leaving headroom.
+
+    Empirical sandbox finding (Ray 2.49 local mode): an actor pool whose
+    ``concurrency × num_cpus`` equals the cluster's total CPUs deadlocks the
+    streaming executor — the read/upstream task operators can never get a
+    slot.  Always leave ``reserve`` CPUs free and take at most ``frac`` of
+    the cluster for one pool so concurrent stages pipeline.
+    """
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 2))
+    except Exception:
+        total = 2
+    return max(1, min(cap, int(total * frac), total - reserve))

@@ -1,0 +1,50 @@
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def pages_table():
+    from docling_translate_ray.corpus import gen_pages
+
+    return gen_pages(200, seed=42)
+
+
+@pytest.fixture(scope="session")
+def pages_path(tmp_path_factory, pages_table):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("pages")
+    pq.write_table(pages_table, d / "pages.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def docs_text_table():
+    from docling_translate_ray.corpus import gen_docs_text
+
+    return gen_docs_text(120, seed=43)
