@@ -1,0 +1,400 @@
+"""Deduplication family over a document table (training-data pipeline ops).
+
+Five dedup modes, each expressed Ray-Data-first:
+
+* **exact** — md5 content hash → per-batch combiner → ``groupby(hash)`` keep
+  first (min doc_id): the A1 analog (core.py:454) at corpus scale.
+* **MinHash + LSH** — word shingles → k minhashes (vectorized numpy
+  permutations) → band signatures → ``groupby(band)`` candidate buckets →
+  exact Jaccard verify → canonical = min doc_id per duplicate cluster.
+* **SimHash** — 64-bit sign-aggregated token hashes; near-dup = Hamming
+  distance ≤ t within LSH-style chunk buckets.
+* **n-gram Jaccard** — exact pairwise Jaccard verification (used as the
+  verifier inside LSH; standalone for small candidate sets).
+* **embedding cosine** — random-hyperplane LSH buckets over normalized
+  vectors → within-bucket pairwise cosine ≥ τ.
+
+Partitioning assumptions are documented per function; every shuffle is a
+``groupby`` on a content-derived key (uniformly distributed by construction,
+so no salting needed — unlike url/host keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+# ---------------------------------------------------------------- exact
+
+def add_md5(batch: pa.Table, column: str = "text") -> pa.Table:
+    h = [hashlib.md5((t or "").encode()).hexdigest() for t in batch[column].to_pylist()]
+    return batch.append_column("content_md5", pa.array(h, pa.string()))
+
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+    """Distinct rows by content hash; canonical row = min id.
+
+    Per-batch combiner first (duplicates within a batch never shuffle), then
+    one ``groupby(content_md5)``.  Returns columns: content_md5, <id>, n_dups.
+    """
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(add_md5(batch, column))
+        agg = df.group_by("content_md5").agg(
+            pl.col(id_column).min().alias(id_column),
+            pl.len().cast(pl.Int64).alias("n_dups"),
+        )
+        return agg.to_arrow()
+
+    def finalize(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "content_md5": [g["content_md5"][0].as_py()],
+                id_column: [pc.min(g[id_column]).as_py()],
+                "n_dups": [pc.sum(g["n_dups"]).as_py()],
+            }
+        )
+
+    return ds.map_batches(combiner, batch_format="pyarrow").groupby("content_md5").map_groups(
+        finalize, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+class MinHasher:
+    """Actor-pool stage: add a ``minhash`` (list<uint64>) signature column.
+
+    Permutation coefficients are seeded in ``__init__`` (once per actor —
+    the model-load pattern); per row the signature is a vectorized
+    ``min((a*h+b) mod p)`` over the shingle hash vector.
+    """
+
+    def __init__(self, column: str = "text", num_perm: int = 64, k_shingle: int = 3,
+                 seed: int = 42) -> None:
+        rng = np.random.RandomState(seed)
+        # odd multipliers → bijections of Z/2^64; min-wise behavior is
+        # indistinguishable from prime-modulus permutations for LSH purposes
+        self.a = (rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.k = k_shingle
+        self.column = column
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text or "", self.k)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        base = np.fromiter((_stable_u64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        with np.errstate(over="ignore"):
+            # (S, P) wrap-around permuted hashes, min over shingles — one matmul-shaped op
+            vals = base[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch[self.column].to_pylist()]
+        arr = pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
+        return batch.append_column("minhash", arr)
+
+
+def explode_bands(batch: pa.Table, num_bands: int = 16, id_column: str = "doc_id") -> pa.Table:
+    """signature rows → (band_id, band_key, doc_id) rows for the LSH groupby."""
+    ids = batch[id_column].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    o_band, o_key, o_id = [], [], []
+    for did, sig in zip(ids, sigs):
+        r = len(sig) // num_bands
+        for b in range(num_bands):
+            chunk = tuple(sig[b * r : (b + 1) * r])
+            o_band.append(b)
+            o_key.append(hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest())
+            o_id.append(did)
+    return pa.table(
+        {
+            "band_id": pa.array(o_band, pa.int32()),
+            "band_key": pa.array(o_key, pa.string()),
+            id_column: pa.array(o_id, pa.int64()),
+        }
+    )
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(word_shingles(a, k)), set(word_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
+                      threshold: float = 0.7, num_perm: int = 64, num_bands: int = 16,
+                      concurrency: int | None = None):
+    """Near-duplicate clusters via MinHash-LSH + exact-Jaccard verify.
+
+    Returns rows ``(doc_id, canonical_id)`` for docs in a near-dup pair
+    (canonical = min id of the verified pair group).  Pipeline: signature
+    (actor pool) → band explode → ``groupby(band_id, band_key)`` → pairwise
+    verify *within bucket only* (buckets are tiny by construction —
+    collision probability tuned by bands×rows) → min-label per doc.
+
+    Partitioning assumption: band_key is hash-uniform; a degenerate corpus
+    (thousands of identical docs) makes one bucket huge — exact-dedup first
+    (cheaper) and run LSH on the survivors, which is the documented usage.
+    """
+    if concurrency is None:
+        from docling_translate_ray.util import auto_pool_size
+
+        concurrency = auto_pool_size()
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"column": column, "num_perm": num_perm},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # carry text for the verify step (needed inside the bucket)
+    bands = sigs.map_batches(
+        lambda b: _explode_bands_with_text(b, num_bands, id_column, column),
+        batch_format="pyarrow",
+    )
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_pylist()
+        texts = g["_text"].to_pylist()
+        if len(ids) < 2:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "canonical_id": pa.array([], pa.int64())})
+        pairs: dict[int, int] = {}
+        order = np.argsort(ids)
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a, b = order[i], order[j]
+                if jaccard(texts[a], texts[b]) >= threshold:
+                    lo, hi = ids[a], ids[b]
+                    pairs[hi] = min(pairs.get(hi, lo), lo)
+                    pairs.setdefault(lo, lo)
+        if not pairs:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "canonical_id": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                id_column: pa.array(list(pairs.keys()), pa.int64()),
+                "canonical_id": pa.array(list(pairs.values()), pa.int64()),
+            }
+        )
+
+    cand = bands.groupby(["band_id", "band_key"]).map_groups(verify_bucket, batch_format="pyarrow")
+
+    # a doc may appear in several buckets → final min-label per doc
+    def min_label(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_column: [g[id_column][0].as_py()],
+                "canonical_id": [pc.min(g["canonical_id"]).as_py()],
+            }
+        )
+
+    return cand.groupby(id_column).map_groups(min_label, batch_format="pyarrow")
+
+
+def _explode_bands_with_text(batch: pa.Table, num_bands: int, id_column: str, column: str) -> pa.Table:
+    ids = batch[id_column].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    texts = batch[column].to_pylist()
+    o_band, o_key, o_id, o_text = [], [], [], []
+    for did, sig, txt in zip(ids, sigs, texts):
+        r = len(sig) // num_bands
+        for b in range(num_bands):
+            chunk = tuple(sig[b * r : (b + 1) * r])
+            o_band.append(b)
+            o_key.append(hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest())
+            o_id.append(did)
+            o_text.append(txt)
+    return pa.table(
+        {
+            "band_id": pa.array(o_band, pa.int32()),
+            "band_key": pa.array(o_key, pa.string()),
+            id_column: pa.array(o_id, pa.int64()),
+            "_text": pa.array(o_text, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+class SimHasher:
+    """Add a 64-bit ``simhash`` column (sign-aggregated token hash bits)."""
+
+    def __init__(self, column: str = "text") -> None:
+        self.column = column
+        self._bit_cols = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = _stable_u64(t)
+            bits = (h >> self._bit_cols) & np.uint64(1)
+            votes += np.where(bits.astype(bool), 1, -1)
+        bits = (votes > 0).astype(np.uint64)
+        return int((bits << self._bit_cols).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.array([self.simhash(t) for t in batch[self.column].to_pylist()],
+                        dtype=np.uint64)
+        return batch.append_column("simhash", pa.array(vals.view(np.int64), pa.int64()))
+
+
+def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
+                     concurrency: int | None = None):
+    """Near-dup pairs by SimHash: 4×16-bit chunk buckets (a pair within
+    Hamming ≤ 3 of 64 bits shares at least one exact 16-bit chunk — pigeonhole)
+    → within-bucket Hamming verify.  Returns (doc_id, canonical_id)."""
+    if concurrency is None:
+        from docling_translate_ray.util import auto_pool_size
+
+        concurrency = auto_pool_size()
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        hs = np.array(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        o_c, o_k, o_id, o_h = [], [], [], []
+        for did, h in zip(ids, hs):
+            for c in range(4):
+                o_c.append(c)
+                o_k.append(int((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
+                o_id.append(did)
+                o_h.append(int(h))
+        return pa.table(
+            {
+                "chunk_id": pa.array(o_c, pa.int32()),
+                "chunk_key": pa.array(o_k, pa.int64()),
+                id_column: pa.array(o_id, pa.int64()),
+                "_sim": pa.array(np.array(o_h, dtype=np.uint64).view(np.int64), pa.int64()),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_pylist()
+        hs = np.array(g["_sim"].to_pylist(), dtype=np.int64).view(np.uint64)
+        pairs: dict[int, int] = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if bin(int(hs[i] ^ hs[j])).count("1") <= max_hamming:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    pairs[hi] = min(pairs.get(hi, lo), lo)
+                    pairs.setdefault(lo, lo)
+        return pa.table(
+            {
+                id_column: pa.array(list(pairs.keys()), pa.int64()),
+                "canonical_id": pa.array(list(pairs.values()), pa.int64()),
+            }
+        )
+
+    cand = sigs.map_batches(explode_chunks, batch_format="pyarrow").groupby(
+        ["chunk_id", "chunk_key"]
+    ).map_groups(verify, batch_format="pyarrow")
+
+    def min_label(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_column: [g[id_column][0].as_py()],
+                "canonical_id": [pc.min(g["canonical_id"]).as_py()],
+            }
+        )
+
+    return cand.groupby(id_column).map_groups(min_label, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- embedding
+
+def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
+                       threshold: float = 0.95, num_planes: int = 8, seed: int = 42):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+
+    Vectors are L2-normalized per batch (numpy); the bucket key is the sign
+    pattern over ``num_planes`` seeded hyperplanes — cos ≥ 0.95 pairs almost
+    always share a bucket (collision prob (1-θ/π)^p); verify is an exact
+    within-bucket pairwise matmul.  Returns (vec_id, canonical_id, cosine).
+    """
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch[column].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table({"bucket_key": pa.array([], pa.int64()),
+                             id_column: pa.array([], pa.int64()),
+                             "_vec": pa.array([], pa.list_(pa.float64()))})
+        dim = mat.shape[1]
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(dim, num_planes)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        signs = (mat @ planes > 0).astype(np.int64)
+        keys = (signs * (1 << np.arange(num_planes))).sum(axis=1)
+        return pa.table(
+            {
+                "bucket_key": pa.array(keys, pa.int64()),
+                id_column: batch[id_column],
+                "_vec": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_pylist()
+        mat = np.array(g["_vec"].to_pylist(), dtype=np.float64)
+        out_id, out_canon, out_cos = [], [], []
+        if len(ids) >= 2:
+            sims = mat @ mat.T
+            pairs: dict[int, tuple[int, float]] = {}
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if sims[i, j] >= threshold:
+                        lo, hi = sorted((ids[i], ids[j]))
+                        cur = pairs.get(hi)
+                        if cur is None or lo < cur[0]:
+                            pairs[hi] = (lo, float(sims[i, j]))
+                        pairs.setdefault(lo, (lo, 1.0))
+            for k, (c, s) in pairs.items():
+                out_id.append(k)
+                out_canon.append(c)
+                out_cos.append(s)
+        return pa.table(
+            {
+                id_column: pa.array(out_id, pa.int64()),
+                "canonical_id": pa.array(out_canon, pa.int64()),
+                "cosine": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket_key").map_groups(
+        verify, batch_format="pyarrow"
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators over a ``text`` column (training-data pipeline ops).
+
+All are Arrow-in/Arrow-out ``map_batches`` bodies, vectorized with polars /
+numpy where the kernel allows; each has a ``queries()`` entry in
+``__ray_entry__`` and (where SQL-expressible) a DuckDB oracle with the SAME
+formula, so keep semantics here and in ``oracle_sql()`` in lockstep.
+
+Ops: token counting (whitespace spec), md5 + rolling-hash document
+fingerprints, quality scoring (length/punct/upper/token-shape ratios),
+n-gram-heuristic language ID.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_PUNCT = ".,;:!?"
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Add ``n_tokens`` = count of ``\\S+`` runs (whitespace tokenizer spec).
+
+    Oracle: ``length(regexp_split_to_array(trim(text), '\\s+'))`` guarded for
+    empty strings.
+    """
+    import polars as pl
+
+    s = pl.from_arrow(batch[column])
+    n = s.str.count_matches(r"\S+").cast(pl.Int64).fill_null(0)
+    return batch.append_column("n_tokens", pa.array(n.to_list(), pa.int64()))
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Add ``fp_md5`` (hex md5 of utf-8 text — DuckDB ``md5(text)`` parity)
+    and ``fp_roll`` (64-bit polynomial rolling hash over words, base 1315423911
+    — deterministic, non-SQL; the A4/doc-fingerprint analog)."""
+    texts = batch[column].to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    rolls = np.empty(len(texts), dtype=np.uint64)
+    B = np.uint64(1315423911)
+    for i, t in enumerate(texts):
+        h = np.uint64(0)
+        for w in (t or "").split():
+            wh = np.uint64(int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16))
+            h = h * B + wh  # wraps mod 2^64
+        rolls[i] = h
+    return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
+        "fp_roll", pa.array(rolls.view(np.int64), pa.int64())
+    )
+
+
+def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Quality-scoring columns, all SQL-expressible (shared oracle formula):
+
+    * ``n_chars``   = length(text)
+    * ``n_tokens``  = count of \\S+ runs
+    * ``punct_ratio`` = count of [.,;:!?] / max(n_chars,1)
+    * ``upper_ratio`` = count of [A-Z] / max(n_chars,1)
+    * ``mean_token_len`` = sum(len(token)) / max(n_tokens,1)
+    * ``quality_ok``  = n_tokens >= 5 AND punct_ratio <= 0.2 AND
+      mean_token_len BETWEEN 2 AND 14
+    """
+    import polars as pl
+
+    s = pl.from_arrow(batch[column]).fill_null("")
+    df = pl.DataFrame({"t": s})
+    out = df.select(
+        pl.col("t").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        pl.col("t").str.count_matches(r"\S+").cast(pl.Int64).alias("n_tokens"),
+        pl.col("t").str.count_matches(r"[.,;:!?]").cast(pl.Int64).alias("_np"),
+        pl.col("t").str.count_matches(r"[A-Z]").cast(pl.Int64).alias("_nu"),
+        pl.col("t").str.count_matches(r"\S").cast(pl.Int64).alias("_nonws"),
+    ).with_columns(
+        (pl.col("_np") / pl.max_horizontal(pl.col("n_chars"), 1)).alias("punct_ratio"),
+        (pl.col("_nu") / pl.max_horizontal(pl.col("n_chars"), 1)).alias("upper_ratio"),
+        (pl.col("_nonws") / pl.max_horizontal(pl.col("n_tokens"), 1)).alias("mean_token_len"),
+    ).with_columns(
+        (
+            (pl.col("n_tokens") >= 5)
+            & (pl.col("punct_ratio") <= 0.2)
+            & pl.col("mean_token_len").is_between(2, 14)
+        ).alias("quality_ok")
+    ).drop(["_np", "_nu", "_nonws"])
+    res = batch
+    for name in ["n_chars", "n_tokens", "punct_ratio", "upper_ratio", "mean_token_len", "quality_ok"]:
+        if name in res.column_names:  # overwrite (e.g. documents already has n_chars)
+            res = res.drop_columns([name])
+        res = res.append_column(name, out[name].to_arrow())
+    return res
+
+
+# language-ID heuristic: unicode-script ranges for CJK/Hangul, stopword hit
+# rates for latin languages.  Deterministic; rows-only oracle.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "para"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage (stateful: tables built once per actor).
+
+    The M20 lang-mapping + engine-dispatch analog (translation/utils.py:11-48)
+    recast as a detection operator a web corpus needs.
+    """
+
+    def __init__(self, column: str = "text") -> None:
+        self._column = column
+        self._stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def detect_one(self, text: str) -> str:
+        if not text:
+            return "und"
+        n = len(text)
+        hangul = sum(1 for c in text if "가" <= c <= "힯")
+        kana = sum(1 for c in text if "぀" <= c <= "ヿ")
+        han = sum(1 for c in text if "一" <= c <= "鿿")
+        if hangul / n > 0.1:
+            return "ko"
+        if kana / n > 0.05:
+            return "ja"
+        if han / n > 0.1:
+            return "zh"
+        toks = [w.strip(".,;:!?\"'()").lower() for w in text.split()]
+        if not toks:
+            return "und"
+        best, best_hits = "und", 0
+        for lang, stop in self._stop.items():
+            hits = sum(1 for t in toks if t in stop)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits > 0 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self._column].to_pylist()
+        langs = [self.detect_one(t or "") for t in texts]
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))

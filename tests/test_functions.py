@@ -1,0 +1,345 @@
+"""Tests for the training-data-pipeline operator family
+(functions/: dedup, knn, text_stats, multimodal).
+
+Oracles: DuckDB SQL where the op is SQL-expressible (exact dedup, token
+count, quality formulas, md5 fingerprints, brute-force knn), hand-built
+ground truth otherwise (minhash/simhash/embedding near-dup on corpora with
+planted duplicates).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_translate_ray.functions import dedup as dd
+from docling_translate_ray.functions import knn as knn_mod
+from docling_translate_ray.functions import multimodal as mm
+from docling_translate_ray.functions import text_stats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_ds():
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def _to_table(ds) -> pa.Table:
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+# ------------------------------------------------------------------ exact dedup
+
+
+def test_exact_dedup_matches_duckdb():
+    got = _to_table(dd.exact_dedup(_docs_ds())).sort_by("content_md5")
+    want = duckdb.sql(
+        f"""
+        SELECT md5(text) AS content_md5, min(doc_id) AS doc_id,
+               count(*)::BIGINT AS n_dups
+        FROM read_parquet('{SF}/documents.parquet')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).arrow()
+    assert got.num_rows == want.num_rows
+    assert got["content_md5"].to_pylist() == want["content_md5"].to_pylist()
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["n_dups"].to_pylist() == want["n_dups"].to_pylist()
+
+
+def test_exact_dedup_finds_planted_duplicates():
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": ["aaa bbb", "ccc", "aaa bbb", "ddd", "aaa bbb"],
+        }
+    )
+    got = _to_table(dd.exact_dedup(ray.data.from_arrow(tbl)))
+    by_id = {r["doc_id"]: r["n_dups"] for r in got.to_pylist()}
+    assert by_id[0] == 3  # canonical = min id, counted 3 times
+    assert by_id[1] == 1 and by_id[3] == 1
+    assert got.num_rows == 3
+
+
+# ------------------------------------------------------------------ minhash LSH
+
+
+def _near_dup_corpus() -> pa.Table:
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while seven other animals watch from the tall green grass nearby"
+    )
+    mutated = base.replace("seven", "eight")  # ~1-word edit: jaccard >> 0.7
+    other = (
+        "completely different text about database query engines and "
+        "distributed shuffle execution with arrow record batches"
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": [base, mutated, other, base],
+        }
+    )
+
+
+def test_minhash_lsh_dedup_planted():
+    import ray.data
+
+    ds = ray.data.from_arrow(_near_dup_corpus())
+    got = _to_table(dd.minhash_lsh_dedup(ds, threshold=0.5, concurrency=2))
+    labels = {r["doc_id"]: r["canonical_id"] for r in got.to_pylist()}
+    # 10, 11, 13 form a cluster with canonical 10; 12 is not near anything
+    assert labels.get(11) == 10
+    assert labels.get(13) == 10
+    assert labels.get(10) == 10
+    assert 12 not in labels
+
+
+def test_minhash_signature_jaccard_estimate():
+    mh = dd.MinHasher(num_perm=128)
+    t = _near_dup_corpus()
+    s0 = mh.signature(t["text"][0].as_py())
+    s1 = mh.signature(t["text"][1].as_py())
+    s2 = mh.signature(t["text"][2].as_py())
+    est_near = float(np.mean(s0 == s1))
+    est_far = float(np.mean(s0 == s2))
+    true_near = dd.jaccard(t["text"][0].as_py(), t["text"][1].as_py())
+    assert abs(est_near - true_near) < 0.2
+    assert est_far < 0.1
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def test_simhash_near_dup_planted():
+    import ray.data
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [base, base, "unrelated words entirely different content here"],
+        }
+    )
+    got = _to_table(dd.simhash_near_dup(ray.data.from_arrow(tbl), concurrency=2))
+    labels = {r["doc_id"]: r["canonical_id"] for r in got.to_pylist()}
+    assert labels.get(2) == 1  # identical docs: hamming 0
+    assert 3 not in labels
+
+
+def test_simhash_hamming_tracks_similarity():
+    sh = dd.SimHasher()
+    a = sh.simhash("the quick brown fox jumps over the lazy dog " * 10)
+    b = sh.simhash("the quick brown fox jumps over the lazy cat " * 10)
+    c = sh.simhash("entirely unrelated corpus of database words shuffle arrow")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+# ------------------------------------------------------------------ embedding
+
+
+def test_embedding_near_dup_planted():
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    v0 = rng.randn(32)
+    v1 = v0 + rng.randn(32) * 0.01  # cosine ~ 1
+    v2 = rng.randn(32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [v0.tolist(), v1.tolist(), v2.tolist()], pa.list_(pa.float64())
+            ),
+        }
+    )
+    got = _to_table(dd.embedding_near_dup(ray.data.from_arrow(tbl), threshold=0.95))
+    labels = {r["vec_id"]: r["canonical_id"] for r in got.to_pylist()}
+    assert labels.get(1) == 0
+    assert 2 not in labels
+
+
+# ------------------------------------------------------------------ knn
+
+
+def _embeddings_ds():
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _exact_topk_numpy(queries: np.ndarray, k: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = np.asarray(queries, dtype=np.float64)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = q @ mat.T
+    out = []
+    for qi in range(q.shape[0]):
+        idx = np.lexsort((ids, -sims[qi]))[:k]
+        out.append(list(zip(ids[idx].tolist(), sims[qi][idx].tolist())))
+    return out
+
+
+def test_knn_brute_force_matches_numpy():
+    import pyarrow.parquet as pq
+
+    first = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 2)
+    queries = np.array(first["embedding"].to_pylist(), dtype=np.float64)
+    got = knn_mod.knn_brute_force(_embeddings_ds(), queries, k=5)
+    want = _exact_topk_numpy(queries, k=5)
+    rows = got.to_pylist()
+    for qi in range(2):
+        got_ids = [r["vec_id"] for r in rows if r["query_idx"] == qi]
+        want_ids = [vid for vid, _ in want[qi]]
+        assert got_ids == want_ids
+        got_cos = [r["cosine"] for r in rows if r["query_idx"] == qi]
+        for gc, (_, wc) in zip(got_cos, want[qi]):
+            assert abs(gc - wc) < 1e-9
+
+
+def test_knn_ivf_is_subset_with_recall():
+    import pyarrow.parquet as pq
+
+    first = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 1)
+    queries = np.array(first["embedding"].to_pylist(), dtype=np.float64)
+    exact = {vid for vid, _ in _exact_topk_numpy(queries, k=10)[0]}
+    approx = knn_mod.knn_ivf(
+        _embeddings_ds(), queries, k=10, n_centroids=8, n_probe=6
+    )
+    got = set(approx["vec_id"].to_pylist())
+    # with 6/8 probes recall should be high; require at least half
+    assert len(got & exact) >= 5
+    # ranks are dense 1..n and cosines sorted desc
+    cos = approx["cosine"].to_pylist()
+    assert cos == sorted(cos, reverse=True)
+
+
+# ------------------------------------------------------------------ text stats
+
+
+def test_token_count_matches_duckdb():
+    got = _to_table(
+        _docs_ds().map_batches(ts.token_count_batch, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
+                   AS n_tokens
+        FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id
+        """
+    ).arrow()
+    assert got["n_tokens"].to_pylist() == want["n_tokens"].to_pylist()
+
+
+def test_fingerprint_md5_matches_duckdb():
+    got = _to_table(
+        _docs_ds().map_batches(ts.fingerprint_batch, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    want = duckdb.sql(
+        f"SELECT doc_id, md5(text) AS fp_md5 FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).arrow()
+    assert got["fp_md5"].to_pylist() == want["fp_md5"].to_pylist()
+    # rolling fingerprint: deterministic + order-sensitive
+    fb = ts.fingerprint_batch(pa.table({"text": ["a b c", "c b a", "a b c"]}))
+    rolls = fb["fp_roll"].to_pylist()
+    assert rolls[0] == rolls[2] and rolls[0] != rolls[1]
+
+
+def test_quality_matches_duckdb():
+    got = _to_table(
+        _docs_ds().map_batches(ts.quality_batch, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    want = duckdb.sql(
+        f"""
+        WITH q AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 CASE WHEN trim(text)='' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+                 length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
+                 length(text) - length(regexp_replace(text, '\\S', '', 'g')) AS nonws
+          FROM read_parquet('{SF}/documents.parquet'))
+        SELECT doc_id, n_chars,
+               np / greatest(n_chars, 1) AS punct_ratio,
+               nu / greatest(n_chars, 1) AS upper_ratio,
+               nonws / greatest(n_tokens, 1) AS mean_token_len
+        FROM q ORDER BY doc_id
+        """
+    ).arrow()
+    assert got["n_chars"].to_pylist() == want["n_chars"].to_pylist()
+    for col in ("punct_ratio", "upper_ratio", "mean_token_len"):
+        g = got[col].to_pylist()
+        w = want[col].to_pylist()
+        assert all(abs(a - b) < 1e-12 for a, b in zip(g, w)), col
+
+
+def test_langid_heuristic():
+    li = ts.LangId()
+    assert li.detect_one("the cat sat on the mat and it is warm") == "en"
+    assert li.detect_one("der Hund ist nicht zu Hause und die Katze") == "de"
+    assert li.detect_one("안녕하세요 세계 여러분 모두 환영합니다") == "ko"
+    assert li.detect_one("") == "und"
+    batch = pa.table({"text": ["the cat is here", "el perro es un animal"]})
+    out = li(batch)
+    assert out["lang_pred"].to_pylist() == ["en", "es"]
+
+
+# ------------------------------------------------------------------ multimodal
+
+
+def test_media_featurizer_deterministic():
+    import ray.data
+
+    tbl = mm.gen_media(30, seed=42)
+    assert tbl.schema.equals(mm.MEDIA_SCHEMA)
+    ds = ray.data.from_arrow(tbl)
+    out = _to_table(
+        ds.map_batches(
+            mm.MediaFeaturizer,
+            fn_constructor_kwargs={"dim": 8},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        )
+    ).sort_by("media_id")
+    assert out.num_rows == 30
+    assert out["payload_bytes"].to_pylist() == [
+        len(p) for p in tbl.sort_by("media_id")["payload"].to_pylist()
+    ]
+    feats = out["features"].to_pylist()
+    assert all(len(f) == 8 for f in feats)
+    # same payload → same features (pure function of bytes)
+    f2 = mm.MediaFeaturizer(dim=8)(tbl.slice(0, 5))
+    assert f2["features"].to_pylist() == feats[:5]
+
+
+def test_media_featurizer_real_decode_is_stubbed():
+    f = mm.MediaFeaturizer(deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        f._decode(b"abc", "image")
+
+
+def test_frame_sample_plan():
+    assert mm.frame_sample_plan(0) == []
+    assert mm.frame_sample_plan(3500, 1000) == [0, 1000, 2000, 3000]
