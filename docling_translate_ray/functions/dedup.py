@@ -54,6 +54,8 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
     one ``groupby(content_md5)``.  Returns columns: content_md5, <id>, n_dups.
     """
 
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
     def combiner(batch: pa.Table) -> pa.Table:
         import polars as pl
 
@@ -64,19 +66,23 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
         )
         return agg.to_arrow()
 
-    def finalize(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def finalize(part: pa.Table) -> pa.Table:
+        import polars as pl
 
-        return pa.table(
-            {
-                "content_md5": [g["content_md5"][0].as_py()],
-                id_column: [pc.min(g[id_column]).as_py()],
-                "n_dups": [pc.sum(g["n_dups"]).as_py()],
-            }
+        return (
+            pl.from_arrow(part)
+            .group_by("content_md5")
+            .agg(
+                pl.col(id_column).min().alias(id_column),
+                pl.col("n_dups").sum().alias("n_dups"),
+            )
+            .to_arrow()
         )
 
-    return ds.map_batches(combiner, batch_format="pyarrow").groupby("content_md5").map_groups(
-        finalize, batch_format="pyarrow"
+    return hash_partition_apply(
+        ds.map_batches(combiner, batch_format="pyarrow"),
+        ["content_md5"],
+        finalize,
     )
 
 
@@ -179,24 +185,28 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
         batch_format="pyarrow",
     )
 
-    def verify_bucket(g: pa.Table) -> pa.Table:
-        ids = g[id_column].to_pylist()
-        texts = g["_text"].to_pylist()
-        if len(ids) < 2:
-            return pa.table({id_column: pa.array([], pa.int64()),
-                             "canonical_id": pa.array([], pa.int64())})
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def verify_partition(part: pa.Table) -> pa.Table:
+        """One call per hash partition: vectorized filter to multi-member
+        buckets, then pairwise exact-Jaccard verify inside each tiny bucket."""
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        multi = df.filter(pl.len().over(["band_id", "band_key"]) > 1)
         pairs: dict[int, int] = {}
-        order = np.argsort(ids)
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                a, b = order[i], order[j]
-                if jaccard(texts[a], texts[b]) >= threshold:
-                    lo, hi = ids[a], ids[b]
-                    pairs[hi] = min(pairs.get(hi, lo), lo)
-                    pairs.setdefault(lo, lo)
-        if not pairs:
-            return pa.table({id_column: pa.array([], pa.int64()),
-                             "canonical_id": pa.array([], pa.int64())})
+        if multi.height:
+            for bucket in multi.partition_by(["band_id", "band_key"]):
+                ids = bucket[id_column].to_list()
+                texts = bucket["_text"].to_list()
+                order = np.argsort(ids)
+                for i in range(len(order)):
+                    for j in range(i + 1, len(order)):
+                        a, b = order[i], order[j]
+                        if jaccard(texts[a], texts[b]) >= threshold:
+                            lo, hi = ids[a], ids[b]
+                            pairs[hi] = min(pairs.get(hi, lo), lo)
+                            pairs.setdefault(lo, lo)
         return pa.table(
             {
                 id_column: pa.array(list(pairs.keys()), pa.int64()),
@@ -204,20 +214,9 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
             }
         )
 
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(verify_bucket, batch_format="pyarrow")
-
+    cand = hash_partition_apply(bands, ["band_id", "band_key"], verify_partition)
     # a doc may appear in several buckets → final min-label per doc
-    def min_label(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                id_column: [g[id_column][0].as_py()],
-                "canonical_id": [pc.min(g["canonical_id"]).as_py()],
-            }
-        )
-
-    return cand.groupby(id_column).map_groups(min_label, batch_format="pyarrow")
+    return hash_partition_apply(cand, [id_column], _min_label_block(id_column))
 
 
 def _explode_bands_with_text(batch: pa.Table, num_bands: int, id_column: str, column: str) -> pa.Table:
@@ -241,6 +240,22 @@ def _explode_bands_with_text(batch: pa.Table, num_bands: int, id_column: str, co
             "_text": pa.array(o_text, pa.string()),
         }
     )
+
+
+def _min_label_block(id_column: str):
+    """Block fn: per id, keep the minimum canonical label (vectorized)."""
+
+    def block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(part)
+            .group_by(id_column)
+            .agg(pl.col("canonical_id").min())
+            .to_arrow()
+        )
+
+    return block
 
 
 # ---------------------------------------------------------------- simhash
@@ -300,16 +315,24 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
             }
         )
 
-    def verify(g: pa.Table) -> pa.Table:
-        ids = g[id_column].to_pylist()
-        hs = np.array(g["_sim"].to_pylist(), dtype=np.int64).view(np.uint64)
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def verify_partition(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        multi = df.filter(pl.len().over(["chunk_id", "chunk_key"]) > 1)
         pairs: dict[int, int] = {}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if bin(int(hs[i] ^ hs[j])).count("1") <= max_hamming:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    pairs[hi] = min(pairs.get(hi, lo), lo)
-                    pairs.setdefault(lo, lo)
+        if multi.height:
+            for bucket in multi.partition_by(["chunk_id", "chunk_key"]):
+                ids = bucket[id_column].to_list()
+                hs = bucket["_sim"].to_numpy().view(np.uint64)
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        if bin(int(hs[i] ^ hs[j])).count("1") <= max_hamming:
+                            lo, hi = sorted((ids[i], ids[j]))
+                            pairs[hi] = min(pairs.get(hi, lo), lo)
+                            pairs.setdefault(lo, lo)
         return pa.table(
             {
                 id_column: pa.array(list(pairs.keys()), pa.int64()),
@@ -317,21 +340,12 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
             }
         )
 
-    cand = sigs.map_batches(explode_chunks, batch_format="pyarrow").groupby(
-        ["chunk_id", "chunk_key"]
-    ).map_groups(verify, batch_format="pyarrow")
-
-    def min_label(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                id_column: [g[id_column][0].as_py()],
-                "canonical_id": [pc.min(g["canonical_id"]).as_py()],
-            }
-        )
-
-    return cand.groupby(id_column).map_groups(min_label, batch_format="pyarrow")
+    cand = hash_partition_apply(
+        sigs.map_batches(explode_chunks, batch_format="pyarrow"),
+        ["chunk_id", "chunk_key"],
+        verify_partition,
+    )
+    return hash_partition_apply(cand, [id_column], _min_label_block(id_column))
 
 
 # ---------------------------------------------------------------- embedding
@@ -368,25 +382,32 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
             }
         )
 
-    def verify(g: pa.Table) -> pa.Table:
-        ids = g[id_column].to_pylist()
-        mat = np.array(g["_vec"].to_pylist(), dtype=np.float64)
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def verify_partition(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        multi = df.filter(pl.len().over("bucket_key") > 1)
         out_id, out_canon, out_cos = [], [], []
-        if len(ids) >= 2:
-            sims = mat @ mat.T
-            pairs: dict[int, tuple[int, float]] = {}
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if sims[i, j] >= threshold:
-                        lo, hi = sorted((ids[i], ids[j]))
-                        cur = pairs.get(hi)
-                        if cur is None or lo < cur[0]:
-                            pairs[hi] = (lo, float(sims[i, j]))
-                        pairs.setdefault(lo, (lo, 1.0))
-            for k, (c, s) in pairs.items():
-                out_id.append(k)
-                out_canon.append(c)
-                out_cos.append(s)
+        if multi.height:
+            for bucket in multi.partition_by("bucket_key"):
+                ids = bucket[id_column].to_list()
+                mat = np.array(bucket["_vec"].to_list(), dtype=np.float64)
+                sims = mat @ mat.T
+                pairs: dict[int, tuple[int, float]] = {}
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        if sims[i, j] >= threshold:
+                            lo, hi = sorted((ids[i], ids[j]))
+                            cur = pairs.get(hi)
+                            if cur is None or lo < cur[0]:
+                                pairs[hi] = (lo, float(sims[i, j]))
+                            pairs.setdefault(lo, (lo, 1.0))
+                for k, (c, s) in pairs.items():
+                    out_id.append(k)
+                    out_canon.append(c)
+                    out_cos.append(s)
         return pa.table(
             {
                 id_column: pa.array(out_id, pa.int64()),
@@ -395,6 +416,8 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
             }
         )
 
-    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket_key").map_groups(
-        verify, batch_format="pyarrow"
+    return hash_partition_apply(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket_key"],
+        verify_partition,
     )

@@ -151,16 +151,32 @@ def run_extract_job(
     miss_policy: str = "empty",
     source_kind: str = "pages",
     strategy: str = "broadcast",
+    layout: str = "bucket",
 ) -> dict:
     """End-to-end job: extract → docs+lineage; optionally score → scored.
 
-    Idempotent per bucket: with ``resume=True`` a rerun skips buckets whose
-    lineage row and output directory both exist — the filter runs *before*
-    extraction so skipped pages never pay the parse.
+    Two durable layouts, both idempotent and resumable (rerun skips
+    partitions whose lineage row and output dir both exist, BEFORE paying
+    the parse):
+
+    * ``layout="shard"`` — the 100-TB path: output partition = input file,
+      provenance via ``read_parquet(include_paths=True)``.  ZERO data
+      shuffle (the only exchange is KB-sized lineage partials); resume
+      prunes completed files from the read list so skipped shards are
+      never even opened.  Use when downstream consumes docs by scan.
+    * ``layout="bucket"`` — url-hash bucketed output: one consolidating
+      ``groupby(bucket)`` exchange buys url-colocated, one-file-per-bucket
+      output (for downstream per-url joins).  Costs an all-to-all of the
+      doc payload — measured ~6-7 s for 48k docs/350 MB at 32 CPUs, so
+      prefer ``shard`` unless colocations is needed.
     """
     import ray.data
 
     run_id = uuid.uuid4().hex[:12]
+
+    if layout == "shard":
+        return _run_shard_job(input_path, out_dir, run_id, resume, engine,
+                              miss_policy, strategy, source_kind)
 
     done: set[int] = set()
     if resume:
@@ -179,10 +195,16 @@ def run_extract_job(
     else:
         docs = src.map_batches(_docs_text_keep_bucket, batch_format="pyarrow")
 
-    docs.write_parquet(ckpt.docs_dir(out_dir), partition_cols=["bucket"])
-    lineage = ckpt.compute_lineage(out_dir, run_id=run_id)
-    ckpt.write_lineage(out_dir, lineage, run_id)
+    # single pass: bucket-consolidating shuffle → one file per bucket +
+    # lineage row per bucket from the same group task (no read-back)
+    lineage_new = ckpt.collect_lineage(
+        ckpt.write_bucketed(docs, ckpt.docs_dir(out_dir), run_id)
+    )
+    if lineage_new.num_rows:
+        ckpt.write_lineage(out_dir, lineage_new, run_id)
 
+    # job-level counts reflect ALL durable lineage (this run + prior runs)
+    lineage = ckpt.load_lineage(out_dir)
     result = {
         "run_id": run_id,
         "skipped_buckets": len(done),
@@ -195,7 +217,10 @@ def run_extract_job(
         back = ray.data.read_parquet(ckpt.docs_dir(out_dir))
         scored = score_docs(back, engine=engine, miss_policy=miss_policy, strategy=strategy)
         sink = scored.drop_columns(["spans"]) if strategy == "broadcast" else scored
-        sink.write_parquet(os.path.join(out_dir, "scored"), partition_cols=["bucket"])
+        for _ in ckpt.write_bucketed(
+            sink, os.path.join(out_dir, "scored"), run_id
+        ).iter_batches():
+            pass  # drain: the writer's lineage rows are a byproduct here
         result["scored"] = True
     return result
 
@@ -203,3 +228,85 @@ def run_extract_job(
 def _docs_text_keep_bucket(batch: pa.Table) -> pa.Table:
     bucket = batch["bucket"]
     return extract_docs_text_batch(batch).append_column("bucket", bucket)
+
+
+def _extract_keep_path(batch: pa.Table) -> pa.Table:
+    path = batch["path"]
+    return extract_batch(batch).append_column("path", path)
+
+
+def _docs_text_keep_path(batch: pa.Table) -> pa.Table:
+    path = batch["path"]
+    return extract_docs_text_batch(batch).append_column("path", path)
+
+
+def _list_input_files(input_path: str) -> list[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
+
+
+def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
+                   engine: str | None, miss_policy: str, strategy: str,
+                   source_kind: str) -> dict:
+    """Shard-layout body of :func:`run_extract_job` (no data shuffle)."""
+    import shutil
+
+    import ray.data
+
+    files = _list_input_files(input_path)
+    done: set[str] = ckpt.completed_shards(out_dir) if resume else set()
+    todo = [f for f in files if ckpt.shard_key(f) not in done]
+
+    ddir = ckpt.docs_dir(out_dir)
+    if todo:
+        # pre-clean stale output of unfinished shards (failed earlier runs)
+        for f in todo:
+            shutil.rmtree(
+                os.path.join(ddir, f"shard={ckpt.shard_key(f)}"), ignore_errors=True
+            )
+        src = ray.data.read_parquet(
+            todo,
+            columns=PAGES_COLUMNS if source_kind == "pages" else None,
+            include_paths=True,
+        )
+        fn = _extract_keep_path if source_kind == "pages" else _docs_text_keep_path
+        docs = src.map_batches(fn, batch_format="pyarrow")
+        partials = docs.map_batches(
+            ckpt.ShardWriter(ddir, run_id), batch_format="pyarrow"
+        )
+        # partial rows ≈ num_blocks (KB-sized): aggregate driver-side — the
+        # job then contains NO exchange at all (trivial even at 100k shards)
+        lineage_new = ckpt.finalize_shard_lineage_local(
+            ckpt.collect_lineage(partials, schema=ckpt.SHARD_LINEAGE_SCHEMA)
+        )
+        if lineage_new.num_rows:
+            ckpt.write_shard_lineage(out_dir, lineage_new, run_id)
+
+    lineage = ckpt.load_shard_lineage(out_dir)
+    result = {
+        "run_id": run_id,
+        "layout": "shard",
+        "skipped_shards": len(done),
+        "shards": lineage.num_rows,
+        "doc_count": sum(lineage["doc_count"].to_pylist()),
+        "ok_count": sum(lineage["ok_count"].to_pylist()),
+    }
+
+    if engine:
+        back = ray.data.read_parquet(ddir)
+        scored = score_docs(back, engine=engine, miss_policy=miss_policy,
+                            strategy=strategy)
+        sink = scored.drop_columns(["spans"]) if strategy == "broadcast" else scored
+        writer = ckpt.ShardWriter(
+            os.path.join(out_dir, "scored"), run_id,
+            key_column="shard", key_is_path=False,
+        )
+        for _ in sink.map_batches(writer, batch_format="pyarrow").iter_batches():
+            pass  # drain the lineage partials; scored lineage not persisted
+        result["scored"] = True
+    return result

@@ -265,27 +265,15 @@ def q_langid(sf_dir: str):
 
 
 def _grouped_sum(ds, keys: list[str], partial_exprs, final_cols):
-    """Generic two-level aggregation.
+    """Two-level aggregation (combiner → hash-partitioned vectorized final).
 
     ``partial_exprs``: polars aggregation exprs for the per-batch combiner.
     ``final_cols``: {out_name: (partial_name, "sum")} summed per group.
     """
+    from docling_translate_ray.stages.shuffle import grouped_sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return pl.from_arrow(batch).group_by(keys).agg(*partial_exprs).to_arrow()
-
-    def final(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        out = {k: [g[k][0].as_py()] for k in keys}
-        for name, (src, _) in final_cols.items():
-            out[name] = [pc.sum(g[src]).as_py()]
-        return pa.table(out)
-
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(keys).map_groups(
-        final, batch_format="pyarrow"
+    return grouped_sum(
+        ds, keys, partial_exprs, {name: src for name, (src, _) in final_cols.items()}
     )
 
 

@@ -49,6 +49,8 @@ def unique_sentences(sent_ds, column: str = "sentence"):
     groupby(sent_hash) is the only shuffle; rows entering it are already
     batch-deduped.
     """
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
     thinned = (
         sent_ds.map_batches(
             lambda b: thin_batch_duplicates(add_sentence_hash(b, column), column),
@@ -57,10 +59,14 @@ def unique_sentences(sent_ds, column: str = "sentence"):
         .select_columns(["sent_hash", column])
     )
 
-    def first_of_group(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def distinct_block(part: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return thinned.groupby("sent_hash").map_groups(first_of_group, batch_format="pyarrow")
+        # distinct by the sentence STRING (hash only routes the partition,
+        # so a 64-bit hash collision can never drop a real sentence)
+        return pl.from_arrow(part).unique(subset=[column], keep="any").to_arrow()
+
+    return hash_partition_apply(thinned, ["sent_hash"], distinct_block)
 
 
 def broadcast_score_map(unique_scored_ds, column: str = "sentence") -> "ray.ObjectRef":

@@ -37,6 +37,19 @@ LINEAGE_SCHEMA = pa.schema(
 )
 
 
+SHARD_LINEAGE_SCHEMA = pa.schema(
+    [
+        ("shard", pa.string()),
+        ("doc_count", pa.int64()),
+        ("ok_count", pa.int64()),
+        ("error_count", pa.int64()),
+        ("byte_count", pa.int64()),
+        ("failure_urls", pa.list_(pa.string())),
+        ("run_id", pa.string()),
+    ]
+)
+
+
 def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
 
@@ -75,8 +88,244 @@ def filter_completed(ds, done: set[int]):
     return ds.map_batches(drop, batch_format="pyarrow")
 
 
+def write_bucketed(ds, dest_dir: str, run_id: str):
+    """Consolidating bucket writer: shuffle by ``bucket``, ONE parquet file
+    per bucket per run, lineage row returned from the same pass.
+
+    Why not ``write_parquet(partition_cols=["bucket"])``: that splits every
+    task's block by bucket value — measured 3,963 files for 12k docs over 64
+    buckets (write tasks × buckets), which then makes any read-back pay ~4k
+    file opens.  Here the ``groupby("bucket")`` exchange is the one shuffle;
+    each group task atomically publishes ``bucket=<b>/part-<run_id>.parquet``
+    (tmp + rename), deletes stale part files from earlier failed runs
+    (idempotent per-bucket overwrite), and returns the bucket's lineage row —
+    so the job needs NO second read-back pass over the data.
+
+    Sizing: one bucket = one task's heap; choose ``n_buckets`` so corpus/n
+    is a few hundred MB at most.  Returns a (tiny) lineage Dataset.
+    """
+
+    def write_group(g: pa.Table) -> pa.Table:
+        bucket = int(g["bucket"][0].as_py())
+        body = g.drop_columns(["bucket"])  # dirname carries the value (hive)
+        bdir = os.path.join(dest_dir, f"bucket={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, f"part-{run_id}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(body, tmp)
+        os.replace(tmp, path)  # atomic publish
+        for f in os.listdir(bdir):  # stale parts from failed runs
+            if f.endswith(".parquet") and f != os.path.basename(path):
+                os.remove(os.path.join(bdir, f))
+        ok = pc.equal(g["status"], "ok")
+        n_ok = pc.sum(pc.cast(ok, pa.int64())).as_py() or 0
+        fails = [u for u, o in zip(g["url"].to_pylist(), ok.to_pylist()) if not o]
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "doc_count": pa.array([g.num_rows], pa.int64()),
+                "ok_count": pa.array([n_ok], pa.int64()),
+                "error_count": pa.array([g.num_rows - n_ok], pa.int64()),
+                "byte_count": pa.array(
+                    [pc.sum(g["n_chars"]).as_py() or 0], pa.int64()
+                ),
+                "failure_urls": pa.array([fails], pa.list_(pa.string())),
+                "run_id": pa.array([run_id], pa.string()),
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+    return ds.groupby("bucket").map_groups(write_group, batch_format="pyarrow")
+
+
+def collect_lineage(lineage_ds, schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (one-row-per-partition) lineage Dataset to Arrow."""
+    schema = schema or LINEAGE_SCHEMA
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in lineage_ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not batches:
+        return schema.empty_table()
+    tbl = pa.concat_tables(
+        [b.select(schema.names) for b in batches], promote_options="default"
+    )
+    return tbl.cast(schema)
+
+
+def shard_key(path: str) -> str:
+    """Stable shard id for a source file: its basename without extension."""
+    base = os.path.basename(path)
+    return base[:-8] if base.endswith(".parquet") else base
+
+
+def completed_shards(out_dir: str) -> set[str]:
+    """Shard keys with a lineage row AND an existing output directory."""
+    ldir = lineage_dir(out_dir)
+    if not os.path.isdir(ldir):
+        return set()
+    files = [
+        os.path.join(ldir, f)
+        for f in os.listdir(ldir)
+        if f.endswith(".parquet") and f.startswith("shard_lineage_")
+    ]
+    done: set[str] = set()
+    for f in files:
+        done.update(pq.read_table(f, columns=["shard"])["shard"].to_pylist())
+    ddir = docs_dir(out_dir)
+    return {s for s in done if os.path.isdir(os.path.join(ddir, f"shard={s}"))}
+
+
+class ShardWriter:
+    """Stateless write stage for the NO-SHUFFLE shard layout.
+
+    Each batch is split by its ``path`` provenance column (``read_parquet(...,
+    include_paths=True)``) and appended to ``dest/shard=<key>/`` as one part
+    file per (batch, shard); the stage's OUTPUT is the tiny per-(batch, shard)
+    lineage partial — the doc payload never crosses an exchange.  Output file
+    count = O(blocks), not O(blocks × partitions).
+
+    Downstream: ``groupby(shard)`` over the partials (rows ≈ blocks) makes
+    the final lineage rows — the only exchange in the job, bytes ≈ KB.
+    """
+
+    def __init__(self, dest_dir: str, run_id: str, key_column: str = "path",
+                 key_is_path: bool = True) -> None:
+        self.dest = dest_dir
+        self.run_id = run_id
+        self.key_column = key_column
+        self.key_is_path = key_is_path
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import polars as pl
+
+        out: dict[str, list] = {k: [] for k in
+                                ("shard", "doc_count", "ok_count", "error_count",
+                                 "byte_count", "failure_urls", "run_id")}
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(out, schema=SHARD_LINEAGE_SCHEMA)
+        df = pl.from_arrow(batch)
+        for part in df.partition_by(self.key_column):
+            raw = part[self.key_column][0]
+            key = shard_key(raw) if self.key_is_path else str(raw)
+            body = part.drop(self.key_column).to_arrow()
+            sdir = os.path.join(self.dest, f"shard={key}")
+            os.makedirs(sdir, exist_ok=True)
+            name = f"part-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet"
+            path = os.path.join(sdir, name)
+            pq.write_table(body, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            ok = part["status"] == "ok"
+            n_ok = int(ok.sum())
+            out["shard"].append(key)
+            out["doc_count"].append(part.height)
+            out["ok_count"].append(n_ok)
+            out["error_count"].append(part.height - n_ok)
+            out["byte_count"].append(int(part["n_chars"].sum()))
+            out["failure_urls"].append(part.filter(~ok)["url"].to_list())
+            out["run_id"].append(self.run_id)
+        return pa.Table.from_pydict(out, schema=SHARD_LINEAGE_SCHEMA)
+
+
+def finalize_shard_lineage_local(partials: pa.Table) -> pa.Table:
+    """Driver-side partials → one row per shard (rows ≈ blocks, KB-sized)."""
+    import polars as pl
+
+    if partials.num_rows == 0:
+        return SHARD_LINEAGE_SCHEMA.empty_table()
+    agg = (
+        pl.from_arrow(partials)
+        .group_by("shard")
+        .agg(
+            pl.col("doc_count").sum(),
+            pl.col("ok_count").sum(),
+            pl.col("error_count").sum(),
+            pl.col("byte_count").sum(),
+            pl.col("failure_urls").flatten().drop_nulls().alias("failure_urls"),
+            pl.col("run_id").first(),
+        )
+        .sort("shard")
+    )
+    return agg.to_arrow().select(SHARD_LINEAGE_SCHEMA.names).cast(SHARD_LINEAGE_SCHEMA)
+
+
+def finalize_shard_lineage(partials_ds, num_partitions: int = 16):
+    """Partial lineage rows → one row per shard (tiny exchange)."""
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        agg = df.group_by("shard").agg(
+            pl.col("doc_count").sum(),
+            pl.col("ok_count").sum(),
+            pl.col("error_count").sum(),
+            pl.col("byte_count").sum(),
+            pl.col("failure_urls").flatten().drop_nulls().alias("failure_urls"),
+            pl.col("run_id").first(),
+        )
+        return agg.to_arrow()
+
+    return hash_partition_apply(partials_ds, ["shard"], block, num_partitions)
+
+
+def write_shard_lineage(out_dir: str, lineage: pa.Table, run_id: str) -> str:
+    ldir = lineage_dir(out_dir)
+    os.makedirs(ldir, exist_ok=True)
+    path = os.path.join(ldir, f"shard_lineage_{run_id}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(lineage.cast(SHARD_LINEAGE_SCHEMA), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def load_shard_lineage(out_dir: str) -> pa.Table:
+    ldir = lineage_dir(out_dir)
+    if not os.path.isdir(ldir):
+        return SHARD_LINEAGE_SCHEMA.empty_table()
+    files = [
+        os.path.join(ldir, f)
+        for f in os.listdir(ldir)
+        if f.endswith(".parquet") and f.startswith("shard_lineage_")
+    ]
+    if not files:
+        return SHARD_LINEAGE_SCHEMA.empty_table()
+    tbl = pa.concat_tables([pq.read_table(f) for f in files]).cast(SHARD_LINEAGE_SCHEMA)
+    import polars as pl
+
+    return (
+        pl.from_arrow(tbl).unique(subset=["shard"], keep="first").sort("shard")
+        .to_arrow().cast(SHARD_LINEAGE_SCHEMA)
+    )
+
+
+def load_lineage(out_dir: str) -> pa.Table:
+    """All lineage rows across runs, one row per bucket (runs of a bucket are
+    idempotent, so any run's row is authoritative)."""
+    ldir = lineage_dir(out_dir)
+    if not os.path.isdir(ldir):
+        return LINEAGE_SCHEMA.empty_table()
+    files = [os.path.join(ldir, f) for f in os.listdir(ldir) if f.endswith(".parquet")]
+    if not files:
+        return LINEAGE_SCHEMA.empty_table()
+    tbl = pa.concat_tables([pq.read_table(f) for f in files]).cast(LINEAGE_SCHEMA)
+    import polars as pl
+
+    return (
+        pl.from_arrow(tbl).unique(subset=["bucket"], keep="first").sort("bucket")
+        .to_arrow().cast(LINEAGE_SCHEMA)
+    )
+
+
 def compute_lineage(out_dir: str, run_id: str | None = None) -> pa.Table:
     """Aggregate lineage from the *written* docs output (read-back truth).
+
+    Audit/repair utility — the hot path computes lineage in the write pass
+    (:func:`write_bucketed`); use this to re-derive lineage when the lineage
+    dir is lost or to cross-check output integrity.
 
     Reads only the narrow columns (column pruning at the read) and
     groupby-aggregates per bucket — the A3/A5 aggregation analog

@@ -162,6 +162,67 @@ def test_run_job_and_resume(pages_path, tmp_path):
     assert os.path.isdir(os.path.join(ckpt.docs_dir(out), f"bucket={victim}"))
 
 
+def test_shard_layout_job_resume_repair(pages_path, tmp_path):
+    """The no-shuffle shard layout: run → full-skip resume → shard repair."""
+    import shutil
+
+    # shard the fixture corpus into 4 input files
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(pages_path, "pages.parquet"))
+    in_dir = str(tmp_path / "pages4")
+    os.makedirs(in_dir)
+    step = src.num_rows // 4
+    for i in range(4):
+        pq.write_table(src.slice(i * step, step), os.path.join(in_dir, f"p{i}.parquet"))
+
+    out = str(tmp_path / "out_shard")
+    res1 = pipe.run_extract_job(in_dir, out, layout="shard", resume=True)
+    assert res1["doc_count"] == 200
+    assert res1["ok_count"] == 198
+    assert res1["shards"] == 4
+    done = ckpt.completed_shards(out)
+    assert done == {"p0", "p1", "p2", "p3"}
+
+    # byte-identity survives the shard write path
+    golden = _golden("pages_golden.json")
+    back = ray.data.read_parquet(ckpt.docs_dir(out))
+    n = 0
+    for b in back.select_columns(["url", "extracted_text"]).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for r in t.to_pylist():
+            assert hashlib.md5(r["extracted_text"].encode()).hexdigest() == golden[r["url"]]["text_md5"]
+            n += 1
+    assert n == 200
+
+    # full-skip rerun touches nothing
+    res2 = pipe.run_extract_job(in_dir, out, layout="shard", resume=True)
+    assert res2["skipped_shards"] == 4
+    assert res2["doc_count"] == 200
+
+    # repair: drop one shard dir → only it re-extracts
+    shutil.rmtree(os.path.join(ckpt.docs_dir(out), "shard=p2"))
+    res3 = pipe.run_extract_job(in_dir, out, layout="shard", resume=True)
+    assert res3["skipped_shards"] == 3
+    assert res3["doc_count"] == 200
+    assert os.path.isdir(os.path.join(ckpt.docs_dir(out), "shard=p2"))
+
+
+def test_shard_layout_scored(pages_path, tmp_path):
+    """Shard layout with a scoring phase writes scored output per shard."""
+    out = str(tmp_path / "out_shard_scored")
+    res = pipe.run_extract_job(pages_path, out, layout="shard", engine="upper")
+    assert res["scored"]
+    import duckdb
+
+    con = duckdb.connect()
+    n, n_upper = con.sql(
+        f"SELECT count(*), count(*) FILTER (translated_text = upper(translated_text)) "
+        f"FROM parquet_scan('{out}/scored/*/*.parquet')"
+    ).fetchone()
+    assert n == 200 and n_upper == n
+
+
 def test_lineage_sums_match_output(pages_path, tmp_path):
     out = str(tmp_path / "out2")
     pipe.run_extract_job(pages_path, out, n_buckets=4, resume=False)
