@@ -58,6 +58,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "top_users": q.q_top_users,
         "lineitem_pricing": q.q_lineitem_pricing,
+        # joins (shuffle + broadcast) and windows
+        "segment_revenue": q.q_segment_revenue,
+        "nation_customers": q.q_nation_customers,
+        "user_sessions": q.q_user_sessions,
+        "lang_map": q.q_lang_map,
         # multimodal plumbing
         "media_features": q.q_media_features,
     }
@@ -182,6 +187,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count_order,
                    sum(CAST(l_quantity AS BIGINT))::BIGINT / count(*) AS avg_qty
             FROM lineitem GROUP BY 1, 2
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS total_price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "nation_customers": """
+            SELECT n_name, count(*)::BIGINT AS n_customers,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+                       AS total_acctbal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+            FROM o GROUP BY user_id
+        """,
+        "lang_map": """
+            SELECT doc_id, lang, upper(lang) AS deepl_code,
+                   CASE lang
+                     WHEN 'en' THEN 'eng_Latn' WHEN 'de' THEN 'deu_Latn'
+                     WHEN 'fr' THEN 'fra_Latn' WHEN 'es' THEN 'spa_Latn'
+                     WHEN 'ko' THEN 'kor_Hang' WHEN 'ja' THEN 'jpn_Jpan'
+                     WHEN 'zh' THEN 'zho_Hans' ELSE 'und' END AS nllb_code
+            FROM documents
         """,
         # rows-only (non-SQL-expressible): sentences splitter internals are
         # SQL-modelled above because the sf corpus has no sentence punctuation;

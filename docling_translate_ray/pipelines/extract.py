@@ -118,27 +118,36 @@ def score_docs(
             batch_format="pyarrow",
             concurrency=scorer_concurrency,
         )
-    # join strategy: sentences ⋈ scored → per-url assemble via groupby
+    # join strategy: sentences ⋈ scored → per-url assemble, vectorized per
+    # hash partition (NOT one Python call per url — stages/shuffle.py)
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
     joined = dd.join_scores(sent, scored)
 
-    def assemble_group(g: pa.Table) -> pa.Table:
+    def assemble_block(part: pa.Table) -> pa.Table:
         import polars as pl
 
-        df = pl.from_arrow(g).sort(["seg_id", "sent_idx"])
-        miss = df["sentence"] if miss_policy == "identity" else pl.Series([""] * len(df))
-        scored_col = df["scored"].fill_null(miss)
+        df = pl.from_arrow(part).sort(["url", "seg_id", "sent_idx"])
+        miss = pl.col("sentence") if miss_policy == "identity" else pl.lit("")
+        df = df.with_columns(pl.col("scored").fill_null(miss))
         # per-seg " " join, segs joined by "\n" — html_generator.py:570-571
-        per_seg = (
-            df.with_columns(scored_col.alias("scored"))
-            .group_by("seg_id", maintain_order=True)
-            .agg(pl.col("scored").str.join(" "))
+        per_seg = df.group_by(["url", "seg_id"], maintain_order=True).agg(
+            pl.col("scored").str.join(" ")
         )
-        text = "\n".join(per_seg["scored"].to_list())
-        return pa.table({"url": [g["url"][0].as_py()], "translated_text": [text]})
+        per_url_df = per_seg.group_by("url", maintain_order=True).agg(
+            pl.col("scored").str.join("\n").alias("translated_text")
+        )
+        # polars emits large_string; cast so the downstream join's key
+        # column type matches the docs side exactly
+        return per_url_df.to_arrow().cast(
+            pa.schema([("url", pa.string()), ("translated_text", pa.string())])
+        )
 
-    per_url = joined.groupby("url").map_groups(assemble_group, batch_format="pyarrow")
+    per_url = hash_partition_apply(joined, ["url"], assemble_block, num_partitions=32)
+    from docling_translate_ray.util import join_partitions
+
     return docs_ds.drop_columns(["spans"]).join(
-        per_url, join_type="left_outer", num_partitions=16, on=("url",)
+        per_url, join_type="left_outer", num_partitions=join_partitions(), on=("url",)
     )
 
 

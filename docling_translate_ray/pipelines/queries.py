@@ -382,6 +382,140 @@ def q_lineitem_pricing(sf_dir: str):
     return out.map_batches(add_avg, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ joins
+
+
+def q_segment_revenue(sf_dir: str):
+    """Hash-partitioned shuffle join orders ⋈ customer (the large-side join
+    path, J1/J2 at relational scale) → per-segment order count + exact
+    cents revenue."""
+    import polars as pl
+
+    from docling_translate_ray.util import join_partitions
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return _grouped_sum(
+        joined.select_columns(["c_mktsegment", "o_totalprice"]),
+        ["c_mktsegment"],
+        [
+            pl.len().cast(pl.Int64).alias("_n"),
+            (pl.col("o_totalprice") * 100).round(0).cast(pl.Int64).sum().alias("_cents"),
+        ],
+        {"n_orders": ("_n", "sum"), "total_price_cents": ("_cents", "sum")},
+    )
+
+
+class _AddNationName:
+    """Broadcast-join probe: nation lookup fetched ONCE per actor."""
+
+    def __init__(self, map_ref) -> None:
+        import ray
+
+        self._map = ray.get(map_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = [self._map.get(k, "?") for k in batch["c_nationkey"].to_pylist()]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+
+def q_nation_customers(sf_dir: str):
+    """Broadcast join customer ⋈ nation (small side via ray.put, never a
+    shuffle — SURVEY.md §2.4) → per-nation customer count + exact cents
+    account balance."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from docling_translate_ray.util import auto_pool_size
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    map_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(),
+                               nation["n_name"].to_pylist())))
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        _AddNationName,
+        fn_constructor_kwargs={"map_ref": map_ref},
+        batch_format="pyarrow",
+        concurrency=auto_pool_size(),
+    )
+    return _grouped_sum(
+        ds.select_columns(["n_name", "c_acctbal"]),
+        ["n_name"],
+        [
+            pl.len().cast(pl.Int64).alias("_n"),
+            (pl.col("c_acctbal") * 100).round(0).cast(pl.Int64).sum().alias("_cents"),
+        ],
+        {"n_customers": ("_n", "sum"), "total_acctbal_cents": ("_cents", "sum")},
+    )
+
+
+# ------------------------------------------------------------------ sessions
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization per user (stateful windowed op a training
+    pipeline needs; no reference analog — SURVEY.md §2.6 O5).
+
+    All events of a user are co-partitioned by ``hash(user_id)``; inside a
+    partition the whole computation is one vectorized polars pass (sort →
+    per-user time-delta → count gaps > threshold).
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def block(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        return (
+            df.group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                (
+                    (pl.col("ts").sort().diff() > pl.duration(minutes=gap_minutes))
+                    .sum().cast(pl.Int64) + 1
+                ).alias("n_sessions"),
+            )
+            .to_arrow()
+        )
+
+    return hash_partition_apply(ds, ["user_id"], block, num_partitions=32)
+
+
+# ------------------------------------------------------------------ lang map
+
+
+_NLLB_CODES = {
+    "en": "eng_Latn", "de": "deu_Latn", "fr": "fra_Latn", "es": "spa_Latn",
+    "ko": "kor_Hang", "ja": "jpn_Jpan", "zh": "zho_Hans",
+}
+
+
+def lang_map_batch(batch: pa.Table, column: str = "lang") -> pa.Table:
+    """M20 analog (translation/utils.py:11-48, nllb.py:27-58): ISO-639-1 →
+    engine codes; DeepL upper-cases, NLLB uses script-tagged codes."""
+    langs = [(x or "") for x in batch[column].to_pylist()]
+    return batch.append_column(
+        "deepl_code", pa.array([x.upper() for x in langs], pa.string())
+    ).append_column(
+        "nllb_code", pa.array([_NLLB_CODES.get(x, "und") for x in langs], pa.string())
+    )
+
+
+def q_lang_map(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(lang_map_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "deepl_code", "nllb_code"])
+    )
+
+
 # ------------------------------------------------------------------ multimodal
 
 

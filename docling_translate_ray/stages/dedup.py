@@ -110,13 +110,19 @@ class ProbeScoreMap:
         return batch.append_column("translated_text", pa.array(out, pa.string()))
 
 
-def join_scores(sent_ds, unique_scored_ds, num_partitions: int = 64):
+def join_scores(sent_ds, unique_scored_ds, num_partitions: int | None = None):
     """Large-side path: hash-partitioned join sentences ⋈ scored uniques.
 
     Both sides carry ``sent_hash``; Ray's ``Dataset.join`` hash-partitions on
     it (all-to-all exchange — use only when the unique set is too big to
-    broadcast).
+    broadcast).  ``num_partitions`` defaults to a cluster-safe size — the
+    join operator pins one aggregator actor (one CPU) per partition, so
+    oversizing it deadlocks the streaming executor (util.join_partitions).
     """
+    if num_partitions is None:
+        from docling_translate_ray.util import join_partitions
+
+        num_partitions = join_partitions()
     left = sent_ds.map_batches(add_sentence_hash, batch_format="pyarrow")
     right = unique_scored_ds.select_columns(["sent_hash", "scored"])
     return left.join(

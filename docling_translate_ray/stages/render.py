@@ -1,0 +1,113 @@
+"""HTML rendering stage — the reference's Phase-3 generator re-expressed.
+
+Mirrors ``html_generator.py:495-761`` / ``text_html_generator.py:409-524``
+semantics as a pure per-doc function inside ``map_batches``:
+
+* spans render in reading order (``seg_id`` asc — O1 contract, core.py:422);
+* a page marker is emitted when ``page_no`` changes (M15,
+  html_generator.py:538-544);
+* kind routing (M14, html_generator.py:575-640): ``header``→``<h2>``,
+  ``list_item``→``<li>``, ``caption``→``<figcaption>``, ``table_cell``→
+  ``<td>``-run, ``code``→``<pre>``, ``formula``→M11 math wrap
+  (html_generator.py:48-64), everything else→``<p>``;
+* every text node is HTML-escaped (M16, html_generator.py:580);
+* paired ``id="src-{seg}-{i}"`` / ``id="tgt-{seg}-{i}"`` spans when a
+  sentence→scored mapping is provided (html_generator.py:600-640), with the
+  doc path's ``''``-on-miss policy.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import pyarrow as pa
+
+from docling_translate_ray import extract_core as ec
+
+
+def _format_formula(text: str) -> str:
+    """M11 (html_generator.py:48-64): display-math wrap; aligned env when
+    the formula contains alignment markers."""
+    if "&=" in text or r"\\" in text:
+        return r"\[\begin{aligned}" + text + r"\end{aligned}\]"
+    return r"\[" + text + r"\]"
+
+
+def render_doc_html(url: str, spans: list[dict],
+                    mapping: dict[str, str] | None = None,
+                    miss_policy: str = "empty") -> str:
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_html.escape(url)}</title></head><body>",
+    ]
+    page_no = None
+    for s in sorted(spans or [], key=lambda x: x["seg_id"]):
+        if not s["translatable"] or not s["text"].strip():
+            continue
+        if s["page_no"] != page_no and s["page_no"] > 0:
+            page_no = s["page_no"]
+            parts.append(f"<hr class='page-marker' data-page='{page_no}'/>")
+        kind, text, seg = s["kind"], s["text"], s["seg_id"]
+        if kind == "formula":
+            parts.append(f"<div class='formula'>{_html.escape(_format_formula(text))}</div>")
+            continue
+        if kind in ec._SENTENCE_KINDS:
+            sents = ec.split_sentences(text)
+        else:
+            sents = [text]
+        src = " ".join(
+            f"<span id='src-{seg}-{i}'>{_html.escape(x)}</span>"
+            for i, x in enumerate(sents)
+        )
+        body = src
+        if mapping is not None:
+            tgt = " ".join(
+                "<span id='tgt-{}-{}'>{}</span>".format(
+                    seg, i,
+                    _html.escape(
+                        mapping.get(x, x if miss_policy == "identity" else "")
+                    ),
+                )
+                for i, x in enumerate(sents)
+            )
+            body = f"{src}<br/>{tgt}"
+        if kind == "header":
+            parts.append(f"<h2>{body}</h2>")
+        elif kind == "list_item":
+            parts.append(f"<ul><li>{body}</li></ul>")
+        elif kind == "caption":
+            parts.append(f"<figure><figcaption>{body}</figcaption></figure>")
+        elif kind == "table_cell":
+            parts.append(f"<table><tr><td>{body}</td></tr></table>")
+        elif kind in ("code", "code_block"):
+            parts.append(f"<pre><code>{body}</code></pre>")
+        else:
+            parts.append(f"<p>{body}</p>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+class RenderHtml:
+    """Actor-pool render stage over a docs batch (url, spans, …) → ``html``.
+
+    An optional broadcast sentence→scored map (``ray.put`` once — J2
+    pattern) turns it into the side-by-side bilingual page the reference
+    emits; fetched once per actor in ``__init__``.
+    """
+
+    def __init__(self, map_ref=None, miss_policy: str = "empty") -> None:
+        self._map = None
+        if map_ref is not None:
+            import ray
+
+            self._map = ray.get(map_ref)
+        self._miss = miss_policy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        spans_lists = batch["spans"].to_pylist()
+        out = [
+            render_doc_html(u, sp or [], self._map, self._miss)
+            for u, sp in zip(urls, spans_lists)
+        ]
+        return batch.append_column("html_render", pa.array(out, pa.string()))

@@ -19,3 +19,21 @@ def auto_pool_size(frac: float = 0.5, reserve: int = 1, cap: int = 16) -> int:
     except Exception:
         total = 2
     return max(1, min(cap, int(total * frac), total - reserve))
+
+
+def join_partitions(cap: int = 64) -> int:
+    """Safe ``num_partitions`` for ``Dataset.join``.
+
+    Empirical sandbox finding (Ray 2.49): the hash-join operator pins one
+    aggregator actor per partition, each reserving a CPU — ``num_partitions
+    >= cluster CPUs`` leaves no slot for the upstream map tasks and the job
+    deadlocks (reproduced with a 1000-row join at num_partitions=8 on an
+    8-CPU cluster).  Use at most half the cluster.
+    """
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 2))
+    except Exception:
+        total = 2
+    return max(2, min(cap, total // 2))

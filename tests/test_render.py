@@ -1,0 +1,89 @@
+"""Tests for the HTML render stage (M11/M14/M15/M16 parity) and the
+fully-distributed join scoring strategy."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from docling_translate_ray.pipelines import extract as pipe
+from docling_translate_ray.stages.render import RenderHtml, _format_formula, render_doc_html
+
+
+def _span(seg_id, text, kind="prose", page_no=0, translatable=True):
+    return {
+        "seg_id": seg_id, "start": 0, "end": len(text), "kind": kind,
+        "translatable": translatable, "line_number": 1, "page_no": page_no,
+        "text": text,
+    }
+
+
+def test_render_escapes_and_routes():
+    spans = [
+        _span(0, "Main Title", kind="header"),
+        _span(1, "Hello <script>alert(1)</script> world."),
+        _span(2, "item one", kind="list_item"),
+        _span(3, "Figure 1: a caption", kind="caption"),
+        _span(4, "cell text", kind="table_cell"),
+        _span(5, "x = 1", kind="code", translatable=False),
+        _span(6, r"E = mc^{2}", kind="formula"),
+    ]
+    html = render_doc_html("u://1", spans)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<script>alert" not in html  # escaped, never raw
+    assert "&lt;script&gt;" in html
+    assert "<h2>" in html and "<li>" in html and "<figcaption>" in html
+    assert "<td>" in html
+    assert "<pre><code>" not in html  # non-translatable code dropped
+    assert r"\[E = mc^{2}\]" in html
+
+
+def test_render_page_markers_and_order():
+    spans = [
+        _span(2, "second", page_no=2),
+        _span(0, "first", page_no=1),
+        _span(1, "still page one", page_no=1),
+    ]
+    html = render_doc_html("u://2", spans)
+    assert html.index("first") < html.index("still page one") < html.index("second")
+    assert html.count("page-marker") == 2  # page 1 → 2 transition only once each
+
+
+def test_formula_aligned_env():
+    assert _format_formula(r"\sum x_i &= 1").startswith(r"\[\begin{aligned}")
+    assert _format_formula("a^2").startswith(r"\[")
+
+
+def test_render_bilingual_spans():
+    spans = [_span(0, "Hello world. Good day.")]
+    mapping = {"Hello world.": "HALLO WELT.", "Good day.": "GUTEN TAG."}
+    html = render_doc_html("u://3", spans, mapping, "empty")
+    assert "id='src-0-0'" in html and "id='tgt-0-0'" in html
+    assert "HALLO WELT." in html and "GUTEN TAG." in html
+
+
+def test_render_stage_over_pipeline(pages_path):
+    docs = pipe.extract_docs(pipe.read_pages(pages_path), n_buckets=8)
+    rendered = docs.map_batches(RenderHtml, batch_format="pyarrow", concurrency=2)
+    row = rendered.take(1)[0]
+    assert row["html_render"].startswith("<!DOCTYPE html>")
+
+
+def test_score_join_strategy_matches_broadcast(pages_path):
+    docs = pipe.extract_docs(pipe.read_pages(pages_path), n_buckets=8).materialize()
+    via_bcast = {
+        r["url"]: r["translated_text"]
+        for r in pipe.score_docs(docs, engine="upper", miss_policy="empty",
+                                 strategy="broadcast").select_columns(
+            ["url", "translated_text"]).take_all()
+    }
+    via_join = {
+        r["url"]: r["translated_text"]
+        for r in pipe.score_docs(docs, engine="upper", miss_policy="empty",
+                                 strategy="join").select_columns(
+            ["url", "translated_text"]).take_all()
+    }
+    # join is left_outer on docs: urls with no translatable spans get null
+    for url, txt in via_bcast.items():
+        assert via_join.get(url, "") in (txt, None) and (
+            via_join.get(url) == txt or txt == ""
+        ), url
