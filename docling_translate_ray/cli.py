@@ -1,0 +1,67 @@
+"""CLI entry — the reference's ``python main.py <input>`` (main.py:40-52)
+re-expressed as a Ray job driver::
+
+    python -m docling_translate_ray INPUT_DIR OUT_DIR \
+        [--layout shard|bucket] [--engine identity|upper|lexicon]
+        [--miss-policy empty|identity] [--strategy broadcast|join]
+        [--n-buckets 64] [--no-resume] [--source-kind pages|docs_text]
+        [--num-cpus N]
+
+This is the ONE library entry point that may own a Ray session (guarded —
+under ``ray job submit`` the session already exists and is reused).
+Prints the job result as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="docling_translate_ray")
+    p.add_argument("input", help="directory (or file) of pages parquet")
+    p.add_argument("out", help="output directory (docs/, scored/, lineage/)")
+    p.add_argument("--layout", choices=["shard", "bucket"], default="shard")
+    p.add_argument("--engine", default=None,
+                   help="scoring engine (identity|upper|lexicon); omit to skip Phase 2")
+    p.add_argument("--miss-policy", choices=["empty", "identity"], default="empty")
+    p.add_argument("--strategy", choices=["broadcast", "join"], default="broadcast")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--source-kind", choices=["pages", "docs_text"], default="pages")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from docling_translate_ray.pipelines.extract import run_extract_job
+
+    res = run_extract_job(
+        args.input,
+        args.out,
+        n_buckets=args.n_buckets,
+        resume=not args.no_resume,
+        engine=args.engine,
+        miss_policy=args.miss_policy,
+        source_kind=args.source_kind,
+        strategy=args.strategy,
+        layout=args.layout,
+    )
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

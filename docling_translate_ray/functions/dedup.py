@@ -103,15 +103,36 @@ class MinHasher:
         # indistinguishable from prime-modulus permutations for LSH purposes
         self.a = (rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
         self.b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+        # order-sensitive shingle combine: position-wise odd multipliers
+        self.cmix = (rng.randint(0, 1 << 62, size=k_shingle).astype(np.uint64)
+                     << np.uint64(1)) | np.uint64(1)
         self.num_perm = num_perm
         self.k = k_shingle
         self.column = column
 
+    def _shingle_hashes(self, token_hashes: np.ndarray) -> np.ndarray:
+        """k-gram hashes from per-token hashes, fully vectorized: the
+        shingle hash is a position-weighted wrap-around mix of its k token
+        hashes (strided windows — no per-shingle Python)."""
+        n = len(token_hashes)
+        if n == 0:
+            return token_hashes
+        k = min(self.k, n)
+        with np.errstate(over="ignore"):
+            acc = token_hashes[: n - k + 1] * self.cmix[0]
+            for j in range(1, k):
+                acc = acc ^ (token_hashes[j : n - k + 1 + j] * self.cmix[j])
+        return acc
+
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text or "", self.k)
-        if not sh:
+        toks = (text or "").split()
+        if not toks:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.fromiter((_stable_u64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        import polars as pl
+
+        # vectorized per-token xxhash (stable for fixed seed+polars version)
+        th = pl.Series(toks).hash(seed=7).to_numpy().astype(np.uint64)
+        base = self._shingle_hashes(th)
         with np.errstate(over="ignore"):
             # (S, P) wrap-around permuted hashes, min over shingles — one matmul-shaped op
             vals = base[:, None] * self.a[None, :] + self.b[None, :]

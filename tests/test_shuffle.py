@@ -1,0 +1,86 @@
+"""Shuffle/skew tests: hash partitioning correctness and hot-key immunity.
+
+The engine's skew story (SURVEY.md §4): every shuffle key is either a
+content hash (uniform by construction) or preceded by a per-batch combiner
+that caps exchange rows at one per (batch, key) — so a single pathological
+hot key ("" boilerplate sentence, one giant host) degrades a partition by
+at most num_blocks rows, never by the key's row count.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from docling_translate_ray.stages.shuffle import add_pkey, grouped_sum, hash_partition_apply
+
+
+def _collect(ds) -> pa.Table:
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def test_add_pkey_stable_and_bounded():
+    t = pa.table({"k": [f"key{i % 7}" for i in range(100)], "v": list(range(100))})
+    out1 = add_pkey(t, ["k"], 16)
+    out2 = add_pkey(t, ["k"], 16)
+    assert out1["_pkey"].to_pylist() == out2["_pkey"].to_pylist()  # process-stable
+    assert all(0 <= p < 16 for p in out1["_pkey"].to_pylist())
+    # equal keys → equal pkey
+    by_key = {}
+    for k, p in zip(out1["k"].to_pylist(), out1["_pkey"].to_pylist()):
+        assert by_key.setdefault(k, p) == p
+
+
+def test_hash_partition_apply_co_partitions_keys():
+    import polars as pl
+
+    rows = pa.table(
+        {"k": [f"g{i % 23}" for i in range(2000)], "v": list(range(2000))}
+    )
+    ds = ray.data.from_arrow(rows).repartition(8)
+
+    def block(part: pa.Table) -> pa.Table:
+        # per-partition group_by is globally correct ⇔ keys co-partitioned
+        return (
+            pl.from_arrow(part).group_by("k").agg(pl.col("v").sum()).to_arrow()
+        )
+
+    got = _collect(hash_partition_apply(ds, ["k"], block, num_partitions=8))
+    assert got.num_rows == 23  # each key appears exactly once overall
+    want = (
+        pl.from_arrow(rows).group_by("k").agg(pl.col("v").sum())
+    )
+    got_map = dict(zip(got["k"].to_pylist(), got["v"].to_pylist()))
+    for k, v in zip(want["k"].to_list(), want["v"].to_list()):
+        assert got_map[k] == v
+
+
+def test_grouped_sum_hot_key_immunity():
+    """One key owning 99% of 60k rows: the combiner means the exchange sees
+    ≤ (blocks × keys) rows, and the result is still exact."""
+    import polars as pl
+
+    n = 60_000
+    keys = ["hot"] * (n - 600) + [f"cold{i}" for i in range(600)]
+    vals = list(range(n))
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(16)
+    out = _collect(
+        grouped_sum(
+            ds,
+            ["k"],
+            [pl.col("v").sum().alias("_s"), pl.len().cast(pl.Int64).alias("_n")],
+            {"total": "_s", "n": "_n"},
+        )
+    )
+    got = {r["k"]: (r["total"], r["n"]) for r in out.to_pylist()}
+    hot_expect = sum(range(n - 600))
+    assert got["hot"] == (hot_expect, n - 600)
+    assert len(got) == 601
+    cold_base = n - 600
+    for i in (0, 599):
+        assert got[f"cold{i}"] == (cold_base + i, 1)
