@@ -113,10 +113,14 @@ def q_unique_sentences(sf_dir: str):
 
 
 def q_score_upper(sf_dir: str):
-    """Phase-2 dedup→score→join-back with the `upper` engine (J1/J2)."""
+    """Phase-2 dedup→score→join-back with the `upper` engine (J1/J2).
+
+    Broadcast strategy consumes docs twice (unique-build + probe), so pin
+    the extraction result once — the query-scale analog of the job's
+    durable docs read-back (pipelines/extract.py run_extract_job)."""
     from docling_translate_ray.pipelines.extract import score_docs
 
-    docs = _wrapped_docs(sf_dir)
+    docs = _wrapped_docs(sf_dir).materialize()
     scored = score_docs(docs, engine="upper", miss_policy="empty", strategy="broadcast")
     return scored.select_columns(["url", "translated_text"])
 

@@ -87,6 +87,71 @@ def render_doc_html(url: str, spans: list[dict],
     return "".join(parts)
 
 
+def render_code_html(url: str, content: str,
+                     translations: dict[str, str]) -> str:
+    """M17/J3 code-file re-render (text_html_generator.py:844-889):
+
+    * the WHOLE file is HTML-escaped first (:846);
+    * translated segments are substring-replaced into the escaped content
+      **longest-original-first** (O3, :848-853 — so a comment that contains
+      another comment's text is replaced before its substring) and
+      **first occurrence only** (O4, :868 — ``str.replace(..., 1)``);
+    * output is line-numbered (:872-880).
+    """
+    escaped = _html.escape(content)
+    pairs = sorted(translations.items(), key=lambda kv: len(kv[0]), reverse=True)
+    for orig, trans in pairs:
+        if not orig.strip():
+            continue
+        esc_orig = _html.escape(orig)
+        replacement = (
+            f"<span class='src-comment'>{esc_orig}</span>"
+            f"<span class='tgt-comment'>{_html.escape(trans)}</span>"
+        )
+        escaped = escaped.replace(esc_orig, replacement, 1)
+    lines = escaped.split("\n")
+    body = "".join(
+        f"<div class='code-line'><span class='lineno'>{i + 1}</span>"
+        f"<code>{line}</code></div>"
+        for i, line in enumerate(lines)
+    )
+    return (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{_html.escape(url)}</title></head><body>"
+        f"<div class='code-file'>{body}</div></body></html>"
+    )
+
+
+class RenderCodeHtml:
+    """Actor-pool stage: docs_text rows (url, body, spans …) + broadcast
+    segment→scored map → ``html_render`` column via :func:`render_code_html`.
+
+    The map travels once (``ray.put``; J1/J3) and misses fall back to
+    identity — the TEXT path's miss policy (text_html_generator.py:481)."""
+
+    def __init__(self, map_ref=None) -> None:
+        self._map = {}
+        if map_ref is not None:
+            import ray
+
+            self._map = ray.get(map_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        bodies = batch["body"].to_pylist()
+        spans_lists = batch["spans"].to_pylist() if "spans" in batch.column_names \
+            else [None] * len(urls)
+        out = []
+        for u, body, spans in zip(urls, bodies, spans_lists):
+            # translations keyed by the translatable segment texts of THIS doc
+            trans = {}
+            for s in spans or []:
+                if s["translatable"] and s["text"].strip():
+                    trans[s["text"]] = self._map.get(s["text"], s["text"])
+            out.append(render_code_html(u, body or "", trans))
+        return batch.append_column("html_render", pa.array(out, pa.string()))
+
+
 class RenderHtml:
     """Actor-pool render stage over a docs batch (url, spans, …) → ``html``.
 

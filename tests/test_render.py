@@ -61,6 +61,46 @@ def test_render_bilingual_spans():
     assert "HALLO WELT." in html and "GUTEN TAG." in html
 
 
+def test_render_code_longest_first_and_first_only():
+    from docling_translate_ray.stages.render import render_code_html
+
+    content = "# load data\nx = 1\n# load data fast\ny = 2\n# load data\n"
+    trans = {
+        "# load data": "# 데이터 로드",
+        "# load data fast": "# 빠른 데이터 로드",
+    }
+    html = render_code_html("f.py", content, trans)
+    # longest-first: the longer comment got ITS translation, not a partial hit
+    assert "# 빠른 데이터 로드" in html
+    # first-occurrence-only: exactly one replacement of the short comment
+    assert html.count("# 데이터 로드") == 1
+    # escaping + line numbers
+    assert "<span class='lineno'>5</span>" in html
+    content2 = "# a <b> tag\n"
+    html2 = render_code_html("g.py", content2, {})
+    assert "&lt;b&gt;" in html2 and "<b>" not in html2.split("body>")[1].split("</body")[0]
+
+
+def test_render_code_stage(docs_text_table, tmp_path):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from docling_translate_ray.stages.extract import extract_docs_text_batch
+    from docling_translate_ray.stages.render import RenderCodeHtml
+
+    pq.write_table(docs_text_table.slice(0, 24), tmp_path / "dt.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "dt.parquet"))
+    docs = ds.map_batches(
+        lambda b: extract_docs_text_batch(b).append_column("body", b["body"]),
+        batch_format="pyarrow",
+    )
+    out = docs.map_batches(RenderCodeHtml, batch_format="pyarrow", concurrency=2)
+    row = out.take(1)[0]
+    assert row["html_render"].startswith("<!DOCTYPE html>")
+    assert "code-line" in row["html_render"]
+
+
 def test_render_stage_over_pipeline(pages_path):
     docs = pipe.extract_docs(pipe.read_pages(pages_path), n_buckets=8)
     rendered = docs.map_batches(RenderHtml, batch_format="pyarrow", concurrency=2)
