@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customers": q.q_nation_customers,
         "user_sessions": q.q_user_sessions,
         "lang_map": q.q_lang_map,
+        # composite curation pipeline
+        "curate": q.q_curate,
         # multimodal plumbing
         "media_features": q.q_media_features,
     }

@@ -292,13 +292,14 @@ class SimHasher:
         toks = (text or "").split()
         if not toks:
             return 0
-        votes = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = _stable_u64(t)
-            bits = (h >> self._bit_cols) & np.uint64(1)
-            votes += np.where(bits.astype(bool), 1, -1)
-        bits = (votes > 0).astype(np.uint64)
-        return int((bits << self._bit_cols).sum())
+        import polars as pl
+
+        # vectorized: per-token xxhash → (T, 64) bit matrix → signed votes
+        th = pl.Series(toks).hash(seed=11).to_numpy().astype(np.uint64)
+        bits = (th[:, None] >> self._bit_cols[None, :]) & np.uint64(1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out_bits = (votes > 0).astype(np.uint64)
+        return int((out_bits << self._bit_cols).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vals = np.array([self.simhash(t) for t in batch[self.column].to_pylist()],

@@ -520,6 +520,17 @@ def q_lang_map(sf_dir: str):
     )
 
 
+# ------------------------------------------------------------------ curation
+
+
+def q_curate(sf_dir: str):
+    """Composite curation pipeline (quality → exact dedup → near-dedup);
+    single row of per-stage survivor counts (pipelines/curate.py)."""
+    from docling_translate_ray.pipelines.curate import curate_stats_table
+
+    return curate_stats_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ------------------------------------------------------------------ multimodal
 
 
