@@ -235,36 +235,36 @@ def _paragraph_spans(
     """
     region = content[lo:hi]
     pos = 0
+    rel = 0  # incremental region[:pos].count("\n") — O(n) total
     pat = sep or _PARA_SEP_RE
     for m in pat.finditer(region):
         if m.start() > pos:
             para = region[pos : m.start()]
-            yield (para, lo + pos, lo + m.start(), "prose", True, line + region[:pos].count("\n"))
+            yield (para, lo + pos, lo + m.start(), "prose", True, line + rel)
         gap = m.group()
-        yield (gap, lo + m.start(), lo + m.end(), "code", False, line + region[: m.start()].count("\n"))
+        rel_start = rel + region.count("\n", pos, m.start())
+        yield (gap, lo + m.start(), lo + m.end(), "code", False, line + rel_start)
+        rel = rel_start + region.count("\n", m.start(), m.end())
         pos = m.end()
     if pos < len(region):
         para = region[pos:]
-        yield (para, lo + pos, hi, "prose", True, line + region[:pos].count("\n"))
+        yield (para, lo + pos, hi, "prose", True, line + rel)
 
 
 def _segment_markdown(content: str) -> list[_RawSpan]:
     """Fenced code blocks out, prose paragraphs in (text_parser.py:162-209)."""
     spans: list[_RawSpan] = []
     pos = 0
+    cur = 1  # incremental 1+content[:pos].count("\n")
     for m in _MD_CODE_BLOCK_RE.finditer(content):
         if m.start() > pos:
-            spans.extend(
-                _paragraph_spans(content, pos, m.start(), 1 + content[:pos].count("\n"), _PARA_SEP_RE)
-            )
-        spans.append(
-            (m.group(), m.start(), m.end(), "code_block", False, 1 + content[: m.start()].count("\n"))
-        )
+            spans.extend(_paragraph_spans(content, pos, m.start(), cur, _PARA_SEP_RE))
+        line = cur + content.count("\n", pos, m.start())
+        spans.append((m.group(), m.start(), m.end(), "code_block", False, line))
+        cur = line + content.count("\n", m.start(), m.end())
         pos = m.end()
     if pos < len(content):
-        spans.extend(
-            _paragraph_spans(content, pos, len(content), 1 + content[:pos].count("\n"), _PARA_SEP_RE)
-        )
+        spans.extend(_paragraph_spans(content, pos, len(content), cur, _PARA_SEP_RE))
     return spans
 
 
@@ -285,13 +285,14 @@ def _comment_segmenter(
     def segment(content: str) -> list[_RawSpan]:
         spans: list[_RawSpan] = []
         pos = 0
+        cur = 1  # incremental 1+content[:pos].count("\n") — O(n) total
         for m in pattern.finditer(content):
             if m.start() > pos:
                 gap = content[pos : m.start()]
-                spans.append((gap, pos, m.start(), "code", False, 1 + content[:pos].count("\n")))
+                spans.append((gap, pos, m.start(), "code", False, cur))
             txt = m.group()
             kind = classify(txt)
-            line = 1 + content[: m.start()].count("\n")
+            line = cur + content.count("\n", pos, m.start())
             if explode_docstrings and kind == "docstring":
                 # per-line explode (text_parser.py:273-285) with tiled offsets
                 off = m.start()
@@ -300,9 +301,10 @@ def _comment_segmenter(
                     off += len(piece)
             else:
                 spans.append((txt, m.start(), m.end(), kind, True, line))
+            cur = line + content.count("\n", m.start(), m.end())
             pos = m.end()
         if pos < len(content):
-            spans.append((content[pos:], pos, len(content), "code", False, 1 + content[:pos].count("\n")))
+            spans.append((content[pos:], pos, len(content), "code", False, cur))
         return spans
 
     return segment
@@ -428,6 +430,8 @@ def segment_html(content: str) -> list[_RawSpan]:
         blk_total = 0
 
     pos = 0
+    cur_line = 1  # incremental 1+content[:pos].count("\n") — O(n) total,
+    # not O(n²) like a per-block prefix count on 100KB+ real pages
     for m in _HTML_TOKEN_RE.finditer(content):
         # text node before this tag
         if m.start() > pos and not drop_stack:
@@ -440,6 +444,7 @@ def segment_html(content: str) -> list[_RawSpan]:
                 if a_depth > 0:
                     blk_link += n
         tok = m.group()
+        cur_line += content.count("\n", pos, m.end())
         pos = m.end()
         if tok.startswith("<!--") or tok.startswith("<!["):
             continue
@@ -478,7 +483,7 @@ def segment_html(content: str) -> list[_RawSpan]:
                 blk_kind = _BLOCK_KIND[tag]
                 blk_start = m.end()
                 blk_end = m.end()
-                blk_line = 1 + content[: m.end()].count("\n")
+                blk_line = cur_line
         elif tag in _FLUSH_TAGS:
             flush()
 
