@@ -49,7 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q.q_knn_ivf,
         # text analysis
         "token_count": q.q_token_count,
+        "token_count_bpe": q.q_token_count_bpe,
         "quality": q.q_quality,
+        "gopher_quality": q.q_gopher_quality,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         # aggregates / sort / window (A1-A6, O2)
@@ -153,6 +155,39 @@ def oracle_sql() -> dict[str, str]:
                     AND n_nonws / greatest(n_tokens, 1) BETWEEN 2 AND 14)
                        AS quality_ok
             FROM q
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   length(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT
+                       AS n_tokens_bpe
+            FROM documents
+        """,
+        "gopher_quality": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     {_NTOK_EXPR} AS n_words,
+                     length(text) - length(regexp_replace(text, '\\S', '', 'g'))
+                         AS n_nonws,
+                     length(regexp_extract_all(text, '#')) AS nh,
+                     length(regexp_extract_all(text, '\\.\\.\\.')) AS ne,
+                     1 + length(text) - length(replace(text, chr(10), ''))
+                         AS n_lines,
+                     length(regexp_extract_all(text, '^[ \t]*[-*•]', 0, 'm'))
+                         AS nb,
+                     regexp_matches(text, '(^|\\s)(the|and|of|to|in|is)(\\s|$)')
+                         AS has_stopword
+              FROM documents)
+            SELECT doc_id, n_words::BIGINT AS n_words, n_lines::BIGINT AS n_lines,
+                   has_stopword,
+                   (nh + ne) / greatest(n_words, 1) AS symbol_ratio,
+                   nb / n_lines AS bullet_ratio,
+                   (n_words BETWEEN 10 AND 100000
+                    AND n_nonws / greatest(n_words, 1) BETWEEN 2 AND 12
+                    AND (nh + ne) / greatest(n_words, 1) < 0.1
+                    AND nb / n_lines <= 0.9
+                    AND has_stopword) AS gopher_ok
+            FROM g
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "lang_counts": (

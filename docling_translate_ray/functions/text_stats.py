@@ -92,6 +92,74 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return res
 
 
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Add ``n_tokens_bpe`` — a BPE-pre-tokenizer-shaped count: runs of
+    letters, runs of digits, runs of other non-space symbols (a simplified,
+    RE2-safe GPT-2 pre-tokenizer so DuckDB ``regexp_extract_all`` with the
+    SAME pattern is the oracle)."""
+    import polars as pl
+
+    s = pl.from_arrow(batch[column]).fill_null("")
+    n = s.str.count_matches(_BPE_PAT).cast(pl.Int64)
+    return batch.append_column("n_tokens_bpe", pa.array(n.to_list(), pa.int64()))
+
+
+def gopher_quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher-rule-shaped quality gates (word-count bounds, mean word
+    length bounds, symbol share, bullet share, stopword presence), all
+    RE2-expressible so the DuckDB oracle shares the exact formulas:
+
+    * ``n_words``        = count of ``\\S+``
+    * ``n_hash``         = count of ``#``; ``n_ellipsis`` = count of ``\\.\\.\\.``
+    * ``symbol_ratio``   = (n_hash + n_ellipsis) / max(n_words, 1)
+    * ``n_lines``        = 1 + count of ``\\n``; ``n_bullet_lines`` = lines
+      starting with ``[-*•]``
+    * ``bullet_ratio``   = n_bullet_lines / n_lines
+    * ``has_stopword``   = matches ``(^|\\s)(the|and|of|to|in|is)(\\s|$)``
+    * ``gopher_ok``      = n_words BETWEEN 10 AND 100000 AND mean word len
+      in [2, 12] AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9 AND
+      has_stopword
+    """
+    import polars as pl
+
+    s = pl.from_arrow(batch[column]).fill_null("")
+    df = pl.DataFrame({"t": s}).select(
+        pl.col("t").str.count_matches(r"\S+").cast(pl.Int64).alias("n_words"),
+        pl.col("t").str.count_matches(r"\S").cast(pl.Int64).alias("_nonws"),
+        pl.col("t").str.count_matches("#", literal=True).cast(pl.Int64).alias("_nh"),
+        pl.col("t").str.count_matches(r"\.\.\.").cast(pl.Int64).alias("_ne"),
+        (pl.col("t").str.count_matches(r"\n") + 1).cast(pl.Int64).alias("n_lines"),
+        pl.col("t").str.count_matches(r"(?m)^[ \t]*[-*•]").cast(pl.Int64)
+        .alias("_nb"),
+        pl.col("t").str.contains(r"(^|\s)(the|and|of|to|in|is)(\s|$)")
+        .alias("has_stopword"),
+    ).with_columns(
+        ((pl.col("_nh") + pl.col("_ne")) / pl.max_horizontal(pl.col("n_words"), 1))
+        .alias("symbol_ratio"),
+        (pl.col("_nb") / pl.col("n_lines")).alias("bullet_ratio"),
+        (pl.col("_nonws") / pl.max_horizontal(pl.col("n_words"), 1))
+        .alias("_mwl"),
+    ).with_columns(
+        (
+            pl.col("n_words").is_between(10, 100000)
+            & pl.col("_mwl").is_between(2, 12)
+            & (pl.col("symbol_ratio") < 0.1)
+            & (pl.col("bullet_ratio") <= 0.9)
+            & pl.col("has_stopword")
+        ).alias("gopher_ok")
+    ).drop(["_nh", "_ne", "_nb", "_nonws", "_mwl"])
+    res = batch
+    for name in ("n_words", "n_lines", "has_stopword", "symbol_ratio",
+                 "bullet_ratio", "gopher_ok"):
+        if name in res.column_names:
+            res = res.drop_columns([name])
+        res = res.append_column(name, df[name].to_arrow())
+    return res
+
+
 # language-ID heuristic: unicode-script ranges for CJK/Hangul, stopword hit
 # rates for latin languages.  Deterministic; rows-only oracle.
 _STOPWORDS = {

@@ -251,6 +251,25 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_token_count_bpe(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fts.token_count_bpe_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens_bpe"])
+    )
+
+
+def q_gopher_quality(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fts.gopher_quality_batch, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_words", "n_lines", "has_stopword", "symbol_ratio",
+             "bullet_ratio", "gopher_ok"]
+        )
+    )
+
+
 def q_langid(sf_dir: str):
     from docling_translate_ray.util import auto_pool_size
 

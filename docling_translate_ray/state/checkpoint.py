@@ -112,7 +112,7 @@ def write_bucketed(ds, dest_dir: str, run_id: str):
         os.makedirs(bdir, exist_ok=True)
         path = os.path.join(bdir, f"part-{run_id}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(body, tmp)
+        pq.write_table(body, tmp, compression="zstd")
         os.replace(tmp, path)  # atomic publish
         for f in os.listdir(bdir):  # stale parts from failed runs
             if f.endswith(".parquet") and f != os.path.basename(path):
@@ -215,7 +215,7 @@ class ShardWriter:
             os.makedirs(sdir, exist_ok=True)
             name = f"part-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet"
             path = os.path.join(sdir, name)
-            pq.write_table(body, path + ".tmp")
+            pq.write_table(body, path + ".tmp", compression="zstd")
             os.replace(path + ".tmp", path)
             ok = part["status"] == "ok"
             n_ok = int(ok.sum())

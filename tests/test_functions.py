@@ -294,6 +294,24 @@ def test_quality_matches_duckdb():
         assert all(abs(a - b) < 1e-12 for a, b in zip(g, w)), col
 
 
+def test_token_count_bpe():
+    b = ts.token_count_bpe_batch(pa.table({"text": ["abc de9f!?", "", "a1"]}))
+    # abc|de|9|f|!? → 5 ; "" → 0 ; a|1 → 2
+    assert b["n_tokens_bpe"].to_pylist() == [5, 0, 2]
+
+
+def test_gopher_quality_rules():
+    good = "the quick brown fox jumps over and over across the lazy sleepy dog today"
+    bullets = "- one\n- two\n- three"
+    symbols = "# # # # tag soup of hashes and more hashes everywhere ..."
+    b = ts.gopher_quality_batch(pa.table({"text": [good, bullets, symbols, ""]}))
+    rows = b.to_pylist()
+    assert rows[0]["gopher_ok"] is True
+    assert rows[1]["bullet_ratio"] == 1.0 and rows[1]["gopher_ok"] is False
+    assert rows[2]["symbol_ratio"] > 0.1 and rows[2]["gopher_ok"] is False
+    assert rows[3]["n_words"] == 0 and rows[3]["gopher_ok"] is False
+
+
 def test_langid_heuristic():
     li = ts.LangId()
     assert li.detect_one("the cat sat on the mat and it is warm") == "en"
