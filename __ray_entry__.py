@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
         "top_users": q.q_top_users,
+        "top_users_per_type": q.q_top_users_per_type,
         "lineitem_pricing": q.q_lineitem_pricing,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
@@ -213,6 +214,19 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_value_cents
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        "top_users_per_type": """
+            SELECT event_type, user_id, total_value_cents, rank FROM (
+              SELECT event_type, user_id, total_value_cents,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY total_value_cents DESC, user_id) AS rank
+              FROM (
+                SELECT event_type, user_id,
+                       sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                           AS total_value_cents
+                FROM events GROUP BY event_type, user_id))
+            WHERE rank <= 3
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -539,6 +539,42 @@ def q_lang_map(sf_dir: str):
     )
 
 
+def q_top_users_per_type(sf_dir: str, k: int = 3):
+    """Top-k per group (grouped top-k, a shape Ray Data lacks natively):
+    per event_type, the k users with the highest exact cents-sum.
+
+    Two-level: per-batch partial sums → hash-partition by (event_type,
+    user_id) final sums → ONE more tiny exchange keyed by event_type where
+    each partition computes its groups' top-k vectorized (polars ``top_k``)
+    — group count is small by then, rows = users×types."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    per_user = _grouped_sum(
+        _read(sf_dir, "events", ["event_type", "user_id", "value"]),
+        ["event_type", "user_id"],
+        [(pl.col("value") * 100).round(0).cast(pl.Int64).sum().alias("_cents")],
+        {"total_value_cents": ("_cents", "sum")},
+    )
+
+    def topk_block(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        return (
+            df.sort(["event_type", "total_value_cents", "user_id"],
+                    descending=[False, True, False])
+            .group_by("event_type", maintain_order=True)
+            .head(k)
+            .with_columns(
+                pl.int_range(1, pl.len() + 1).over("event_type").alias("rank")
+            )
+            .to_arrow()
+        )
+
+    return hash_partition_apply(per_user, ["event_type"], topk_block,
+                                num_partitions=8)
+
+
 # ------------------------------------------------------------------ curation
 
 
