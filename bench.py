@@ -102,19 +102,27 @@ ray.shutdown()
 """
 
 
-def scaling_run(cpus: int, pages_dir: str) -> dict:
-    out = f"/tmp/dtr_bench_out_{cpus}"
-    env = dict(os.environ, PYTHONPATH="/root/repo")
-    p = subprocess.run(
-        [sys.executable, "-c", _CHILD_CODE, str(cpus), pages_dir, out],
-        capture_output=True, text=True, env=env, timeout=1800,
-    )
-    if p.returncode != 0:
-        raise RuntimeError(f"scaling child (cpus={cpus}) failed:\n{p.stderr[-2000:]}")
-    rec = json.loads(p.stdout.strip().splitlines()[-1])
-    rec["num_cpus"] = cpus
-    rec["docs_per_sec"] = rec["docs"] / rec["sec"]
-    return rec
+def scaling_run(cpus: int, pages_dir: str, trials: int = 2) -> dict:
+    """Best-of-``trials`` fresh-process runs (the sandbox shares its host —
+    single-trial numbers swing ±20%, which can even fake superlinearity)."""
+    best = None
+    for _ in range(trials):
+        out = f"/tmp/dtr_bench_out_{cpus}"
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        p = subprocess.run(
+            [sys.executable, "-c", _CHILD_CODE, str(cpus), pages_dir, out],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) failed:\n{p.stderr[-2000:]}"
+            )
+        rec = json.loads(p.stdout.strip().splitlines()[-1])
+        if best is None or rec["sec"] < best["sec"]:
+            best = rec
+    best["num_cpus"] = cpus
+    best["docs_per_sec"] = best["docs"] / best["sec"]
+    return best
 
 
 def _hw_burn(n: int) -> int:

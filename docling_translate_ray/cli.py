@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--source-kind", choices=["pages", "docs_text"], default="pages")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--no-span-text", action="store_true",
+                   help="slim output: drop the text field from span structs "
+                        "(offsets + extracted_text remain)")
     args = p.parse_args(argv)
 
     import ray
@@ -57,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         source_kind=args.source_kind,
         strategy=args.strategy,
         layout=args.layout,
+        span_text=not args.no_span_text,
     )
     print(json.dumps(res))
     ray.shutdown()

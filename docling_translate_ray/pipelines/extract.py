@@ -1,17 +1,26 @@
 """The flagship streaming extraction pipeline (SURVEY.md §3.4).
 
 Phase layout mirrors the reference's 3-phase lifecycle (core.py:417-525) but
-each phase is a streaming Ray Data DAG with durable, bucket-partitioned
-output between phases:
+each phase is a streaming Ray Data DAG with durable, partitioned output
+between phases:
 
-Phase 1 — extract::
+Phase 1 — extract (``layout="shard"``, the 100-TB default for the CLI)::
 
-    read_parquet(pages, columns=[url, html, lang])   # pruned at the read
-      → add_url_bucket                               # key = hash64(url) % B
-      → filter completed buckets                     # resume, BEFORE the expensive stage
+    read_parquet(todo_files, columns=[url, html, lang], include_paths=True)
+      # resume already pruned completed files from the read list
       → map_batches(extract_batch)                   # decode→detect→segment→assemble
-      → write_parquet(out/docs, partition_cols=["bucket"])
-      → lineage read-back aggregate → out/lineage    # checkpoint
+      → map_batches(ShardWriter)                     # writes shard=<file>/part-*.parquet,
+                                                     #   OUTPUT = KB-sized lineage partials
+      → driver-side partial aggregation → out/lineage  # NO data exchange anywhere
+
+Phase 1 — extract (``layout="bucket"``, url-colocated output)::
+
+    read_parquet(pages) → add_url_bucket (hash64(url) % B)
+      → filter completed buckets (broadcast anti-join, BEFORE the parse)
+      → map_batches(extract_batch)
+      → groupby(bucket).map_groups(write_group)      # ONE consolidating shuffle:
+                                                     #   bucket=<b>/part-<run>.parquet
+                                                     #   + lineage row, same task
 
 Phase 2 (optional) — score/translate::
 
@@ -19,12 +28,12 @@ Phase 2 (optional) — score/translate::
       → explode sentences → exact dedup (hash-partition)
       → scorer actor pool (engine registry)
       → join-back (broadcast map | hash join) → translated_text
-      → write_parquet(out/scored, partition_cols=["bucket"])
+      → ShardWriter / write_bucketed → out/scored
 
 Everything streams: no ``take_all``/``materialize`` on the main path; the
 only driver-side materialization is the *unique scored sentence* map in
 broadcast mode (the reference's translation_map analog, core.py:486) and
-lineage (one row per bucket).
+lineage (one row per partition).
 """
 
 from __future__ import annotations
@@ -161,6 +170,7 @@ def run_extract_job(
     source_kind: str = "pages",
     strategy: str = "broadcast",
     layout: str = "bucket",
+    span_text: bool = True,
 ) -> dict:
     """End-to-end job: extract → docs+lineage; optionally score → scored.
 
@@ -185,7 +195,7 @@ def run_extract_job(
 
     if layout == "shard":
         return _run_shard_job(input_path, out_dir, run_id, resume, engine,
-                              miss_policy, strategy, source_kind)
+                              miss_policy, strategy, source_kind, span_text)
 
     done: set[int] = set()
     if resume:
@@ -203,6 +213,11 @@ def run_extract_job(
         docs = src.map_batches(extract_batch_keep_bucket, batch_format="pyarrow")
     else:
         docs = src.map_batches(_docs_text_keep_bucket, batch_format="pyarrow")
+
+    if not span_text:
+        from docling_translate_ray.stages.extract import drop_span_text
+
+        docs = docs.map_batches(drop_span_text, batch_format="pyarrow")
 
     # single pass: bucket-consolidating shuffle → one file per bucket +
     # lineage row per bucket from the same group task (no read-back)
@@ -261,7 +276,7 @@ def _list_input_files(input_path: str) -> list[str]:
 
 def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
                    engine: str | None, miss_policy: str, strategy: str,
-                   source_kind: str) -> dict:
+                   source_kind: str, span_text: bool = True) -> dict:
     """Shard-layout body of :func:`run_extract_job` (no data shuffle)."""
     import shutil
 
@@ -285,6 +300,10 @@ def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
         )
         fn = _extract_keep_path if source_kind == "pages" else _docs_text_keep_path
         docs = src.map_batches(fn, batch_format="pyarrow")
+        if not span_text:
+            from docling_translate_ray.stages.extract import drop_span_text
+
+            docs = docs.map_batches(drop_span_text, batch_format="pyarrow")
         partials = docs.map_batches(
             ckpt.ShardWriter(ddir, run_id), batch_format="pyarrow"
         )

@@ -187,6 +187,27 @@ def explode_sentences_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def drop_span_text(batch: pa.Table) -> pa.Table:
+    """Slim output: remove the ``text`` field from the spans structs.
+
+    Span text duplicates the source substring (start/end offsets into the
+    decoded page already identify it) — at corpus scale that is ~40% of the
+    docs payload.  Offsets + extracted_text stay, so any consumer that kept
+    the source can re-derive span text; pure Arrow (no Python per row).
+    """
+    col = batch["spans"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    keep = [f.name for f in SPAN_STRUCT if f.name != "text"]
+    slim_struct = pa.StructArray.from_arrays(
+        [pc.struct_field(flat, n) for n in keep], keep
+    )
+    slim = pa.ListArray.from_arrays(col.offsets, slim_struct)
+    idx = batch.column_names.index("spans")
+    return batch.set_column(idx, "spans", slim)
+
+
 def add_url_bucket(batch: pa.Table, n_buckets: int, salt_hosts: int = 4) -> pa.Table:
     """Partitioning key: ``bucket = hash64(url) % n_buckets``.
 

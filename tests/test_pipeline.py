@@ -208,6 +208,25 @@ def test_shard_layout_job_resume_repair(pages_path, tmp_path):
     assert os.path.isdir(os.path.join(ckpt.docs_dir(out), "shard=p2"))
 
 
+def test_slim_span_output(pages_path, tmp_path):
+    """span_text=False drops the duplicated text field but keeps offsets."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "out_slim")
+    res = pipe.run_extract_job(pages_path, out, layout="shard", span_text=False)
+    assert res["doc_count"] == 200
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckpt.docs_dir(out)) for f in fs
+        if f.endswith(".parquet")
+    ]
+    t = pq.read_table(files[0])
+    span_type = t.schema.field("spans").type.value_type
+    names = [span_type.field(i).name for i in range(span_type.num_fields)]
+    assert "text" not in names and {"seg_id", "start", "end", "kind"} <= set(names)
+    assert t["extracted_text"][0].as_py() is not None
+
+
 def test_shard_layout_scored(pages_path, tmp_path):
     """Shard layout with a scoring phase writes scored output per shard."""
     out = str(tmp_path / "out_shard_scored")
