@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q.q_segment_revenue,
         "nation_customers": q.q_nation_customers,
         "user_sessions": q.q_user_sessions,
+        "last_view_before_purchase": q.q_last_view_before_purchase,
         "lang_map": q.q_lang_map,
         # composite curation pipeline
         "curate": q.q_curate,
@@ -262,6 +263,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END)::BIGINT AS n_sessions
             FROM o GROUP BY user_id
+        """,
+        "last_view_before_purchase": """
+            SELECT p.user_id, p.event_id, p.ts,
+                   (SELECT max(v.ts) FROM events v
+                    WHERE v.event_type = 'view'
+                      AND v.user_id = p.user_id
+                      AND v.ts <= p.ts) AS last_view_ts
+            FROM events p WHERE p.event_type = 'purchase'
         """,
         "lang_map": """
             SELECT doc_id, lang, upper(lang) AS deepl_code,

@@ -575,6 +575,31 @@ def q_top_users_per_type(sf_dir: str, k: int = 3):
                                 num_partitions=8)
 
 
+def q_last_view_before_purchase(sf_dir: str):
+    """As-of join (attribution shape): per purchase event, the user's most
+    recent 'view' event at-or-before it (functions/asof.py — one
+    co-partitioning shuffle + per-partition polars join_asof)."""
+    from docling_translate_ray.functions.asof import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def only(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["event_type"], kind))
+
+        return fn
+
+    purchases = events.map_batches(only("purchase"), batch_format="pyarrow")
+    views = events.map_batches(only("view"), batch_format="pyarrow")
+    return asof_join(
+        purchases, views, by="user_id", on="ts",
+        left_cols=["user_id", "event_id", "ts"],
+        right_value_col="ts", out_name="last_view_ts",
+    )
+
+
 # ------------------------------------------------------------------ curation
 
 

@@ -1,0 +1,45 @@
+"""As-of join unit tests: backward semantics, equal-timestamp inclusion,
+no-match nulls, key co-partitioning."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+
+import ray.data
+
+from docling_translate_ray.functions.asof import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2026, 1, 1, 0, m)
+
+
+def test_asof_backward_semantics():
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], pa.int64()),
+            "t": pa.array([_ts(10), _ts(5), _ts(7), _ts(1)], pa.timestamp("us")),
+            "id": pa.array([100, 101, 102, 103], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "t": pa.array([_ts(4), _ts(5), _ts(9), _ts(8)], pa.timestamp("us")),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2),
+        by="k", on="t", left_cols=["k", "t", "id"],
+        right_value_col="t", out_name="matched",
+        num_partitions=4,
+    )
+    rows = {r["id"]: r["matched"] for r in out.take_all()}
+    assert rows[100] == _ts(9)   # latest ≤ 0:10
+    assert rows[101] == _ts(5)   # equal timestamp included (backward)
+    assert rows[102] is None     # right row at 0:08 is AFTER left 0:07
+    assert rows[103] is None     # key 3 has no right rows at all
+    assert len(rows) == 4        # one output row per left row
