@@ -26,13 +26,6 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
-
-
-def _stable_u64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-
-
 def word_shingles(text: str, k: int = 3) -> list[str]:
     toks = text.split()
     if len(toks) < k:

@@ -229,6 +229,48 @@ class ShardWriter:
         return pa.Table.from_pydict(out, schema=SHARD_LINEAGE_SCHEMA)
 
 
+def compact_shards(dest_dir: str, min_files: int = 2) -> dict:
+    """Maintenance op for the shard layout's small-files problem: merge each
+    ``shard=*/`` directory with ≥ ``min_files`` part files into ONE zstd
+    part file (read → concat → atomic write → remove old parts).
+
+    Runs as a Ray task per shard (embarrassingly parallel, no exchange);
+    safe to re-run and to interleave with readers — the merged file is
+    published before the old parts are deleted, and parquet readers list
+    the directory at open time.  Returns {shards_compacted, files_removed}.
+    """
+    import ray
+
+    if not os.path.isdir(dest_dir):
+        return {"shards_compacted": 0, "files_removed": 0}
+    targets = []
+    for d in sorted(os.listdir(dest_dir)):
+        sdir = os.path.join(dest_dir, d)
+        if not (d.startswith("shard=") and os.path.isdir(sdir)):
+            continue
+        parts = sorted(
+            os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".parquet")
+        )
+        if len(parts) >= min_files:
+            targets.append((sdir, parts))
+
+    @ray.remote
+    def _compact(sdir: str, parts: list[str]) -> int:
+        tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+        out = os.path.join(sdir, "part-compacted.parquet")
+        pq.write_table(tbl, out + ".tmp", compression="zstd")
+        os.replace(out + ".tmp", out)
+        removed = 0
+        for p in parts:
+            if os.path.basename(p) != "part-compacted.parquet":
+                os.remove(p)
+                removed += 1
+        return removed
+
+    removed = sum(ray.get([_compact.remote(s, p) for s, p in targets]))
+    return {"shards_compacted": len(targets), "files_removed": removed}
+
+
 def finalize_shard_lineage_local(partials: pa.Table) -> pa.Table:
     """Driver-side partials → one row per shard (rows ≈ blocks, KB-sized)."""
     import polars as pl

@@ -242,6 +242,30 @@ def test_shard_layout_scored(pages_path, tmp_path):
     assert n == 200 and n_upper == n
 
 
+def test_compact_shards(tmp_path):
+    import pyarrow.parquet as pq
+
+    ddir = str(tmp_path / "docs")
+    for shard, nparts in (("a", 3), ("b", 1)):
+        sdir = os.path.join(ddir, f"shard={shard}")
+        os.makedirs(sdir)
+        for i in range(nparts):
+            pq.write_table(
+                pa.table({"x": [shard] * 4, "i": [i] * 4}),
+                os.path.join(sdir, f"part-r{i}.parquet"),
+            )
+    res = ckpt.compact_shards(ddir)
+    assert res == {"shards_compacted": 1, "files_removed": 3}
+    a_files = os.listdir(os.path.join(ddir, "shard=a"))
+    assert a_files == ["part-compacted.parquet"]
+    merged = pq.read_table(os.path.join(ddir, "shard=a", "part-compacted.parquet"))
+    assert merged.num_rows == 12 and sorted(set(merged["i"].to_pylist())) == [0, 1, 2]
+    # singleton shard untouched
+    assert os.listdir(os.path.join(ddir, "shard=b")) == ["part-r0.parquet"]
+    # idempotent
+    assert ckpt.compact_shards(ddir)["shards_compacted"] == 0
+
+
 def test_lineage_sums_match_output(pages_path, tmp_path):
     out = str(tmp_path / "out2")
     pipe.run_extract_job(pages_path, out, n_buckets=4, resume=False)
