@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "top_users": q.q_top_users,
         "top_users_per_type": q.q_top_users_per_type,
+        "top_events": q.q_top_events,
         "lineitem_pricing": q.q_lineitem_pricing,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
@@ -215,6 +216,16 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_value_cents
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        "top_events": """
+            SELECT event_id, value_cents, rank FROM (
+              SELECT event_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents,
+                     row_number() OVER (
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                event_id) AS rank
+              FROM events)
+            WHERE rank <= 100
         """,
         "top_users_per_type": """
             SELECT event_type, user_id, total_value_cents, rank FROM (

@@ -100,11 +100,43 @@ def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
     return _normalize(rng.randn(n_centroids, dim))
 
 
+def train_centroids(ds, n_centroids: int = 16, seed: int = 42,
+                    sample_rows: int = 4096, iters: int = 5,
+                    column: str = "embedding") -> np.ndarray:
+    """Deterministic mini-kmeans (spherical) on the corpus head.
+
+    The IVF "fit" step: sample = first ``sample_rows`` rows (stable for a
+    fixed file layout), seeded row-pick init, ``iters`` Lloyd rounds with
+    cosine assignment; empty clusters keep their previous centroid.  Pure
+    numpy, driver-side — the trained matrix is then broadcast like any
+    small side."""
+    head = ds.limit(sample_rows)
+    rows = []
+    for b in head.iter_batches(batch_format="pyarrow"):
+        col = b[column] if hasattr(b, "column_names") else b.column(column)
+        rows.extend(col.to_pylist())
+    mat = _normalize(np.array(rows, dtype=np.float64))
+    n = mat.shape[0]
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return _normalize(cents)
+
+
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             n_probe: int = 4, seed: int = 42,
-            id_column: str = "vec_id", column: str = "embedding"):
+            id_column: str = "vec_id", column: str = "embedding",
+            centroids: np.ndarray | None = None):
     """IVF-style ANN: per-batch centroid assignment → probe-filtered top-k.
 
+    Centroids default to :func:`train_centroids` (deterministic mini-kmeans
+    on the corpus head); pass ``centroids`` to reuse a trained matrix across
+    queries, or ``_centroids(dim, n, seed)`` for the untrained baseline.
     Partitioning assumption: each batch filters to rows whose centroid is in
     the query's probe set, so the matmul touches ~``n_probe/n_centroids`` of
     the corpus.  Single-query only (the common serving shape); for batched
@@ -114,8 +146,9 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     assert q.shape[0] == 1, "knn_ivf is single-query; use knn_brute_force for batches"
-    dim = q.shape[1]
-    cents = _centroids(dim, n_centroids, seed)
+    cents = centroids if centroids is not None else train_centroids(
+        ds, n_centroids=n_centroids, seed=seed, column=column
+    )
     probe = set(np.argsort(-(cents @ q[0]))[:n_probe].tolist())
     q_ref = ray.put(q)
     c_ref = ray.put(cents)

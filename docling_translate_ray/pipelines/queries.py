@@ -362,6 +362,26 @@ def q_top_users(sf_dir: str):
     )
 
 
+def q_top_events(sf_dir: str, k: int = 100):
+    """Global sort + limit (Ray ds.sort — the O2 sort analog at data scale):
+    top-k events by exact cents value, deterministic tie-break on event_id."""
+    import polars as pl
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        s = (pl.from_arrow(batch["value"]) * 100).round(0).cast(pl.Int64)
+        return batch.append_column("value_cents", s.to_arrow().cast(pa.int64()))
+
+    ds = (
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(add_cents, batch_format="pyarrow")
+        .select_columns(["event_id", "value_cents"])
+        .sort(["value_cents", "event_id"], descending=[True, False])
+        .limit(k)
+    )
+    tbl = _collect(ds)  # ≤ k rows
+    return tbl.append_column("rank", pa.array(range(1, tbl.num_rows + 1), pa.int64()))
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped pricing summary, exact scaled-integer sums."""
     import polars as pl

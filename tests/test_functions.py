@@ -233,6 +233,39 @@ def test_knn_ivf_is_subset_with_recall():
     assert cos == sorted(cos, reverse=True)
 
 
+def test_exact_dedup_repartition_invariant():
+    import ray.data
+
+    base = ray.data.read_parquet(f"{SF}/documents.parquet")
+    a = _to_table(dd.exact_dedup(base.repartition(2))).sort_by("content_md5")
+    b = _to_table(dd.exact_dedup(base.repartition(7))).sort_by("content_md5")
+    assert a.equals(b)
+
+
+def test_knn_repartition_invariant():
+    import pyarrow.parquet as pq
+    import ray.data
+
+    first = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 1)
+    q = np.array(first["embedding"].to_pylist(), dtype=np.float64)
+    base = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    a = knn_mod.knn_brute_force(base.repartition(2), q, k=8)
+    b = knn_mod.knn_brute_force(base.repartition(5), q, k=8)
+    assert a["vec_id"].to_pylist() == b["vec_id"].to_pylist()
+    assert a["rank"].to_pylist() == b["rank"].to_pylist()
+
+
+def test_minhash_repartition_invariant():
+    import ray.data
+
+    base = ray.data.read_parquet(f"{SF}/documents.parquet")
+    a = {(r["doc_id"], r["canonical_id"])
+         for r in _to_table(dd.minhash_lsh_dedup(base.repartition(2), concurrency=2)).to_pylist()}
+    b = {(r["doc_id"], r["canonical_id"])
+         for r in _to_table(dd.minhash_lsh_dedup(base.repartition(6), concurrency=2)).to_pylist()}
+    assert a == b
+
+
 # ------------------------------------------------------------------ text stats
 
 
