@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q.q_lang_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
+        "windowed_watermark": q.q_windowed_watermark,
         "top_users": q.q_top_users,
         "top_users_per_type": q.q_top_users_per_type,
         "top_events": q.q_top_events,
@@ -216,6 +217,11 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_value_cents
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        "windowed_watermark": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "top_events": """
             SELECT event_id, value_cents, rank FROM (

@@ -345,6 +345,24 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_windowed_watermark(sf_dir: str):
+    """Streaming tumbling window with per-key watermark + late-data drop
+    (stages/window.py), replayed over the events stream (arrival order =
+    event_id).  The driver stream is time-ordered so the late bucket is
+    empty and the result provably equals the plain hourly aggregate —
+    which IS the SQL oracle; disorder semantics are pinned by
+    tests/test_window.py."""
+    import datetime as dt
+
+    from docling_translate_ray.stages.window import windowed_counts_with_watermark
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts"])
+    return windowed_counts_with_watermark(
+        ds, key="event_type", ts_col="ts", arrival_col="event_id",
+        window="1h", lateness=dt.timedelta(minutes=10),
+    )
+
+
 def q_top_users(sf_dir: str):
     """Top-10 users by exact cents-sum of value (sort + limit, O2 analog)."""
     import polars as pl
