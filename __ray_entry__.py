@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": q.q_curate,
         # multimodal plumbing
         "media_features": q.q_media_features,
+        "video_frames": q.q_video_frames,
     }
 
 

@@ -111,3 +111,105 @@ def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:
     if duration_ms <= 0:
         return []
     return list(range(0, duration_ms, every_ms))
+
+
+class MediaResizer:
+    """Actor-pool resize stage for image rows (S10 analog at corpus scale).
+
+    Real Ray plumbing: small ``batch_size`` for binary cells, per-actor
+    "codec" setup in ``__init__``, meta struct rewritten with the target
+    box (aspect-preserving fit).  The pixel work itself is stubbed: the
+    fake produces size-proportional deterministic bytes; ``deterministic_
+    fake=False`` raises at the exact PIL call site.
+    """
+
+    def __init__(self, max_w: int = 256, max_h: int = 256,
+                 deterministic_fake: bool = True) -> None:
+        self.max_w, self.max_h = max_w, max_h
+        self.fake = deterministic_fake
+
+    def _fit(self, w: int, h: int) -> tuple[int, int]:
+        if w <= 0 or h <= 0:
+            return 0, 0
+        scale = min(self.max_w / w, self.max_h / h, 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _resize(self, payload: bytes, w: int, h: int) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "real resize requires PIL, not present in this environment; "
+                "run with deterministic_fake=True"
+            )
+        seed = hashlib.blake2b(payload, digest_size=8).digest()
+        n = max(16, (w * h) // 8)  # size-proportional fake jpeg-ish payload
+        reps = (n // len(seed)) + 1
+        return (seed * reps)[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out_payload, out_meta = [], []
+        for p, k, m in zip(payloads, kinds, metas):
+            if k != "image":
+                out_payload.append(p)
+                out_meta.append(m)
+                continue
+            w, h = self._fit(m["width"], m["height"])
+            out_payload.append(self._resize(p or b"", w, h))
+            out_meta.append({**m, "width": w, "height": h})
+        idx_p = batch.column_names.index("payload")
+        idx_m = batch.column_names.index("meta")
+        return batch.set_column(
+            idx_p, "payload", pa.array(out_payload, pa.binary())
+        ).set_column(
+            idx_m, "meta", pa.array(out_meta, MEDIA_SCHEMA.field("meta").type)
+        )
+
+
+class FrameSampler:
+    """Actor-pool explode stage: one output row per sampled video frame.
+
+    The 1-row→N-rows explode, schema, and timestamps are real
+    (``frame_sample_plan``); the frame-grab kernel is stubbed the same way
+    as the other codecs.  Non-video rows are dropped (use a union with the
+    original stream if both are needed).  Output: ``media_id, url,
+    frame_ts_ms:int64, frame:binary``.
+    """
+
+    def __init__(self, every_ms: int = 1000, deterministic_fake: bool = True) -> None:
+        self.every_ms = every_ms
+        self.fake = deterministic_fake
+
+    def _grab(self, payload: bytes, ts_ms: int) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "real frame grab requires ffmpeg, not present in this "
+                "environment; run with deterministic_fake=True"
+            )
+        return hashlib.blake2b(
+            payload + ts_ms.to_bytes(8, "big"), digest_size=32
+        ).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_id, o_url, o_ts, o_frame = [], [], [], []
+        for mid, url, kind, payload, meta in zip(
+            batch["media_id"].to_pylist(), batch["url"].to_pylist(),
+            batch["kind"].to_pylist(), batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            for ts in frame_sample_plan(meta["duration_ms"], self.every_ms):
+                o_id.append(mid)
+                o_url.append(url)
+                o_ts.append(ts)
+                o_frame.append(self._grab(payload or b"", ts))
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "url": pa.array(o_url, pa.string()),
+                "frame_ts_ms": pa.array(o_ts, pa.int64()),
+                "frame": pa.array(o_frame, pa.binary()),
+            }
+        )

@@ -668,3 +668,22 @@ def q_media_features(sf_dir: str):
         concurrency=auto_pool_size(),
     )
     return out.select_columns(["media_id", "kind", "payload_bytes"])
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling (resize+explode plumbing real, frame-grab
+    stubbed — multimodal.py): one row per sampled frame."""
+    import ray.data
+
+    from docling_translate_ray.util import auto_pool_size
+
+    ds = ray.data.from_arrow(fmm.gen_media(300, seed=42))
+    resized = ds.map_batches(
+        fmm.MediaResizer, batch_format="pyarrow", batch_size=64,
+        concurrency=auto_pool_size(),
+    )
+    frames = resized.map_batches(
+        fmm.FrameSampler, fn_constructor_kwargs={"every_ms": 10000},
+        batch_format="pyarrow", batch_size=64, concurrency=auto_pool_size(),
+    )
+    return frames.select_columns(["media_id", "frame_ts_ms"])

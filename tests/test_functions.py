@@ -394,3 +394,53 @@ def test_media_featurizer_real_decode_is_stubbed():
 def test_frame_sample_plan():
     assert mm.frame_sample_plan(0) == []
     assert mm.frame_sample_plan(3500, 1000) == [0, 1000, 2000, 3000]
+
+
+def test_media_resizer():
+    import ray.data
+
+    tbl = mm.gen_media(24, seed=42)
+    out = _to_table(
+        ray.data.from_arrow(tbl).map_batches(
+            mm.MediaResizer,
+            fn_constructor_kwargs={"max_w": 64, "max_h": 64},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        )
+    ).sort_by("media_id")
+    src = tbl.sort_by("media_id").to_pylist()
+    for before, after in zip(src, out.to_pylist()):
+        if before["kind"] == "image":
+            assert after["meta"]["width"] <= 64 and after["meta"]["height"] <= 64
+            # aspect preserved (within integer rounding)
+            if before["meta"]["width"] > 64 or before["meta"]["height"] > 64:
+                r0 = before["meta"]["width"] / before["meta"]["height"]
+                r1 = after["meta"]["width"] / after["meta"]["height"]
+                assert abs(r0 - r1) / r0 < 0.25
+        else:
+            assert after["payload"] == before["payload"]  # non-images untouched
+    with pytest.raises(NotImplementedError):
+        mm.MediaResizer(deterministic_fake=False)._resize(b"x", 4, 4)
+
+
+def test_frame_sampler_explodes_videos():
+    import ray.data
+
+    tbl = mm.gen_media(24, seed=42)
+    frames = _to_table(
+        ray.data.from_arrow(tbl).map_batches(
+            mm.FrameSampler,
+            fn_constructor_kwargs={"every_ms": 5000},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        )
+    )
+    vids = {r["media_id"]: r["meta"]["duration_ms"]
+            for r in tbl.to_pylist() if r["kind"] == "video"}
+    expect = sum(len(mm.frame_sample_plan(d, 5000)) for d in vids.values())
+    assert frames.num_rows == expect > 0
+    assert set(frames["media_id"].to_pylist()) <= set(vids)
+    # frames are deterministic per (payload, ts)
+    one = frames.to_pylist()[0]
+    again = mm.FrameSampler(every_ms=5000)(tbl)
+    match = [r for r in again.to_pylist()
+             if r["media_id"] == one["media_id"] and r["frame_ts_ms"] == one["frame_ts_ms"]]
+    assert match and match[0]["frame"] == one["frame"]
