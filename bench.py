@@ -49,6 +49,10 @@ def headline_queries(sf_dir: str) -> dict:
         "lineitem_pricing": lambda: _consume(q.q_lineitem_pricing(sf_dir)),
         "events_by_type": lambda: _consume(q.q_events_by_type(sf_dir)),
         "top_users": lambda: q.q_top_users(sf_dir).num_rows,
+        "user_sessions": lambda: _consume(q.q_user_sessions(sf_dir)),
+        "asof_attribution": lambda: _consume(q.q_last_view_before_purchase(sf_dir)),
+        "windowed_watermark": lambda: _consume(q.q_windowed_watermark(sf_dir)),
+        "segment_revenue_join": lambda: _consume(q.q_segment_revenue(sf_dir)),
     }
 
 
