@@ -449,23 +449,36 @@ def q_lineitem_pricing(sf_dir: str):
 def q_segment_revenue(sf_dir: str):
     """Hash-partitioned shuffle join orders ⋈ customer (the large-side join
     path, J1/J2 at relational scale) → per-segment order count + exact
-    cents revenue."""
+    cents revenue.
+
+    The aggregation is pushed BELOW the join: orders pre-aggregate to one
+    row per custkey first (combiner + hash partition), so the join moves
+    |customers| rows instead of |orders| — the join-input-reduction rule
+    that matters when orders ≫ customers."""
     import polars as pl
 
     from docling_translate_ray.util import join_partitions
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    per_cust = _grouped_sum(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        [
+            pl.len().cast(pl.Int64).alias("_n"),
+            (pl.col("o_totalprice") * 100).round(0).cast(pl.Int64).sum().alias("_cents"),
+        ],
+        {"n_orders": ("_n", "sum"), "cust_cents": ("_cents", "sum")},
+    )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(
+    joined = per_cust.join(
         cust, join_type="inner", num_partitions=join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     )
     return _grouped_sum(
-        joined.select_columns(["c_mktsegment", "o_totalprice"]),
+        joined.select_columns(["c_mktsegment", "n_orders", "cust_cents"]),
         ["c_mktsegment"],
         [
-            pl.len().cast(pl.Int64).alias("_n"),
-            (pl.col("o_totalprice") * 100).round(0).cast(pl.Int64).sum().alias("_cents"),
+            pl.col("n_orders").sum().alias("_n"),
+            pl.col("cust_cents").sum().alias("_cents"),
         ],
         {"n_orders": ("_n", "sum"), "total_price_cents": ("_cents", "sum")},
     )
