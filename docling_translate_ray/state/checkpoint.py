@@ -176,6 +176,31 @@ def completed_shards(out_dir: str) -> set[str]:
     return {s for s in done if os.path.isdir(os.path.join(ddir, f"shard={s}"))}
 
 
+def normalize_arrow_types(tbl: pa.Table) -> pa.Table:
+    """Downcast polars' large_* types to standard Arrow types before writing.
+
+    A polars round-trip (partition_by etc.) upgrades string/binary/list to
+    their large_ variants; written to parquet, a later read-back then fails
+    to join against plain-typed columns (ArrowInvalid: large_string vs
+    string — hit in the 192k-page scored-join stress run).  Normalizing at
+    the sink keeps every durable schema canonical.
+    """
+
+    def fix(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_large_string(t):
+            return pa.string()
+        if pa.types.is_large_binary(t):
+            return pa.binary()
+        if pa.types.is_large_list(t) or pa.types.is_list(t):
+            return pa.list_(fix(t.value_type))
+        if pa.types.is_struct(t):
+            return pa.struct([pa.field(f.name, fix(f.type)) for f in t])
+        return t
+
+    schema = pa.schema([pa.field(f.name, fix(f.type)) for f in tbl.schema])
+    return tbl.cast(schema) if schema != tbl.schema else tbl
+
+
 class ShardWriter:
     """Stateless write stage for the NO-SHUFFLE shard layout.
 
@@ -210,7 +235,7 @@ class ShardWriter:
         for part in df.partition_by(self.key_column):
             raw = part[self.key_column][0]
             key = shard_key(raw) if self.key_is_path else str(raw)
-            body = part.drop(self.key_column).to_arrow()
+            body = normalize_arrow_types(part.drop(self.key_column).to_arrow())
             sdir = os.path.join(self.dest, f"shard={key}")
             os.makedirs(sdir, exist_ok=True)
             name = f"part-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet"
