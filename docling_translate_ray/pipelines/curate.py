@@ -33,8 +33,6 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     quality columns; ``stats`` has per-stage survivor counts."""
     import ray
 
-    from docling_translate_ray.util import join_partitions
-
     stats: dict[str, int] = {"n_input": ds.count()}
 
     def quality_filter(batch: pa.Table) -> pa.Table:
@@ -48,12 +46,12 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     stats["n_quality_ok"] = quality.count()
 
     # exact dedup winners (content_md5 → min id), then semi-join survivors
+    # (partition_join: measured 3-6× faster than Dataset.join on wide rows)
+    from docling_translate_ray.stages.shuffle import partition_join
+
     winners = fdedup.exact_dedup(quality, column=column, id_column=id_column)
-    surv = quality.join(
-        winners.select_columns([id_column]),
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=(id_column,),
+    surv = partition_join(
+        quality, winners.select_columns([id_column]), on=[id_column], how="inner"
     ).materialize()
     stats["n_exact_unique"] = surv.count()
 

@@ -153,10 +153,12 @@ def score_docs(
         )
 
     per_url = hash_partition_apply(joined, ["url"], assemble_block, num_partitions=32)
-    from docling_translate_ray.util import join_partitions
+    # partition_join, not Dataset.join: the hash-join operator measured 6×
+    # slower on wide doc payloads (see stages/shuffle.partition_join)
+    from docling_translate_ray.stages.shuffle import partition_join
 
-    return docs_ds.drop_columns(["spans"]).join(
-        per_url, join_type="left_outer", num_partitions=join_partitions(), on=("url",)
+    return partition_join(
+        docs_ds.drop_columns(["spans"]), per_url, on=["url"], how="left"
     )
 
 

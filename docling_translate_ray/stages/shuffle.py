@@ -65,6 +65,58 @@ def hash_partition_apply(
     )
 
 
+def partition_join(left_ds, right_ds, on: list[str], how: str = "left",
+                   num_partitions: int = 32):
+    """Equi-join via hash co-partitioning + one vectorized polars join per
+    partition — replaces ``Dataset.join`` where its aggregator-actor
+    operator underperforms (measured: 192k wide docs ⋈ 76k rows took 66 s
+    through ``Dataset.join`` vs ~10 s through this path at 32 CPUs).
+
+    Non-key columns must be disjoint between the sides (no suffixing);
+    each side is padded with typed nulls onto the unified schema, tagged,
+    unioned, partitioned by ``hash(on)``, then polars-joined per
+    partition.  ``how`` ∈ {"left", "inner"}.
+    """
+    assert how in ("left", "inner")
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    overlap = (set(ltypes) & set(rtypes)) - set(on)
+    assert not overlap, f"non-key columns must be disjoint, got {overlap}"
+    lcols = list(lsch.names)
+    rextra = [c for c in rsch.names if c not in on]
+    unified = lcols + rextra
+
+    def to_unified(side: int, types_here: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict[str, pa.Array] = {}
+            for c in unified:
+                if c in batch.column_names:
+                    a = batch[c]
+                    cols[c] = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                else:
+                    cols[c] = pa.nulls(n, ltypes.get(c) or rtypes.get(c))
+            cols["_side"] = pa.array([side] * n, pa.int8())
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(to_unified(0, ltypes), batch_format="pyarrow").union(
+        right_ds.map_batches(to_unified(1, rtypes), batch_format="pyarrow")
+    )
+
+    def block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        left = df.filter(pl.col("_side") == 0).select(lcols)
+        right = df.filter(pl.col("_side") == 1).select(on + rextra)
+        return left.join(right, on=on, how=how).select(unified).to_arrow()
+
+    return hash_partition_apply(both, on, block, num_partitions=num_partitions)
+
+
 def grouped_sum(
     ds,
     keys: list[str],
