@@ -69,12 +69,14 @@ def unique_sentences(sent_ds, column: str = "sentence"):
     return hash_partition_apply(thinned, ["sent_hash"], distinct_block)
 
 
-def broadcast_score_map(unique_scored_ds, column: str = "sentence") -> "ray.ObjectRef":
+def broadcast_score_map(unique_scored_ds, column: str = "sentence",
+                        max_rows: int = 5_000_000) -> "ray.ObjectRef":
     """Materialize the unique scored table to a dict and ``ray.put`` it once.
 
     The translation_map analog (core.py:486).  Only valid when uniques fit
-    in driver memory — the same assumption the reference makes per file; use
-    :func:`join_scores` otherwise.
+    in driver memory — the same assumption the reference makes per file;
+    raises past ``max_rows`` (≈1 GB of short sentences) instead of silently
+    OOM-ing the driver: use ``strategy='join'`` (:func:`join_scores`) there.
     """
     import ray
 
@@ -83,6 +85,12 @@ def broadcast_score_map(unique_scored_ds, column: str = "sentence") -> "ray.Obje
         batch_format="pyarrow", batch_size=65536
     ):
         mapping.update(zip(b[column].to_pylist(), b["scored"].to_pylist()))
+        if len(mapping) > max_rows:
+            raise ValueError(
+                f"unique-{column} count exceeds max_rows={max_rows}: the "
+                "broadcast map no longer fits a driver; use the "
+                "fully-distributed scoring path (strategy='join')"
+            )
     return ray.put(mapping)
 
 

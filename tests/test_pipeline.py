@@ -242,6 +242,25 @@ def test_shard_layout_scored(pages_path, tmp_path):
     assert n == 200 and n_upper == n
 
 
+def test_shard_layout_docs_text_source(docs_text_table, tmp_path):
+    """Text/code-path source through the shard layout end-to-end."""
+    import pyarrow.parquet as pq
+
+    in_dir = str(tmp_path / "dt_in")
+    os.makedirs(in_dir)
+    pq.write_table(docs_text_table, os.path.join(in_dir, "files.parquet"))
+    out = str(tmp_path / "dt_out")
+    res = pipe.run_extract_job(in_dir, out, layout="shard", source_kind="docs_text")
+    assert res["doc_count"] == docs_text_table.num_rows
+    assert res["ok_count"] == docs_text_table.num_rows
+    golden = _golden("docs_text_golden.json")
+    back = ray.data.read_parquet(ckpt.docs_dir(out))
+    for b in back.select_columns(["url", "extracted_text"]).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for r in t.to_pylist():
+            assert hashlib.md5(r["extracted_text"].encode()).hexdigest() == golden[r["url"]]["text_md5"]
+
+
 def test_compact_shards(tmp_path):
     import pyarrow.parquet as pq
 
