@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         # aggregates / sort / window (A1-A6, O2)
+        "distinct_pairs": q.q_distinct_pairs,
         "lang_counts": q.q_lang_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
         "lang_counts": (
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
         ),

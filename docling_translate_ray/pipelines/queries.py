@@ -300,6 +300,14 @@ def _grouped_sum(ds, keys: list[str], partial_exprs, final_cols):
     )
 
 
+def q_distinct_pairs(sf_dir: str):
+    """Generic DISTINCT (stages/shuffle.distinct) over (lang, source)."""
+    from docling_translate_ray.stages.shuffle import distinct
+
+    return distinct(_read(sf_dir, "documents", ["lang", "source"]),
+                    ["lang", "source"])
+
+
 def q_lang_counts(sf_dir: str):
     import polars as pl
 

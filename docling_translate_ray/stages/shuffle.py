@@ -65,6 +65,27 @@ def hash_partition_apply(
     )
 
 
+def distinct(ds, cols: list[str], num_partitions: int = 64):
+    """Exact DISTINCT over ``cols`` (``ds.unique`` analog, scale path):
+    per-batch combiner (local unique) → hash-partitioned global unique —
+    duplicate rows never cross the exchange more than once per batch."""
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(batch.select(cols)).unique(keep="any").to_arrow()
+
+    def block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(part).unique(keep="any").to_arrow()
+
+    return hash_partition_apply(
+        ds.map_batches(local_unique, batch_format="pyarrow"),
+        cols, block, num_partitions=num_partitions,
+    )
+
+
 def partition_join(left_ds, right_ds, on: list[str], how: str = "left",
                    num_partitions: int = 32):
     """Equi-join via hash co-partitioning + one vectorized polars join per
