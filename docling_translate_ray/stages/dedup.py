@@ -80,41 +80,96 @@ def broadcast_score_map(unique_scored_ds, column: str = "sentence",
     """
     import ray
 
-    mapping: dict[str, str] = {}
+    batches = []
+    n = 0
     for b in unique_scored_ds.select_columns([column, "scored"]).iter_batches(
         batch_format="pyarrow", batch_size=65536
     ):
-        mapping.update(zip(b[column].to_pylist(), b["scored"].to_pylist()))
-        if len(mapping) > max_rows:
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        batches.append(t)
+        n += t.num_rows
+        if n > max_rows:
             raise ValueError(
                 f"unique-{column} count exceeds max_rows={max_rows}: the "
                 "broadcast map no longer fits a driver; use the "
                 "fully-distributed scoring path (strategy='join')"
             )
-    return ray.put(mapping)
+    tbl = (
+        pa.concat_tables(batches, promote_options="default")
+        if batches
+        else pa.table({column: pa.array([], pa.string()),
+                       "scored": pa.array([], pa.string())})
+    )
+    # broadcast as an ARROW TABLE, not a python dict: ray.get of a dict
+    # deserializes millions of PyObjects once per actor (tens of seconds at
+    # ~4M entries); an Arrow table is a zero-copy shared-memory read and the
+    # probe becomes a vectorized polars hash join per batch
+    return ray.put(tbl.select([column, "scored"]))
 
 
 class ProbeScoreMap:
     """Actor-pool probe: docs batch + broadcast map → ``translated_text``.
 
-    The map object-ref is fetched ONCE per actor in ``__init__`` (zero-copy
-    shared-memory read on each node), never re-shipped per batch.
+    The Arrow map table is fetched ONCE per actor in ``__init__`` (zero-copy
+    shared-memory read on each node — never a per-actor dict
+    deserialization, never re-shipped per batch).  Per batch, the doc spans
+    explode to sentences, hash-join against the map (vectorized polars),
+    and reassemble with the exact ``assemble_scored_text`` semantics:
+    sentence-kind spans split + probe per sentence joined by " ", other
+    kinds probe whole, segs joined by "\\n", misses per policy
+    (html_generator.py:565-567 vs text_html_generator.py:481).
     """
 
     def __init__(self, map_ref, miss_policy: str = "empty") -> None:
+        import polars as pl
+
         import ray
 
-        self._map = ray.get(map_ref)
+        assert miss_policy in ("empty", "identity")
+        tbl = ray.get(map_ref)  # pa.Table(sentence, scored)
+        self._map_df = pl.from_arrow(tbl).rename(
+            {tbl.column_names[0]: "sentence"}
+        ).unique(subset=["sentence"], keep="any")
         self._miss = miss_policy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
         from docling_translate_ray import extract_core as ec
 
         spans_lists = batch["spans"].to_pylist()
-        out = [
-            ec.assemble_scored_text(spans or [], self._map, self._miss)
-            for spans in spans_lists
-        ]
+        ridx: list[int] = []
+        segs: list[int] = []
+        sidx: list[int] = []
+        sents: list[str] = []
+        for i, spans in enumerate(spans_lists):
+            for s in sorted(spans or [], key=lambda x: x["seg_id"]):
+                if not s["translatable"] or not s["text"].strip():
+                    continue
+                if s["kind"] in ec._SENTENCE_KINDS:
+                    pieces = ec.split_sentences(s["text"])
+                else:
+                    pieces = [s["text"]]
+                for j, sent in enumerate(pieces):
+                    ridx.append(i)
+                    segs.append(s["seg_id"])
+                    sidx.append(j)
+                    sents.append(sent)
+        out = [""] * batch.num_rows
+        if sents:
+            df = pl.DataFrame(
+                {"_r": ridx, "_g": segs, "_i": sidx, "sentence": sents}
+            ).join(self._map_df, on="sentence", how="left")
+            miss = pl.col("sentence") if self._miss == "identity" else pl.lit("")
+            df = df.with_columns(pl.col("scored").fill_null(miss))
+            per_seg = df.sort(["_r", "_g", "_i"]).group_by(
+                ["_r", "_g"], maintain_order=True
+            ).agg(pl.col("scored").str.join(" "))
+            per_row = per_seg.group_by("_r", maintain_order=True).agg(
+                pl.col("scored").str.join("\n")
+            )
+            for r, text in zip(per_row["_r"].to_list(), per_row["scored"].to_list()):
+                out[r] = text
         return batch.append_column("translated_text", pa.array(out, pa.string()))
 
 
