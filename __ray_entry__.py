@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "minhash_near_dup": q.q_minhash_near_dup,
         "simhash_near_dup": q.q_simhash_near_dup,
+        "ngram_jaccard": q.q_ngram_jaccard,
         "embedding_near_dup": q.q_embedding_near_dup,
         # similarity search
         "knn_topk": q.q_knn_topk,
@@ -122,6 +123,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, min(doc_id) AS doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS g
+              FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.g, b.g))::BIGINT AS inter_size,
+                   len(list_distinct(a.g || b.g))::BIGINT AS union_size
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE 100 * len(list_intersect(a.g, b.g))
+                  >= 80 * len(list_distinct(a.g || b.g))
         """,
         "knn_topk": """
             WITH q AS (

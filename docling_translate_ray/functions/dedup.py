@@ -272,6 +272,68 @@ def _min_label_block(id_column: str):
     return block
 
 
+def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
+                        threshold_pct: int = 80, k: int = 3):
+    """EXACT all-pairs n-gram Jaccard (the LSH verifier as a standalone op).
+
+    The full (id → shingle set) index is broadcast once (``ray.put``); each
+    batch compares its docs against every higher id — O(n²) pair work split
+    across batches, zero shuffle.  This is the small/medium-corpus exact
+    tool (and the oracle for LSH recall); at corpus scale use
+    :func:`minhash_lsh_dedup`, which only verifies colliding candidates.
+
+    The threshold compares as integers (``100·|∩| ≥ pct·|∪|``) so the DuckDB
+    oracle (list_intersect/list_distinct) matches bit-exactly — no float
+    division on either side.  Returns (id_a, id_b, inter_size, union_size)
+    with ``id_a < id_b``.
+    """
+    import ray
+
+    index: dict[int, frozenset] = {}
+    for b in ds.select_columns([id_column, column]).iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for i, txt in zip(t[id_column].to_pylist(), t[column].to_pylist()):
+            index[i] = frozenset(word_shingles(txt or "", k))
+    idx_ref = ray.put(index)
+
+    class PairFinder:
+        def __init__(self) -> None:
+            self._idx = ray.get(idx_ref)
+            self._ids = sorted(self._idx)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_i, out_u = [], [], [], []
+            for a in batch[id_column].to_pylist():
+                sa = self._idx[a]
+                for bid in self._ids:
+                    if bid <= a:
+                        continue
+                    sb = self._idx[bid]
+                    inter = len(sa & sb)
+                    union = len(sa | sb)
+                    if 100 * inter >= threshold_pct * union:
+                        out_a.append(a)
+                        out_b.append(bid)
+                        out_i.append(inter)
+                        out_u.append(union)
+            return pa.table(
+                {
+                    "id_a": pa.array(out_a, pa.int64()),
+                    "id_b": pa.array(out_b, pa.int64()),
+                    "inter_size": pa.array(out_i, pa.int64()),
+                    "union_size": pa.array(out_u, pa.int64()),
+                }
+            )
+
+    from docling_translate_ray.util import auto_pool_size
+
+    return ds.select_columns([id_column]).map_batches(
+        PairFinder, batch_format="pyarrow", concurrency=auto_pool_size()
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:

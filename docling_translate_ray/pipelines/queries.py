@@ -188,6 +188,13 @@ def q_simhash_near_dup(sf_dir: str):
     return fdedup.simhash_near_dup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact all-pairs 3-gram Jaccard ≥ 0.8 (integer-exact threshold)."""
+    return fdedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold_pct=80
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     return fdedup.embedding_near_dup(
         _read(sf_dir, "embeddings"), threshold=0.9, num_planes=6
