@@ -25,6 +25,19 @@ import pyarrow as pa
 from docling_translate_ray import extract_core as ec
 
 
+def _fetch_map(map_ref) -> dict[str, str]:
+    """Broadcast score map → dict: accepts a plain dict, an ObjectRef to a
+    dict, or an ObjectRef to the Arrow (sentence, scored) table that
+    ``stages.dedup.broadcast_score_map`` now produces."""
+    import ray
+
+    obj = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
+    if isinstance(obj, dict):
+        return obj
+    cols = obj.column_names
+    return dict(zip(obj[cols[0]].to_pylist(), obj["scored"].to_pylist()))
+
+
 def _format_formula(text: str) -> str:
     """M11 (html_generator.py:48-64): display-math wrap; aligned env when
     the formula contains alignment markers."""
@@ -132,9 +145,7 @@ class RenderCodeHtml:
     def __init__(self, map_ref=None) -> None:
         self._map = {}
         if map_ref is not None:
-            import ray
-
-            self._map = ray.get(map_ref)
+            self._map = _fetch_map(map_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -163,9 +174,7 @@ class RenderHtml:
     def __init__(self, map_ref=None, miss_policy: str = "empty") -> None:
         self._map = None
         if map_ref is not None:
-            import ray
-
-            self._map = ray.get(map_ref)
+            self._map = _fetch_map(map_ref)
         self._miss = miss_policy
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -108,6 +108,26 @@ def test_render_stage_over_pipeline(pages_path):
     assert row["html_render"].startswith("<!DOCTYPE html>")
 
 
+def test_render_with_arrow_score_map(pages_path):
+    """RenderHtml consumes the Arrow broadcast map end-to-end (bilingual)."""
+    from docling_translate_ray.stages import dedup as dd
+    from docling_translate_ray.stages.scorer import ScoreSentences
+
+    docs = pipe.extract_docs(pipe.read_pages(pages_path), n_buckets=8).materialize()
+    uniq = dd.unique_sentences(pipe.sentences_of(docs))
+    scored = uniq.map_batches(
+        ScoreSentences, fn_constructor_kwargs={"engine": "upper"},
+        batch_format="pyarrow", concurrency=2,
+    )
+    ref = dd.broadcast_score_map(scored)
+    rendered = docs.map_batches(
+        RenderHtml, fn_constructor_kwargs={"map_ref": ref},
+        batch_format="pyarrow", concurrency=2,
+    )
+    row = next(r for r in rendered.take(20) if "tgt-" in r["html_render"])
+    assert "id='src-" in row["html_render"] and "id='tgt-" in row["html_render"]
+
+
 def test_score_join_strategy_matches_broadcast(pages_path):
     docs = pipe.extract_docs(pipe.read_pages(pages_path), n_buckets=8).materialize()
     via_bcast = {
