@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
+        "sample_docs": q.q_sample_docs,
         # aggregates / sort / window (A1-A6, O2)
         "distinct_pairs": q.q_distinct_pairs,
         "lang_counts": q.q_lang_counts,
@@ -216,6 +217,10 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "sample_docs": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+            WHERE md5(text) < '40000000000000000000000000000000'
+        """,
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
         "lang_counts": (
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"

@@ -277,6 +277,26 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic content-hash sampling (~25%): keep rows whose hex md5
+    sorts below the 1/4 boundary — reproducible across runs, engines, and
+    cluster sizes (the standard corpus-subsampling trick; never
+    random_sample, whose output depends on block layout)."""
+    bound = "4" + "0" * 31  # top nibble < 4 ⇒ 4/16 of the hash space
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        with_md5 = fts.fingerprint_batch(batch)
+        return with_md5.filter(pc.less(with_md5["fp_md5"], bound))
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(keep, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp_md5"])
+    )
+
+
 def q_langid(sf_dir: str):
     from docling_translate_ray.util import auto_pool_size
 
