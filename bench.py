@@ -166,7 +166,7 @@ def main() -> None:
         hw_2_8 = hardware_speedup(2, 8)
         hw_8_32 = hardware_speedup(8, 32)
         e28, e832 = eff(2, 8), eff(8, 32)
-        print(json.dumps({
+        result = ({
             "metric": "extraction scaling efficiency N→4N (2→8 cpus; "
                       "hardware-valid window, see scaling.hardware)",
             "value": round(e28, 4), "unit": "efficiency",
@@ -189,7 +189,13 @@ def main() -> None:
                         (runs[32]["docs_per_sec"] / runs[8]["docs_per_sec"]) / hw_8_32, 4),
                 },
             },
-        }))
+        })
+        # persist so plain bench runs (what the round driver records) can
+        # embed the latest scaling evidence alongside the headline times
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SCALING.json"), "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
         return
 
     import ray
@@ -214,11 +220,21 @@ def main() -> None:
         fn()
         times[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline pipelines total wall time",
         "value": total, "unit": "sec", "queries": times,
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
-    }))
+    }
+    scaling_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    if os.path.exists(scaling_file):  # latest `--scaling` evidence, if any
+        try:
+            with open(scaling_file) as f:
+                out["scaling_evidence"] = json.load(f)["scaling"]
+        except Exception:
+            pass
+    print(json.dumps(out))
     ray.shutdown()
 
 
