@@ -137,27 +137,6 @@ class MinHasher:
         return batch.append_column("minhash", arr)
 
 
-def explode_bands(batch: pa.Table, num_bands: int = 16, id_column: str = "doc_id") -> pa.Table:
-    """signature rows → (band_id, band_key, doc_id) rows for the LSH groupby."""
-    ids = batch[id_column].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    o_band, o_key, o_id = [], [], []
-    for did, sig in zip(ids, sigs):
-        r = len(sig) // num_bands
-        for b in range(num_bands):
-            chunk = tuple(sig[b * r : (b + 1) * r])
-            o_band.append(b)
-            o_key.append(hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest())
-            o_id.append(did)
-    return pa.table(
-        {
-            "band_id": pa.array(o_band, pa.int32()),
-            "band_key": pa.array(o_key, pa.string()),
-            id_column: pa.array(o_id, pa.int64()),
-        }
-    )
-
-
 def jaccard(a: str, b: str, k: int = 3) -> float:
     sa, sb = set(word_shingles(a, k)), set(word_shingles(b, k))
     if not sa and not sb:
@@ -182,6 +161,12 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
     (thousands of identical docs) makes one bucket huge — exact-dedup first
     (cheaper) and run LSH on the survivors, which is the documented usage.
     """
+    if num_bands < 1 or num_perm % num_bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of num_bands "
+            f"({num_bands}) — rows-per-band = num_perm // num_bands drives the "
+            "collision probability and must be >= 1"
+        )
     if concurrency is None:
         from docling_translate_ray.util import auto_pool_size
 
@@ -203,34 +188,48 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
 
     def verify_partition(part: pa.Table) -> pa.Table:
         """One call per hash partition: vectorized filter to multi-member
-        buckets, then pairwise exact-Jaccard verify inside each tiny bucket."""
+        buckets, then pairwise exact-Jaccard verify inside each tiny
+        bucket.  Shingle sets are computed ONCE per doc per partition and
+        each (lo, hi) pair is verified once even when it collides in many
+        bands (exact dups collide in all of them)."""
         import polars as pl
 
         df = pl.from_arrow(part)
         multi = df.filter(pl.len().over(["band_id", "band_key"]) > 1)
-        pairs: dict[int, int] = {}
+        shingles: dict[int, frozenset] = {}
+        checked: set[tuple[int, int]] = set()
+        out_id, out_canon = [], []
         if multi.height:
             for bucket in multi.partition_by(["band_id", "band_key"]):
                 ids = bucket[id_column].to_list()
                 texts = bucket["_text"].to_list()
-                order = np.argsort(ids)
-                for i in range(len(order)):
-                    for j in range(i + 1, len(order)):
-                        a, b = order[i], order[j]
-                        if jaccard(texts[a], texts[b]) >= threshold:
-                            lo, hi = ids[a], ids[b]
-                            pairs[hi] = min(pairs.get(hi, lo), lo)
-                            pairs.setdefault(lo, lo)
+                for did, txt in zip(ids, texts):
+                    if did not in shingles:
+                        shingles[did] = frozenset(word_shingles(txt or ""))
+                ids_sorted = sorted(ids)
+                for i in range(len(ids_sorted)):
+                    for j in range(i + 1, len(ids_sorted)):
+                        key = (ids_sorted[i], ids_sorted[j])
+                        if key in checked:
+                            continue
+                        checked.add(key)
+                        sa, sb = shingles[key[0]], shingles[key[1]]
+                        union = len(sa | sb)
+                        sim = (len(sa & sb) / union) if union else 1.0
+                        if sim >= threshold:
+                            out_id.extend(key)
+                            out_canon.extend([key[0], key[0]])
         return pa.table(
             {
-                id_column: pa.array(list(pairs.keys()), pa.int64()),
-                "canonical_id": pa.array(list(pairs.values()), pa.int64()),
+                id_column: pa.array(out_id, pa.int64()),
+                "canonical_id": pa.array(out_canon, pa.int64()),
             }
         )
 
     cand = hash_partition_apply(bands, ["band_id", "band_key"], verify_partition)
-    # a doc may appear in several buckets → final min-label per doc
-    return hash_partition_apply(cand, [id_column], _min_label_block(id_column))
+    # pair labels → per-CLUSTER canonical (transitive closure, A~B~C ⇒ one
+    # cluster under min id even when A~C itself fails the threshold)
+    return _resolve_transitive(cand, id_column)
 
 
 def _explode_bands_with_text(batch: pa.Table, num_bands: int, id_column: str, column: str) -> pa.Table:
@@ -256,20 +255,47 @@ def _explode_bands_with_text(batch: pa.Table, num_bands: int, id_column: str, co
     )
 
 
-def _min_label_block(id_column: str):
-    """Block fn: per id, keep the minimum canonical label (vectorized)."""
+def _resolve_transitive(labels_ds, id_column: str) -> pa.Table:
+    """Union-find closure over (id → canonical_id) labels so every member
+    of a connected near-dup component points at the component's TRUE
+    minimum id — a per-pair min is not a per-cluster min (A~B, B~C without
+    A~C must still merge into one cluster under min(A)).
 
-    def block(part: pa.Table) -> pa.Table:
-        import polars as pl
+    The label table only contains dup-cluster members — a small fraction
+    of the corpus by construction (run exact dedup first on mostly-dup
+    corpora, as the module docstring prescribes) — so the closure is a
+    driver-side union-find over the collected pairs; the expensive part
+    (candidate generation + verification) stays distributed."""
+    import ray.data
 
-        return (
-            pl.from_arrow(part)
-            .group_by(id_column)
-            .agg(pl.col("canonical_id").min())
-            .to_arrow()
-        )
+    parent: dict[int, int] = {}
+    seen: set[int] = set()
 
-    return block
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for b in labels_ds.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for i, c in zip(t[id_column].to_pylist(), t["canonical_id"].to_pylist()):
+            seen.add(i)
+            seen.add(c)
+            ri, rc = find(i), find(c)
+            if ri != rc:
+                lo, hi = min(ri, rc), max(ri, rc)
+                parent[hi] = lo
+
+    ids = sorted(seen)
+    return ray.data.from_arrow(pa.table(
+        {
+            id_column: pa.array(ids, pa.int64()),
+            "canonical_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    ))
 
 
 def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
@@ -289,8 +315,13 @@ def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
     """
     import ray
 
+    # pin the (id, text) projection once: it feeds BOTH the driver-side
+    # index build and the distributed pair scan below — without this the
+    # upstream pipeline would execute twice
+    ds = ds.select_columns([id_column, column]).materialize()
+
     index: dict[int, frozenset] = {}
-    for b in ds.select_columns([id_column, column]).iter_batches(
+    for b in ds.iter_batches(
         batch_format="pyarrow", batch_size=8192
     ):
         t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
@@ -366,7 +397,15 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
                      concurrency: int | None = None):
     """Near-dup pairs by SimHash: 4×16-bit chunk buckets (a pair within
     Hamming ≤ 3 of 64 bits shares at least one exact 16-bit chunk — pigeonhole)
-    → within-bucket Hamming verify.  Returns (doc_id, canonical_id)."""
+    → within-bucket Hamming verify.  Returns (doc_id, canonical_id) with
+    per-cluster canonical ids (transitive closure)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 3 breaks the 4-chunk pigeonhole "
+            "guarantee (a pair differing in 4+ bits may share no exact "
+            "16-bit chunk and would be silently missed); increase the chunk "
+            "count instead"
+        )
     if concurrency is None:
         from docling_translate_ray.util import auto_pool_size
 
@@ -422,7 +461,7 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
         ["chunk_id", "chunk_key"],
         verify_partition,
     )
-    return hash_partition_apply(cand, [id_column], _min_label_block(id_column))
+    return _resolve_transitive(cand, id_column)
 
 
 # ---------------------------------------------------------------- embedding
@@ -434,7 +473,8 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
     Vectors are L2-normalized per batch (numpy); the bucket key is the sign
     pattern over ``num_planes`` seeded hyperplanes — cos ≥ 0.95 pairs almost
     always share a bucket (collision prob (1-θ/π)^p); verify is an exact
-    within-bucket pairwise matmul.  Returns (vec_id, canonical_id, cosine).
+    within-bucket pairwise matmul.  Returns (vec_id, canonical_id) with
+    per-cluster canonical ids (transitive closure).
     """
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -443,12 +483,12 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
             return pa.table({"bucket_key": pa.array([], pa.int64()),
                              id_column: pa.array([], pa.int64()),
                              "_vec": pa.array([], pa.list_(pa.float64()))})
+        from docling_translate_ray.functions.knn import _normalize
+
         dim = mat.shape[1]
         rng = np.random.RandomState(seed)
         planes = rng.randn(dim, num_planes)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
+        mat = _normalize(mat)
         signs = (mat @ planes > 0).astype(np.int64)
         keys = (signs * (1 << np.arange(num_planes))).sum(axis=1)
         return pa.table(
@@ -493,8 +533,11 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
             }
         )
 
-    return hash_partition_apply(
+    cand = hash_partition_apply(
         ds.map_batches(bucketize, batch_format="pyarrow"),
         ["bucket_key"],
         verify_partition,
+    ).map_batches(
+        lambda b: b.select([id_column, "canonical_id"]), batch_format="pyarrow"
     )
+    return _resolve_transitive(cand, id_column)

@@ -42,7 +42,7 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
         qm = ray.get(q_ref)
         ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
         if ids.size == 0:
-            return _empty_knn()
+            return _empty_knn(id_column)
         mat = _normalize(np.array(batch[column].to_pylist(), dtype=np.float64))
         sims = qm @ mat.T  # (Q, B)
         kk = min(k, mat.shape[0])
@@ -85,11 +85,11 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
     )
 
 
-def _empty_knn():
+def _empty_knn(id_column: str = "vec_id"):
     return pa.table(
         {
             "query_idx": pa.array([], pa.int64()),
-            "vec_id": pa.array([], pa.int64()),
+            id_column: pa.array([], pa.int64()),
             "cosine": pa.array([], pa.float64()),
         }
     )
@@ -115,17 +115,25 @@ def train_centroids(ds, n_centroids: int = 16, seed: int = 42,
     for b in head.iter_batches(batch_format="pyarrow"):
         col = b[column] if hasattr(b, "column_names") else b.column(column)
         rows.extend(col.to_pylist())
+    if not rows:
+        raise ValueError(
+            f"train_centroids: corpus sample is empty (column {column!r})"
+        )
     mat = _normalize(np.array(rows, dtype=np.float64))
     n = mat.shape[0]
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
     for _ in range(iters):
+        # spherical k-means: renormalize BETWEEN iterations too, so cosine
+        # assignment never favors tight (high-norm) mean vectors, and the
+        # training-time partition matches the normalized serving centroids
         assign = np.argmax(mat @ cents.T, axis=1)
         for c in range(cents.shape[0]):
             members = mat[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
-    return _normalize(cents)
+        cents = _normalize(cents)
+    return cents
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
@@ -158,12 +166,12 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         qm, cm, pr = ray.get(q_ref), ray.get(c_ref), ray.get(probe_ref)
         ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
         if ids.size == 0:
-            return _empty_knn()
+            return _empty_knn(id_column)
         mat = _normalize(np.array(batch[column].to_pylist(), dtype=np.float64))
         assign = np.argmax(mat @ cm.T, axis=1)
         mask = np.isin(assign, list(pr))
         if not mask.any():
-            return _empty_knn()
+            return _empty_knn(id_column)
         ids, mat = ids[mask], mat[mask]
         sims = (qm @ mat.T)[0]
         idx = np.lexsort((ids, -sims))[: min(k, len(ids))]

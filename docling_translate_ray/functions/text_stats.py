@@ -41,12 +41,13 @@ def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
     rolls = np.empty(len(texts), dtype=np.uint64)
     B = np.uint64(1315423911)
-    for i, t in enumerate(texts):
-        h = np.uint64(0)
-        for w in (t or "").split():
-            wh = np.uint64(int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16))
-            h = h * B + wh  # wraps mod 2^64
-        rolls[i] = h
+    with np.errstate(over="ignore"):  # wrap mod 2^64 is the point
+        for i, t in enumerate(texts):
+            h = np.uint64(0)
+            for w in (t or "").split():
+                wh = np.uint64(int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16))
+                h = h * B + wh
+            rolls[i] = h
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
         "fp_roll", pa.array(rolls.view(np.int64), pa.int64())
     )

@@ -107,6 +107,41 @@ def test_minhash_lsh_dedup_planted():
     assert 12 not in labels
 
 
+def test_minhash_transitive_closure():
+    """A~B and B~C (but A≁C) must still form ONE cluster under min id."""
+    import ray.data
+
+    w = [f"w{i}" for i in range(60)]
+    a = " ".join(w[:40])        # shares 30/40-ish with b
+    b_ = " ".join(w[10:50])     # shares with both
+    c = " ".join(w[20:60])      # shares with b, distant from a
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [a, b_, c],
+        }
+    )
+    thr = 0.4
+    assert dd.jaccard(a, b_) >= thr and dd.jaccard(b_, c) >= thr
+    assert dd.jaccard(a, c) < thr
+    got = _to_table(dd.minhash_lsh_dedup(ray.data.from_arrow(tbl),
+                                         threshold=thr, concurrency=2))
+    labels = {r["doc_id"]: r["canonical_id"] for r in got.to_pylist()}
+    assert labels == {1: 1, 2: 1, 3: 1}  # one cluster, canonical = min id
+
+
+def test_minhash_param_validation():
+    import pytest as _pt
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                       "text": ["x"]}))
+    with _pt.raises(ValueError):
+        dd.minhash_lsh_dedup(ds, num_perm=8, num_bands=16)
+    with _pt.raises(ValueError):
+        dd.simhash_near_dup(ds, max_hamming=5)
+
+
 def test_minhash_signature_jaccard_estimate():
     mh = dd.MinHasher(num_perm=128)
     t = _near_dup_corpus()
