@@ -65,16 +65,28 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         for i, c in zip(t[id_column].to_pylist(), t["canonical_id"].to_pylist()):
             if i != c:
                 drop.add(i)
-    drop_ref = ray.put(frozenset(drop))
+    drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
 
-    def drop_members(batch: pa.Table) -> pa.Table:
-        import ray as _ray
+    class DropMembers:
+        """Drop set fetched ONCE per actor; per-batch filter is a single
+        vectorized pc.is_in (no per-batch deserialization, no Python rows)."""
 
-        dd = _ray.get(drop_ref)
-        mask = pa.array([i not in dd for i in batch[id_column].to_pylist()])
-        return batch.filter(mask)
+        def __init__(self) -> None:
+            import ray as _ray
 
-    curated = surv.map_batches(drop_members, batch_format="pyarrow")
+            self._drop = _ray.get(drop_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(pc.is_in(batch[id_column], value_set=self._drop))
+            return batch.filter(mask)
+
+    from docling_translate_ray.util import auto_pool_size
+
+    curated = surv.map_batches(
+        DropMembers, batch_format="pyarrow", concurrency=auto_pool_size()
+    )
     stats["n_curated"] = curated.count()
     return curated, stats
 

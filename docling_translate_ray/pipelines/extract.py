@@ -157,9 +157,21 @@ def score_docs(
     # slower on wide doc payloads (see stages/shuffle.partition_join)
     from docling_translate_ray.stages.shuffle import partition_join
 
-    return partition_join(
+    out = partition_join(
         docs_ds.drop_columns(["spans"]), per_url, on=["url"], how="left"
     )
+
+    def fill_missing(batch: pa.Table) -> pa.Table:
+        # docs with no translatable sentences have no per_url row; emit ""
+        # exactly like the broadcast probe does, so both strategies produce
+        # identical durable output
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(batch["translated_text"], "")
+        idx = batch.column_names.index("translated_text")
+        return batch.set_column(idx, "translated_text", col)
+
+    return out.map_batches(fill_missing, batch_format="pyarrow")
 
 
 def run_extract_job(
@@ -193,11 +205,23 @@ def run_extract_job(
     """
     import ray.data
 
+    if engine and not span_text:
+        raise ValueError(
+            "engine scoring requires span text: Phase 2 re-tokenizes spans "
+            "from their text field, which span_text=False removes — score "
+            "first, or keep span_text=True"
+        )
+
     run_id = uuid.uuid4().hex[:12]
 
     if layout == "shard":
+        ckpt.check_job_meta(out_dir, "shard", None)
+        ckpt.write_job_meta(out_dir, "shard", None)
         return _run_shard_job(input_path, out_dir, run_id, resume, engine,
                               miss_policy, strategy, source_kind, span_text)
+
+    ckpt.check_job_meta(out_dir, "bucket", n_buckets)
+    ckpt.write_job_meta(out_dir, "bucket", n_buckets)
 
     done: set[int] = set()
     if resume:
@@ -328,12 +352,16 @@ def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
     }
 
     if engine:
+        scored_dir = os.path.join(out_dir, "scored")
+        # scoring always covers ALL docs; clear previous runs' parts or a
+        # rerun would append duplicate scored rows per shard
+        shutil.rmtree(scored_dir, ignore_errors=True)
         back = ray.data.read_parquet(ddir)
         scored = score_docs(back, engine=engine, miss_policy=miss_policy,
                             strategy=strategy)
         sink = scored.drop_columns(["spans"]) if strategy == "broadcast" else scored
         writer = ckpt.ShardWriter(
-            os.path.join(out_dir, "scored"), run_id,
+            scored_dir, run_id,
             key_column="shard", key_is_path=False,
         )
         for _ in sink.map_batches(writer, batch_format="pyarrow").iter_batches():

@@ -37,10 +37,17 @@ def thin_batch_duplicates(batch: pa.Table, column: str = "sentence") -> pa.Table
     if batch.num_rows == 0:
         return batch
     import numpy as np
+    import polars as pl
 
-    h = batch["sent_hash"].to_numpy(zero_copy_only=False)
-    _, first_idx = np.unique(h, return_index=True)
-    return batch.take(pa.array(np.sort(first_idx)))
+    # dedup by the sentence STRING (a 64-bit hash collision must never drop
+    # a real sentence — the hash only routes partitions)
+    first = (
+        pl.from_arrow(batch.select([column]))
+        .with_row_index("_i")
+        .unique(subset=[column], keep="first")
+    )
+    idx = np.sort(first["_i"].to_numpy())
+    return batch.take(pa.array(idx))
 
 
 def unique_sentences(sent_ds, column: str = "sentence"):
@@ -62,9 +69,15 @@ def unique_sentences(sent_ds, column: str = "sentence"):
     def distinct_block(part: pa.Table) -> pa.Table:
         import polars as pl
 
+        from docling_translate_ray.state.checkpoint import normalize_arrow_types
+
         # distinct by the sentence STRING (hash only routes the partition,
-        # so a 64-bit hash collision can never drop a real sentence)
-        return pl.from_arrow(part).unique(subset=[column], keep="any").to_arrow()
+        # so a 64-bit hash collision can never drop a real sentence);
+        # normalize polars' large_string back so downstream joins on the
+        # sentence column match the plain-typed left side
+        return normalize_arrow_types(
+            pl.from_arrow(part).unique(subset=[column], keep="any").to_arrow()
+        )
 
     return hash_partition_apply(thinned, ["sent_hash"], distinct_block)
 
@@ -187,10 +200,13 @@ def join_scores(sent_ds, unique_scored_ds, num_partitions: int | None = None):
 
         num_partitions = join_partitions()
     left = sent_ds.map_batches(add_sentence_hash, batch_format="pyarrow")
-    right = unique_scored_ds.select_columns(["sent_hash", "scored"])
+    # join on (hash, sentence): the hash drives partitioning, the STRING
+    # guarantees a 64-bit collision can never attach the wrong score or
+    # duplicate a sentence row
+    right = unique_scored_ds.select_columns(["sent_hash", "sentence", "scored"])
     return left.join(
         right,
         join_type="left_outer",
         num_partitions=num_partitions,
-        on=("sent_hash",),
+        on=("sent_hash", "sentence"),
     )

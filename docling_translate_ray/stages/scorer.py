@@ -43,13 +43,25 @@ class BaseEngine:
         raise NotImplementedError
 
     def score_with_retry(self, texts: list[str]) -> list[str]:
-        for attempt in range(self.max_retries):
+        """Batch-first, then per-sentence: one poison input must not cost
+        the whole batch its scores (the per-sentence retry/fallback policy,
+        openai.py:60-91 / google.py:29-31)."""
+        for _ in range(self.max_retries):
             try:
                 return self.score(texts)
             except Exception:
-                if attempt == self.max_retries - 1:
-                    return list(texts)  # final fallback: identity (google.py:29-31)
-        return list(texts)
+                continue
+        out: list[str] = []
+        for t in texts:  # isolate the poison input(s)
+            scored = t  # identity fallback
+            for _ in range(self.max_retries):
+                try:
+                    scored = self.score([t])[0]
+                    break
+                except Exception:
+                    continue
+            out.append(scored)
+        return out
 
 
 class IdentityEngine(BaseEngine):

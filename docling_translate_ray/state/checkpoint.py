@@ -63,7 +63,11 @@ def completed_buckets(out_dir: str) -> set[int]:
     ldir = lineage_dir(out_dir)
     if not os.path.isdir(ldir):
         return set()
-    files = [os.path.join(ldir, f) for f in os.listdir(ldir) if f.endswith(".parquet")]
+    files = [
+        os.path.join(ldir, f)
+        for f in os.listdir(ldir)
+        if f.endswith(".parquet") and not f.startswith("shard_lineage_")
+    ]
     if not files:
         return set()
     done: set[int] = set()
@@ -318,27 +322,6 @@ def finalize_shard_lineage_local(partials: pa.Table) -> pa.Table:
     return agg.to_arrow().select(SHARD_LINEAGE_SCHEMA.names).cast(SHARD_LINEAGE_SCHEMA)
 
 
-def finalize_shard_lineage(partials_ds, num_partitions: int = 16):
-    """Partial lineage rows → one row per shard (tiny exchange)."""
-    from docling_translate_ray.stages.shuffle import hash_partition_apply
-
-    def block(part: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(part)
-        agg = df.group_by("shard").agg(
-            pl.col("doc_count").sum(),
-            pl.col("ok_count").sum(),
-            pl.col("error_count").sum(),
-            pl.col("byte_count").sum(),
-            pl.col("failure_urls").flatten().drop_nulls().alias("failure_urls"),
-            pl.col("run_id").first(),
-        )
-        return agg.to_arrow()
-
-    return hash_partition_apply(partials_ds, ["shard"], block, num_partitions)
-
-
 def write_shard_lineage(out_dir: str, lineage: pa.Table, run_id: str) -> str:
     ldir = lineage_dir(out_dir)
     os.makedirs(ldir, exist_ok=True)
@@ -375,7 +358,11 @@ def load_lineage(out_dir: str) -> pa.Table:
     ldir = lineage_dir(out_dir)
     if not os.path.isdir(ldir):
         return LINEAGE_SCHEMA.empty_table()
-    files = [os.path.join(ldir, f) for f in os.listdir(ldir) if f.endswith(".parquet")]
+    files = [
+        os.path.join(ldir, f)
+        for f in os.listdir(ldir)
+        if f.endswith(".parquet") and not f.startswith("shard_lineage_")
+    ]
     if not files:
         return LINEAGE_SCHEMA.empty_table()
     tbl = pa.concat_tables([pq.read_table(f) for f in files]).cast(LINEAGE_SCHEMA)
@@ -454,6 +441,42 @@ def compute_lineage(out_dir: str, run_id: str | None = None) -> pa.Table:
                for b in out.iter_batches(batch_format="pyarrow")]
     tbl = pa.concat_tables(batches) if batches else LINEAGE_SCHEMA.empty_table()
     return tbl.cast(LINEAGE_SCHEMA)
+
+
+def write_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
+    """Record the partitioning parameters so a resume with INCOMPATIBLE
+    parameters fails loudly instead of silently skipping wrong partitions
+    (bucket ids from n_buckets=64 mean nothing under n_buckets=16)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "job_meta.json")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"layout": layout, "n_buckets": n_buckets}, f)
+        os.replace(tmp, path)
+
+
+def check_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
+    import json
+
+    path = os.path.join(out_dir, "job_meta.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("layout") != layout or (
+        layout == "bucket" and meta.get("n_buckets") != n_buckets
+    ):
+        raise ValueError(
+            f"resume parameter mismatch for {out_dir}: existing output was "
+            f"written with layout={meta.get('layout')!r} "
+            f"n_buckets={meta.get('n_buckets')}, this run requests "
+            f"layout={layout!r} n_buckets={n_buckets}; use a fresh out_dir "
+            "or matching parameters (bucket ids are not comparable across "
+            "bucketings)"
+        )
 
 
 def write_lineage(out_dir: str, lineage: pa.Table, run_id: str) -> str:
