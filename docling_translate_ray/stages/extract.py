@@ -208,7 +208,7 @@ def drop_span_text(batch: pa.Table) -> pa.Table:
     return batch.set_column(idx, "spans", slim)
 
 
-def add_url_bucket(batch: pa.Table, n_buckets: int, salt_hosts: int = 4) -> pa.Table:
+def add_url_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     """Partitioning key: ``bucket = hash64(url) % n_buckets``.
 
     The url hash already spreads a zipf-skewed host distribution (each url is
