@@ -5,18 +5,24 @@ Five dedup modes, each expressed Ray-Data-first:
 * **exact** — md5 content hash → per-batch combiner → ``groupby(hash)`` keep
   first (min doc_id): the A1 analog (core.py:454) at corpus scale.
 * **MinHash + LSH** — word shingles → k minhashes (vectorized numpy
-  permutations) → band signatures → ``groupby(band)`` candidate buckets →
-  exact Jaccard verify → canonical = min doc_id per duplicate cluster.
+  permutations) → band keys → ``groupby(band)`` candidate buckets →
+  candidate PAIRS (ids only — document text never rides the band shuffle)
+  → exact-Jaccard verify over the candidate members' texts only →
+  distributed connected components → per-cluster canonical = min doc_id.
 * **SimHash** — 64-bit sign-aggregated token hashes; near-dup = Hamming
   distance ≤ t within LSH-style chunk buckets.
 * **n-gram Jaccard** — exact pairwise Jaccard verification (used as the
   verifier inside LSH; standalone for small candidate sets).
-* **embedding cosine** — random-hyperplane LSH buckets over normalized
-  vectors → within-bucket pairwise cosine ≥ τ.
+* **embedding cosine** — banded random-hyperplane LSH (multiple hash
+  tables) over normalized vectors → capped-size buckets → within-bucket
+  pairwise cosine ≥ τ.
 
 Partitioning assumptions are documented per function; every shuffle is a
 ``groupby`` on a content-derived key (uniformly distributed by construction,
-so no salting needed — unlike url/host keys).
+so no salting needed — unlike url/host keys).  Cluster closure is a
+distributed min-label propagation with pointer jumping
+(:func:`connected_components`) — no driver-side union-find, so the
+duplicate-pair table never has to fit on one machine.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
     toks = text.split()
@@ -77,6 +84,184 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
         ["content_md5"],
         finalize,
     )
+
+
+# ---------------------------------------------------------------- components
+
+def _union_find_block(batch: pa.Table, id_column: str) -> pa.Table:
+    """Union-find over one coalesced pair block — runs INSIDE a Ray task
+    (worker memory), never on the driver."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    ids = sorted(parent)
+    return pa.table(
+        {
+            id_column: pa.array(ids, pa.int64()),
+            "canonical_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
+
+
+def _single_block_components(pairs_ds, id_column: str):
+    """Fast closure path: coalesce the (small) pair table to one block and
+    union-find it in a single distributed task."""
+    return pairs_ds.repartition(1).map_batches(
+        lambda b: _union_find_block(b, id_column),
+        batch_format="pyarrow",
+        batch_size=None,  # whole block = the whole pair set
+    )
+
+
+def connected_components(pairs_ds, id_column: str = "doc_id",
+                         num_partitions: int = 16, max_iters: int = 64,
+                         single_block_threshold: int = 2_000_000):
+    """Distributed connected components over an (id_a, id_b) pair table.
+
+    Returns a Dataset ``(id_column, canonical_id)`` — every member of a
+    connected component labeled with the component's minimum id (a per-pair
+    min is NOT a per-cluster min: A~B, B~C without A~C must still merge).
+
+    Two physical paths, neither of which ever iterates rows on the driver:
+
+    * pair count ≤ ``single_block_threshold`` — the pairs coalesce into ONE
+      block and a single Ray task runs union-find over it (one exchange,
+      worker memory, the fast path for the common case where duplicates
+      are a modest fraction of the corpus);
+    * above the threshold — distributed min-label propagation: edges and
+      label rows ride ONE tagged table co-partitioned by node, so each
+      round costs exactly one bounded hash-partition exchange (a round's
+      block merges a node's incoming label candidates and emits the node's
+      own label plus a candidate to every neighbor).  Labels only ever
+      decrease; convergence is detected with a distributed sum.  Rounds =
+      O(max cluster diameter) — web dup-clusters are shallow (near-stars),
+      so this converges in a handful of rounds.
+    """
+    import ray.data
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    empty = pa.table({id_column: pa.array([], pa.int64()),
+                      "canonical_id": pa.array([], pa.int64())})
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty)
+    if n_pairs <= single_block_threshold:
+        return _single_block_components(pairs_ds, id_column)
+
+    # tagged rows: kind 0 = edge (val = neighbor), kind 1 = merged own label
+    # (val = label), kind 2 = in-flight label candidate for node
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"]
+        b = batch["id_b"].combine_chunks() if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"]
+        n = len(a) + len(b)
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "val": pa.concat_arrays([b, a]),
+                         "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8())})
+
+    edge_rows = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_block(part: pa.Table) -> pa.Table:
+        # initial label = min(node, neighbors), AND a label candidate to
+        # every neighbor — props must exist from round 0 so the sum-equality
+        # convergence test is sound (labels are monotone; if a round leaves
+        # every label unchanged, its props equal the previous round's and
+        # the system is at its fixpoint — only true when props are always
+        # derived from the current labels)
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        lbl = (
+            df.group_by("node")
+            .agg(pl.col("val").min())
+            .select(pl.col("node"), pl.min_horizontal("node", "val").alias("val"))
+        )
+        own = lbl.with_columns(pl.lit(1, dtype=pl.Int8).alias("kind"))
+        props = (
+            df.join(lbl, on="node", how="inner", suffix="_lbl")
+            .select(
+                pl.col("val").alias("node"),
+                pl.col("val_lbl").alias("val"),
+                pl.lit(2, dtype=pl.Int8).alias("kind"),
+            )
+        )
+        return pl.concat([own, props]).to_arrow()
+
+    labels = hash_partition_apply(
+        edge_rows, ["node"], init_block, num_partitions=num_partitions
+    ).materialize()
+
+    def own_label_sum(lbl_ds) -> int:
+        import pyarrow.compute as pc
+
+        def own_only(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"val": batch.filter(pc.equal(batch["kind"], 1))["val"]}
+            )
+
+        return lbl_ds.map_batches(own_only, batch_format="pyarrow").sum("val")
+
+    prev = own_label_sum(labels)
+
+    def step_block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        lbl = (
+            df.filter(pl.col("kind") != 0)
+            .group_by("node")
+            .agg(pl.col("val").min())
+        )
+        own = lbl.with_columns(pl.lit(1, dtype=pl.Int8).alias("kind"))
+        props = (
+            df.filter(pl.col("kind") == 0)
+            .join(lbl, on="node", how="inner", suffix="_lbl")
+            .select(
+                pl.col("val").alias("node"),       # the neighbor receives…
+                pl.col("val_lbl").alias("val"),    # …this node's label
+                pl.lit(2, dtype=pl.Int8).alias("kind"),
+            )
+        )
+        return pl.concat([own, props]).to_arrow()
+
+    for _ in range(max_iters):
+        labels = hash_partition_apply(
+            edge_rows.union(labels), ["node"], step_block,
+            num_partitions=num_partitions,
+        ).materialize()
+        cur = own_label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(pathological cluster diameter); raise max_iters"
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        own = batch.filter(pc.equal(batch["kind"], 1))
+        return pa.table({id_column: own["node"], "canonical_id": own["val"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- minhash
@@ -146,20 +331,212 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _empty_pairs() -> pa.Table:
+    return _PAIR_SCHEMA.empty_table()
+
+
+def _explode_bands(batch: pa.Table, num_bands: int, id_column: str) -> pa.Table:
+    """Band rows ``(band_id, band_key, id)`` — ids and 8-byte keys ONLY.
+
+    The LSH exchange therefore moves ~20 bytes × num_bands per document,
+    never the document text (the round-1 version shipped the full text in
+    every band row — a 16× corpus amplification through the shuffle).
+    Equal signature chunks always mix to equal 64-bit keys, so recall is
+    identical to hashing the raw chunk; a 64-bit mix collision can only ADD
+    a candidate pair, which the exact verify then discards.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"band_id": pa.array([], pa.int32()),
+                         "band_key": pa.array([], pa.int64()),
+                         id_column: pa.array([], pa.int64())})
+    ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+    sig = np.array(batch["minhash"].to_pylist(), dtype=np.uint64)  # (N, P)
+    r = sig.shape[1] // num_bands
+    chunks = sig.reshape(n, num_bands, r)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    key = np.zeros((n, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            key = (key * gold) ^ (chunks[:, :, j] * np.uint64(2 * j + 3))
+        key = key * gold
+    return pa.table(
+        {
+            "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n),
+                                pa.int32()),
+            "band_key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
+            id_column: pa.array(np.repeat(ids, num_bands), pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs_block(part: pa.Table, id_column: str) -> pa.Table:
+    """Per hash partition: multi-member buckets → unique candidate id pairs.
+
+    Pure id work — O(bucket²) pair emission per bucket, with buckets tiny
+    by construction (bands×rows tune the collision probability).  A
+    degenerate corpus of thousands of IDENTICAL docs makes every bucket
+    huge; run exact dedup first (cheaper), which is the documented usage.
+    """
+    import polars as pl
+
+    df = pl.from_arrow(part)
+    multi = df.filter(pl.len().over(["band_id", "band_key"]) > 1)
+    if not multi.height:
+        return _empty_pairs()
+    outs = []
+    for bucket in multi.partition_by(["band_id", "band_key"]):
+        ids = np.unique(bucket[id_column].to_numpy())
+        if len(ids) < 2:
+            continue
+        iu, ju = np.triu_indices(len(ids), k=1)
+        outs.append(np.stack([ids[iu], ids[ju]], axis=1))
+    if not outs:
+        return _empty_pairs()
+    arr = np.unique(np.concatenate(outs), axis=0)
+    return pa.table({"id_a": pa.array(arr[:, 0], pa.int64()),
+                     "id_b": pa.array(arr[:, 1], pa.int64())})
+
+
+def _candidate_texts(docs_ds, pairs_ds, id_column: str, column: str,
+                     max_broadcast: int = 5_000_000):
+    """(id, text) rows for every id appearing in a candidate pair.
+
+    The corpus text never enters a shuffle: the candidate-id set (dup-
+    cluster members only — small by construction) is collected as ONE
+    int64 column, broadcast via ``ray.put``, and docs are filtered with a
+    vectorized ``pc.is_in`` per batch.  Past ``max_broadcast`` ids (~40 MB)
+    the driver is no longer the right place for the set and this falls
+    back to a fully distributed semi ``partition_join`` (which does move
+    the corpus text through one bounded exchange — the honest trade).
+    """
+    import ray
+
+    ids = _collect_pair_ids(pairs_ds, max_broadcast)
+    if ids is None:  # candidate set too big for one machine — stay distributed
+        from docling_translate_ray.stages.shuffle import distinct, partition_join
+
+        def ids_of(col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table({id_column: batch[col]})
+
+            return fn
+
+        cand_ids = distinct(
+            pairs_ds.map_batches(ids_of("id_a"), batch_format="pyarrow").union(
+                pairs_ds.map_batches(ids_of("id_b"), batch_format="pyarrow")
+            ),
+            [id_column],
+            num_partitions=16,
+        )
+        return partition_join(docs_ds, cand_ids, on=[id_column], how="semi")
+
+    ref = ray.put(pa.array(ids, pa.int64()))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        # ray.get of the broadcast id array is a zero-copy shared-memory
+        # read — per-task fetch costs nothing, so no actor pool needed here
+        return batch.filter(pc.is_in(batch[id_column], value_set=_ray.get(ref)))
+
+    return docs_ds.map_batches(keep_candidates, batch_format="pyarrow")
+
+
+def _collect_pair_ids(pairs_ds, max_broadcast: int):
+    """Unique ids appearing in the (materialized) pair table, as ONE int64
+    vector — or ``None`` as soon as the running size passes the broadcast
+    budget (the caller then stays fully distributed).  Only id columns ever
+    reach the driver, never pair rows with payload."""
+    parts: list[np.ndarray] = []
+    n = 0
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        parts.append(t["id_a"].to_numpy(zero_copy_only=False))
+        parts.append(t["id_b"].to_numpy(zero_copy_only=False))
+        n += 2 * t.num_rows
+        if n > 8 * max_broadcast:
+            return None
+    if not parts:
+        return np.array([], dtype=np.int64)
+    ids = np.unique(np.concatenate(parts))
+    return ids if len(ids) <= max_broadcast else None
+
+
+def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
+                          threshold_pct: int, k_shingle: int = 3):
+    """Exact n-gram-Jaccard verify of candidate pairs.
+
+    Texts are attached ONLY for candidate members (two small
+    ``partition_join``s against the filtered docs); the integer threshold
+    ``100·|∩| ≥ pct·|∪|`` keeps the DuckDB oracle bit-exact.
+    """
+    from docling_translate_ray.stages.shuffle import partition_join
+
+    cand_docs = _candidate_texts(docs_ds, pairs_ds, id_column, column)
+
+    def rename_to(idc: str, txtc: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({idc: batch[id_column], txtc: batch[column]})
+
+        return fn
+
+    side_a = cand_docs.map_batches(rename_to("id_a", "_text_a"), batch_format="pyarrow")
+    side_b = cand_docs.map_batches(rename_to("id_b", "_text_b"), batch_format="pyarrow")
+    j1 = partition_join(pairs_ds, side_a, on=["id_a"], how="inner", num_partitions=16)
+    j2 = partition_join(j1, side_b, on=["id_b"], how="inner", num_partitions=16)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        shingles: dict[int, frozenset] = {}
+        out_a, out_b = [], []
+        for a, b, ta, tb in zip(
+            batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+            batch["_text_a"].to_pylist(), batch["_text_b"].to_pylist(),
+        ):
+            sa = shingles.get(a)
+            if sa is None:
+                sa = shingles[a] = frozenset(word_shingles(ta or "", k_shingle))
+            sb = shingles.get(b)
+            if sb is None:
+                sb = shingles[b] = frozenset(word_shingles(tb or "", k_shingle))
+            union = len(sa | sb)
+            if union == 0 or 100 * len(sa & sb) >= threshold_pct * union:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
                       threshold: float = 0.7, num_perm: int = 64, num_bands: int = 16,
                       concurrency: int | None = None):
     """Near-duplicate clusters via MinHash-LSH + exact-Jaccard verify.
 
-    Returns rows ``(doc_id, canonical_id)`` for docs in a near-dup pair
-    (canonical = min id of the verified pair group).  Pipeline: signature
-    (actor pool) → band explode → ``groupby(band_id, band_key)`` → pairwise
-    verify *within bucket only* (buckets are tiny by construction —
-    collision probability tuned by bands×rows) → min-label per doc.
+    Returns rows ``(doc_id, canonical_id)`` for docs in a near-dup cluster
+    (canonical = min id of the connected component — transitive closure,
+    A~B~C ⇒ one cluster under min(A) even when A~C fails the threshold).
+
+    Pipeline (every stage scale-bounded):
+    signature (actor pool) → band explode (**ids + 8-byte keys only** — the
+    text never rides the band shuffle) → ``groupby(band_id, band_key)`` →
+    candidate pairs → global pair ``distinct`` → texts attached for
+    candidate members only → exact integer-threshold Jaccard verify →
+    :func:`connected_components` (distributed label propagation — no
+    driver-side union-find).
 
     Partitioning assumption: band_key is hash-uniform; a degenerate corpus
     (thousands of identical docs) makes one bucket huge — exact-dedup first
     (cheaper) and run LSH on the survivors, which is the documented usage.
+    The candidate-pair table is materialized once (it is the small side by
+    construction); ``ds`` is consumed twice (signatures + candidate text
+    attach), so pass a re-readable source (``read_parquet``) rather than a
+    long computed pipeline.
     """
     if num_bands < 1 or num_perm % num_bands != 0:
         raise ValueError(
@@ -172,130 +549,29 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
 
         concurrency = auto_pool_size()
 
-    sigs = ds.map_batches(
+    from docling_translate_ray.stages.shuffle import distinct, hash_partition_apply
+
+    docs = ds.select_columns([id_column, column])
+    sigs = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"column": column, "num_perm": num_perm},
         batch_format="pyarrow",
         concurrency=concurrency,
-    )
-    # carry text for the verify step (needed inside the bucket)
+    ).select_columns([id_column, "minhash"])
     bands = sigs.map_batches(
-        lambda b: _explode_bands_with_text(b, num_bands, id_column, column),
-        batch_format="pyarrow",
+        lambda b: _explode_bands(b, num_bands, id_column), batch_format="pyarrow"
     )
-
-    from docling_translate_ray.stages.shuffle import hash_partition_apply
-
-    def verify_partition(part: pa.Table) -> pa.Table:
-        """One call per hash partition: vectorized filter to multi-member
-        buckets, then pairwise exact-Jaccard verify inside each tiny
-        bucket.  Shingle sets are computed ONCE per doc per partition and
-        each (lo, hi) pair is verified once even when it collides in many
-        bands (exact dups collide in all of them)."""
-        import polars as pl
-
-        df = pl.from_arrow(part)
-        multi = df.filter(pl.len().over(["band_id", "band_key"]) > 1)
-        shingles: dict[int, frozenset] = {}
-        checked: set[tuple[int, int]] = set()
-        out_id, out_canon = [], []
-        if multi.height:
-            for bucket in multi.partition_by(["band_id", "band_key"]):
-                ids = bucket[id_column].to_list()
-                texts = bucket["_text"].to_list()
-                for did, txt in zip(ids, texts):
-                    if did not in shingles:
-                        shingles[did] = frozenset(word_shingles(txt or ""))
-                ids_sorted = sorted(ids)
-                for i in range(len(ids_sorted)):
-                    for j in range(i + 1, len(ids_sorted)):
-                        key = (ids_sorted[i], ids_sorted[j])
-                        if key in checked:
-                            continue
-                        checked.add(key)
-                        sa, sb = shingles[key[0]], shingles[key[1]]
-                        union = len(sa | sb)
-                        sim = (len(sa & sb) / union) if union else 1.0
-                        if sim >= threshold:
-                            out_id.extend(key)
-                            out_canon.extend([key[0], key[0]])
-        return pa.table(
-            {
-                id_column: pa.array(out_id, pa.int64()),
-                "canonical_id": pa.array(out_canon, pa.int64()),
-            }
-        )
-
-    cand = hash_partition_apply(bands, ["band_id", "band_key"], verify_partition)
-    # pair labels → per-CLUSTER canonical (transitive closure, A~B~C ⇒ one
-    # cluster under min id even when A~C itself fails the threshold)
-    return _resolve_transitive(cand, id_column)
-
-
-def _explode_bands_with_text(batch: pa.Table, num_bands: int, id_column: str, column: str) -> pa.Table:
-    ids = batch[id_column].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    texts = batch[column].to_pylist()
-    o_band, o_key, o_id, o_text = [], [], [], []
-    for did, sig, txt in zip(ids, sigs, texts):
-        r = len(sig) // num_bands
-        for b in range(num_bands):
-            chunk = tuple(sig[b * r : (b + 1) * r])
-            o_band.append(b)
-            o_key.append(hashlib.blake2b(repr(chunk).encode(), digest_size=8).hexdigest())
-            o_id.append(did)
-            o_text.append(txt)
-    return pa.table(
-        {
-            "band_id": pa.array(o_band, pa.int32()),
-            "band_key": pa.array(o_key, pa.string()),
-            id_column: pa.array(o_id, pa.int64()),
-            "_text": pa.array(o_text, pa.string()),
-        }
+    cand = hash_partition_apply(
+        bands, ["band_id", "band_key"],
+        lambda part: _bucket_pairs_block(part, id_column),
     )
-
-
-def _resolve_transitive(labels_ds, id_column: str) -> pa.Table:
-    """Union-find closure over (id → canonical_id) labels so every member
-    of a connected near-dup component points at the component's TRUE
-    minimum id — a per-pair min is not a per-cluster min (A~B, B~C without
-    A~C must still merge into one cluster under min(A)).
-
-    The label table only contains dup-cluster members — a small fraction
-    of the corpus by construction (run exact dedup first on mostly-dup
-    corpora, as the module docstring prescribes) — so the closure is a
-    driver-side union-find over the collected pairs; the expensive part
-    (candidate generation + verification) stays distributed."""
-    import ray.data
-
-    parent: dict[int, int] = {}
-    seen: set[int] = set()
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for b in labels_ds.iter_batches(batch_format="pyarrow"):
-        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-        for i, c in zip(t[id_column].to_pylist(), t["canonical_id"].to_pylist()):
-            seen.add(i)
-            seen.add(c)
-            ri, rc = find(i), find(c)
-            if ri != rc:
-                lo, hi = min(ri, rc), max(ri, rc)
-                parent[hi] = lo
-
-    ids = sorted(seen)
-    return ray.data.from_arrow(pa.table(
-        {
-            id_column: pa.array(ids, pa.int64()),
-            "canonical_id": pa.array([find(i) for i in ids], pa.int64()),
-        }
-    ))
+    # pair table = dup-cluster candidates only — the small side; pin it so
+    # the id-collect, two text joins and closure don't re-run the LSH
+    pairs = distinct(cand, ["id_a", "id_b"], num_partitions=16).materialize()
+    verified = _verify_pairs_jaccard(
+        pairs, docs, id_column, column, threshold_pct=int(round(threshold * 100))
+    )
+    return connected_components(verified, id_column)
 
 
 def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
@@ -395,10 +671,12 @@ class SimHasher:
 
 def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
                      concurrency: int | None = None):
-    """Near-dup pairs by SimHash: 4×16-bit chunk buckets (a pair within
-    Hamming ≤ 3 of 64 bits shares at least one exact 16-bit chunk — pigeonhole)
-    → within-bucket Hamming verify.  Returns (doc_id, canonical_id) with
-    per-cluster canonical ids (transitive closure)."""
+    """Near-dup clusters by SimHash: 4×16-bit chunk buckets (a pair within
+    Hamming ≤ 3 of 64 bits shares at least one exact 16-bit chunk —
+    pigeonhole, so recall is exactly 100% and the op equals "all pairs with
+    Hamming ≤ 3", which is what the DuckDB oracle computes) → within-bucket
+    Hamming verify → pair ``distinct`` → :func:`connected_components`.
+    Returns (doc_id, canonical_id) with per-cluster canonical ids."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} > 3 breaks the 4-chunk pigeonhole "
@@ -431,113 +709,165 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
             }
         )
 
-    from docling_translate_ray.stages.shuffle import hash_partition_apply
+    from docling_translate_ray.stages.shuffle import distinct, hash_partition_apply
 
     def verify_partition(part: pa.Table) -> pa.Table:
         import polars as pl
 
         df = pl.from_arrow(part)
         multi = df.filter(pl.len().over(["chunk_id", "chunk_key"]) > 1)
-        pairs: dict[int, int] = {}
-        if multi.height:
-            for bucket in multi.partition_by(["chunk_id", "chunk_key"]):
-                ids = bucket[id_column].to_list()
-                hs = bucket["_sim"].to_numpy().view(np.uint64)
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        if bin(int(hs[i] ^ hs[j])).count("1") <= max_hamming:
-                            lo, hi = sorted((ids[i], ids[j]))
-                            pairs[hi] = min(pairs.get(hi, lo), lo)
-                            pairs.setdefault(lo, lo)
-        return pa.table(
-            {
-                id_column: pa.array(list(pairs.keys()), pa.int64()),
-                "canonical_id": pa.array(list(pairs.values()), pa.int64()),
-            }
-        )
+        if not multi.height:
+            return _empty_pairs()
+        out_a, out_b = [], []
+        for bucket in multi.partition_by(["chunk_id", "chunk_key"]):
+            ids = bucket[id_column].to_list()
+            hs = bucket["_sim"].to_numpy().view(np.uint64)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if bin(int(hs[i] ^ hs[j])).count("1") <= max_hamming:
+                        lo, hi = sorted((ids[i], ids[j]))
+                        out_a.append(lo)
+                        out_b.append(hi)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
 
     cand = hash_partition_apply(
         sigs.map_batches(explode_chunks, batch_format="pyarrow"),
         ["chunk_id", "chunk_key"],
         verify_partition,
     )
-    return _resolve_transitive(cand, id_column)
+    pairs = distinct(cand, ["id_a", "id_b"], num_partitions=16).materialize()
+    return connected_components(pairs, id_column)
 
 
 # ---------------------------------------------------------------- embedding
 
-def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
-                       threshold: float = 0.95, num_planes: int = 8, seed: int = 42):
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+def _split_oversized_bucket(ids: np.ndarray, mat: np.ndarray, cap: int,
+                            seed: int, max_depth: int = 20):
+    """Yield sub-buckets of size ≤ cap by recursively halving with extra
+    seeded hyperplanes (deterministic).  A bucket that 20 extra planes
+    cannot split (identical/near-identical vectors) is yielded whole with
+    ``windowed=True`` — the verifier then compares a sorted sliding window
+    instead of all pairs, and transitive closure reconstitutes the cluster.
+    """
+    stack = [(ids, mat, 0)]
+    while stack:
+        bids, bmat, depth = stack.pop()
+        if len(bids) <= cap:
+            yield bids, bmat, False
+            continue
+        if depth >= max_depth:
+            yield bids, bmat, True
+            continue
+        rng = np.random.RandomState((seed * 1_000_003 + depth * 7919) % (1 << 31))
+        plane = rng.randn(bmat.shape[1])
+        mask = bmat @ plane > 0
+        if mask.all() or not mask.any():
+            stack.append((bids, bmat, depth + 1))
+            continue
+        stack.append((bids[mask], bmat[mask], depth + 1))
+        stack.append((bids[~mask], bmat[~mask], depth + 1))
 
-    Vectors are L2-normalized per batch (numpy); the bucket key is the sign
-    pattern over ``num_planes`` seeded hyperplanes — cos ≥ 0.95 pairs almost
-    always share a bucket (collision prob (1-θ/π)^p); verify is an exact
-    within-bucket pairwise matmul.  Returns (vec_id, canonical_id) with
-    per-cluster canonical ids (transitive closure).
+
+def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
+                       threshold: float = 0.95, num_planes: int = 8,
+                       num_tables: int = 6, bucket_cap: int = 1024,
+                       seed: int = 42):
+    """Embedding-cosine near-dup via BANDED random-hyperplane LSH.
+
+    ``num_tables`` independent hash tables (each ``num_planes`` seeded
+    hyperplanes) — a cos ≥ τ pair collides in at least one table with
+    probability ``1 - (1 - p^planes)^tables`` (p = 1 - θ/π), e.g. ≈0.99 for
+    cos 0.97 at the defaults, vs the round-1 single-table layout whose
+    2^planes global buckets each held O(corpus/2^planes) rows.  Oversized
+    buckets are split with extra seeded hyperplanes down to ``bucket_cap``
+    so the within-bucket verify is never unbounded O(n²).  Verified pairs
+    flow through pair ``distinct`` → :func:`connected_components`.
+    Returns (vec_id, canonical_id) with per-cluster canonical ids.
+
+    Partitioning: the exchange key is (table_id, bucket_key); vectors ride
+    the shuffle once per table (num_tables × vector payload — bounded and
+    explicit, unlike text×bands).
     """
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.array(batch[column].to_pylist(), dtype=np.float64)
+        empty = pa.table({"table_id": pa.array([], pa.int32()),
+                          "bucket_key": pa.array([], pa.int64()),
+                          id_column: pa.array([], pa.int64()),
+                          "_vec": pa.array([], pa.list_(pa.float64()))})
         if mat.size == 0:
-            return pa.table({"bucket_key": pa.array([], pa.int64()),
-                             id_column: pa.array([], pa.int64()),
-                             "_vec": pa.array([], pa.list_(pa.float64()))})
+            return empty
         from docling_translate_ray.functions.knn import _normalize
 
-        dim = mat.shape[1]
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(dim, num_planes)
+        n, dim = mat.shape
         mat = _normalize(mat)
-        signs = (mat @ planes > 0).astype(np.int64)
-        keys = (signs * (1 << np.arange(num_planes))).sum(axis=1)
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        vec_arr = pa.array(mat.tolist(), pa.list_(pa.float64()))
+        keys = np.empty((num_tables, n), dtype=np.int64)
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
+        for t in range(num_tables):
+            rng = np.random.RandomState(seed + 7919 * t)
+            planes = rng.randn(dim, num_planes)
+            signs = (mat @ planes > 0).astype(np.int64)
+            keys[t] = signs @ weights
+        idx = np.tile(np.arange(n), num_tables)
         return pa.table(
             {
-                "bucket_key": pa.array(keys, pa.int64()),
-                id_column: batch[id_column],
-                "_vec": pa.array(mat.tolist(), pa.list_(pa.float64())),
+                "table_id": pa.array(
+                    np.repeat(np.arange(num_tables, dtype=np.int32), n), pa.int32()
+                ),
+                "bucket_key": pa.array(keys.reshape(-1), pa.int64()),
+                id_column: pa.array(np.tile(ids, num_tables), pa.int64()),
+                "_vec": vec_arr.take(pa.array(idx)),
             }
         )
 
-    from docling_translate_ray.stages.shuffle import hash_partition_apply
+    from docling_translate_ray.stages.shuffle import distinct, hash_partition_apply
 
     def verify_partition(part: pa.Table) -> pa.Table:
         import polars as pl
 
         df = pl.from_arrow(part)
-        multi = df.filter(pl.len().over("bucket_key") > 1)
-        out_id, out_canon, out_cos = [], [], []
-        if multi.height:
-            for bucket in multi.partition_by("bucket_key"):
-                ids = bucket[id_column].to_list()
-                mat = np.array(bucket["_vec"].to_list(), dtype=np.float64)
-                sims = mat @ mat.T
-                pairs: dict[int, tuple[int, float]] = {}
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        if sims[i, j] >= threshold:
-                            lo, hi = sorted((ids[i], ids[j]))
-                            cur = pairs.get(hi)
-                            if cur is None or lo < cur[0]:
-                                pairs[hi] = (lo, float(sims[i, j]))
-                            pairs.setdefault(lo, (lo, 1.0))
-                for k, (c, s) in pairs.items():
-                    out_id.append(k)
-                    out_canon.append(c)
-                    out_cos.append(s)
-        return pa.table(
-            {
-                id_column: pa.array(out_id, pa.int64()),
-                "canonical_id": pa.array(out_canon, pa.int64()),
-                "cosine": pa.array(out_cos, pa.float64()),
-            }
-        )
+        multi = df.filter(pl.len().over(["table_id", "bucket_key"]) > 1)
+        if not multi.height:
+            return _empty_pairs()
+        out_a, out_b = [], []
+
+        def emit(bids: np.ndarray, sims: np.ndarray) -> None:
+            iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+            for i, j in zip(iu, ju):
+                lo, hi = sorted((int(bids[i]), int(bids[j])))
+                out_a.append(lo)
+                out_b.append(hi)
+
+        for bucket in multi.partition_by(["table_id", "bucket_key"]):
+            ids = bucket[id_column].to_numpy()
+            mat = np.array(bucket["_vec"].to_list(), dtype=np.float64)
+            tid = int(bucket["table_id"][0])
+            bkey = int(bucket["bucket_key"][0])
+            sub_seed = (seed + tid * 104729 + (bkey % 65537)) % (1 << 31)
+            for bids, bmat, windowed in _split_oversized_bucket(
+                ids, mat, bucket_cap, sub_seed
+            ):
+                if not windowed:
+                    emit(bids, bmat @ bmat.T)
+                else:
+                    order = np.argsort(bids)
+                    bids, bmat = bids[order], bmat[order]
+                    w = 64
+                    for s in range(0, len(bids), w):
+                        lo_i, hi_i = max(0, s - w), min(len(bids), s + 2 * w)
+                        window_ids = bids[lo_i:hi_i]
+                        window_mat = bmat[lo_i:hi_i]
+                        emit(window_ids, window_mat @ window_mat.T)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
 
     cand = hash_partition_apply(
         ds.map_batches(bucketize, batch_format="pyarrow"),
-        ["bucket_key"],
+        ["table_id", "bucket_key"],
         verify_partition,
-    ).map_batches(
-        lambda b: b.select([id_column, "canonical_id"]), batch_format="pyarrow"
     )
-    return _resolve_transitive(cand, id_column)
+    pairs = distinct(cand, ["id_a", "id_b"], num_partitions=16).materialize()
+    return connected_components(pairs, id_column)

@@ -4,11 +4,14 @@
   matrix once (``ray.put``), per-batch numpy matmul + local top-k, then a
   tiny global merge of ``k × n_batches`` candidates.  The only driver-side
   data is the merged candidate set (k rows per query).
-* :func:`knn_ivf` — the scale path: vectors are assigned to ``n_centroids``
-  seeded random centroids (deterministic — no iterative training, so results
-  are reproducible without a fit step); a query probes only the ``n_probe``
-  nearest centroid partitions.  Recall < 1 by design; the brute-force
-  baseline is the oracle.
+* :func:`build_ivf_index` / :func:`knn_ivf_query` — the scale path: a
+  ONE-TIME build stage assigns every vector to its nearest trained centroid
+  and writes **centroid-partitioned parquet** (hive layout,
+  ``cpart=<id>/``); a query then physically reads only its ``n_probe``
+  partitions (pruned read — the other ``n_centroids - n_probe`` partition
+  directories are never opened).  Recall < 1 by design; the brute-force
+  baseline is the oracle.  :func:`knn_ivf` wraps build+query over a temp
+  index for the ad-hoc case and supports batched queries.
 
 Cosine similarity is computed in float64 to match DuckDB's
 ``list_cosine_similarity`` (the oracle at sf0.01) to rounding.
@@ -24,6 +27,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
+
+
+def _merge_topk(cand_ds, k: int, id_column: str) -> pa.Table:
+    """Tiny global merge of per-batch candidates (k per query per batch):
+    the only driver-side data in any knn path."""
+    rows = cand_ds.take_all()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r[id_column]))
+    out_q, out_id, out_cos, out_rank = [], [], [], []
+    for qi in sorted(by_q):
+        top = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (cos, vid) in enumerate(top):
+            out_q.append(qi)
+            out_id.append(vid)
+            out_cos.append(cos)
+            out_rank.append(rank + 1)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            id_column: pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_cos, pa.float64()),
+            "rank": pa.array(out_rank, pa.int64()),
+        }
+    )
 
 
 def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
@@ -62,27 +90,7 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
         )
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
-    # global merge: candidate set is tiny (k per query per batch)
-    rows = cand.take_all()
-    by_q: dict[int, list] = {}
-    for r in rows:
-        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r[id_column]))
-    out_q, out_id, out_cos, out_rank = [], [], [], []
-    for qi in sorted(by_q):
-        top = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for rank, (cos, vid) in enumerate(top):
-            out_q.append(qi)
-            out_id.append(vid)
-            out_cos.append(cos)
-            out_rank.append(rank + 1)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int64()),
-            id_column: pa.array(out_id, pa.int64()),
-            "cosine": pa.array(out_cos, pa.float64()),
-            "rank": pa.array(out_rank, pa.int64()),
-        }
-    )
+    return _merge_topk(cand, k, id_column)
 
 
 def _empty_knn(id_column: str = "vec_id"):
@@ -136,60 +144,184 @@ def train_centroids(ds, n_centroids: int = 16, seed: int = 42,
     return cents
 
 
-def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-            n_probe: int = 4, seed: int = 42,
-            id_column: str = "vec_id", column: str = "embedding",
-            centroids: np.ndarray | None = None):
-    """IVF-style ANN: per-batch centroid assignment → probe-filtered top-k.
+_CENTROIDS_FILE = "centroids.parquet"
+_VECTORS_SUBDIR = "vectors"
+_PART_COL = "cpart"
 
-    Centroids default to :func:`train_centroids` (deterministic mini-kmeans
-    on the corpus head); pass ``centroids`` to reuse a trained matrix across
-    queries, or ``_centroids(dim, n, seed)`` for the untrained baseline.
-    Partitioning assumption: each batch filters to rows whose centroid is in
-    the query's probe set, so the matmul touches ~``n_probe/n_centroids`` of
-    the corpus.  Single-query only (the common serving shape); for batched
-    queries run per query or fall back to brute force.
+
+class _AssignCentroid:
+    """Actor-pool stage: centroid matrix fetched ONCE per actor; per batch a
+    single (B, C) matmul assigns every vector its partition id."""
+
+    def __init__(self, c_ref, column: str) -> None:
+        import ray
+
+        self._cents = ray.get(c_ref)
+        self._column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(_PART_COL, pa.array([], pa.int32())) \
+                        .append_column("centroid_id", pa.array([], pa.int64()))
+        mat = _normalize(np.array(batch[self._column].to_pylist(), dtype=np.float64))
+        assign = np.argmax(mat @ self._cents.T, axis=1).astype(np.int32)
+        # centroid id is stored BOTH as the hive partition key (pruned
+        # reads) and as a plain data column (hive writers drop partition
+        # cols from the files; explicit-file reads need it per row)
+        return batch.append_column(_PART_COL, pa.array(assign, pa.int32())) \
+                    .append_column("centroid_id", pa.array(assign.astype(np.int64), pa.int64()))
+
+
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 16, seed: int = 42,
+                    id_column: str = "vec_id", column: str = "embedding",
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """ONE-TIME IVF build: train centroids, assign every vector ONCE, write
+    centroid-partitioned parquet (``index_dir/vectors/cpart=<c>/``) plus the
+    centroid matrix (``index_dir/centroids.parquet``).
+
+    This is a real index: queries (:func:`knn_ivf_query`) physically read
+    only their ``n_probe`` partition directories — the corpus is never
+    rescanned per query, and assignment is never recomputed.  Returns the
+    trained centroid matrix.
     """
+    import os
+
+    import pyarrow.parquet as pq
+
     import ray
 
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    assert q.shape[0] == 1, "knn_ivf is single-query; use knn_brute_force for batches"
+    from docling_translate_ray.util import auto_pool_size
+
     cents = centroids if centroids is not None else train_centroids(
         ds, n_centroids=n_centroids, seed=seed, column=column
     )
-    probe = set(np.argsort(-(cents @ q[0]))[:n_probe].tolist())
-    q_ref = ray.put(q)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"centroid_id": pa.array(range(cents.shape[0]), pa.int64()),
+                  "centroid": pa.array(cents.tolist(), pa.list_(pa.float64()))}),
+        os.path.join(index_dir, _CENTROIDS_FILE),
+    )
     c_ref = ray.put(cents)
-    probe_ref = ray.put(probe)
+    assigned = ds.select_columns([id_column, column]).map_batches(
+        _AssignCentroid,
+        fn_constructor_kwargs={"c_ref": c_ref, "column": column},
+        batch_format="pyarrow",
+        concurrency=auto_pool_size(),
+    )
+    assigned.write_parquet(
+        os.path.join(index_dir, _VECTORS_SUBDIR), partition_cols=[_PART_COL]
+    )
+    return cents
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, _CENTROIDS_FILE)).sort_by("centroid_id")
+    return np.array(t["centroid"].to_pylist(), dtype=np.float64)
+
+
+def _probe_ids(cents: np.ndarray, q: np.ndarray, n_probe: int) -> list[np.ndarray]:
+    """Per-query top-``n_probe`` centroid ids (deterministic order)."""
+    sims = q @ cents.T  # (Q, C)
+    return [np.argsort(-sims[i], kind="stable")[:n_probe] for i in range(q.shape[0])]
+
+
+def _probe_paths(index_dir: str, probe_union) -> list[str]:
+    """Parquet files of exactly the probed partitions — the pruned read
+    list (files under the other ``n_centroids - n_probe`` partition
+    directories are never listed, let alone opened)."""
+    import os
+
+    out: list[str] = []
+    for c in sorted(int(x) for x in probe_union):
+        pdir = os.path.join(index_dir, _VECTORS_SUBDIR, f"{_PART_COL}={c}")
+        if os.path.isdir(pdir):
+            out.extend(
+                os.path.join(pdir, f)
+                for f in sorted(os.listdir(pdir))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def knn_ivf_query(index_dir: str, queries: np.ndarray, k: int = 10,
+                  n_probe: int = 4, id_column: str = "vec_id",
+                  column: str = "embedding"):
+    """Batched IVF query against a built index: pruned read of the union of
+    the queries' probe partitions → per-batch top-k (each query ranks only
+    vectors whose partition is in ITS OWN probe set) → tiny merge.
+    """
+    import ray
+    import ray.data
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cents = load_ivf_centroids(index_dir)
+    probes = _probe_ids(cents, q, n_probe)
+    union = sorted({int(c) for p in probes for c in p})
+    paths = _probe_paths(index_dir, union)
+    if not paths:
+        return _merge_topk(ray.data.from_arrow(_empty_knn(id_column)), k, id_column)
+    ds = ray.data.read_parquet(paths, columns=[id_column, column, "centroid_id"])
+    q_ref = ray.put(q)
+    probe_ref = ray.put([set(p.tolist()) for p in probes])
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        qm, cm, pr = ray.get(q_ref), ray.get(c_ref), ray.get(probe_ref)
+        qm, prs = ray.get(q_ref), ray.get(probe_ref)
         ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
         if ids.size == 0:
             return _empty_knn(id_column)
+        cid = np.asarray(batch["centroid_id"].to_pylist(), dtype=np.int64)
         mat = _normalize(np.array(batch[column].to_pylist(), dtype=np.float64))
-        assign = np.argmax(mat @ cm.T, axis=1)
-        mask = np.isin(assign, list(pr))
-        if not mask.any():
-            return _empty_knn(id_column)
-        ids, mat = ids[mask], mat[mask]
-        sims = (qm @ mat.T)[0]
-        idx = np.lexsort((ids, -sims))[: min(k, len(ids))]
+        sims = qm @ mat.T  # (Q, B)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cid, list(prs[qi]))
+            if not mask.any():
+                continue
+            m_ids, row = ids[mask], sims[qi][mask]
+            idx = np.lexsort((m_ids, -row))[: min(k, len(m_ids))]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(m_ids[idx].tolist())
+            out_cos.extend(row[idx].tolist())
         return pa.table(
             {
-                "query_idx": pa.array([0] * len(idx), pa.int64()),
-                id_column: pa.array(ids[idx], pa.int64()),
-                "cosine": pa.array(sims[idx], pa.float64()),
+                "query_idx": pa.array(out_q, pa.int64()),
+                id_column: pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_cos, pa.float64()),
             }
         )
 
-    rows = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
-    top = sorted(((r["cosine"], r[id_column]) for r in rows), key=lambda t: (-t[0], t[1]))[:k]
-    return pa.table(
-        {
-            "query_idx": pa.array([0] * len(top), pa.int64()),
-            id_column: pa.array([t[1] for t in top], pa.int64()),
-            "cosine": pa.array([t[0] for t in top], pa.float64()),
-            "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
-        }
-    )
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    return _merge_topk(cand, k, id_column)
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            n_probe: int = 4, seed: int = 42,
+            id_column: str = "vec_id", column: str = "embedding",
+            centroids: np.ndarray | None = None,
+            index_dir: str | None = None):
+    """IVF ANN, ad-hoc shape: build (or reuse) the physical index, then run
+    the pruned-partition query.  Supports batched queries.
+
+    Pass ``index_dir`` pointing at an existing :func:`build_ivf_index`
+    output to skip the build (the serving path); otherwise a temp index is
+    built and removed.  Recall < 1 by design — pytest asserts ≥ 0.9 vs the
+    brute-force oracle.
+    """
+    import shutil
+    import tempfile
+
+    if index_dir is not None:
+        return knn_ivf_query(index_dir, queries, k=k, n_probe=n_probe,
+                             id_column=id_column, column=column)
+    tmp = tempfile.mkdtemp(prefix="dtr_ivf_")
+    try:
+        build_ivf_index(ds, tmp, n_centroids=n_centroids, seed=seed,
+                        id_column=id_column, column=column, centroids=centroids)
+        return knn_ivf_query(tmp, queries, k=k, n_probe=n_probe,
+                             id_column=id_column, column=column)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -33,21 +33,61 @@ def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(n.to_list(), pa.int64()))
 
 
+_ROLL_BASE = np.uint64(1315423911)
+
+
+def rolling_fingerprint(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit polynomial rolling hash over words.
+
+    ``h(doc) = Σ_i hash(w_i) · B^(n-1-i)  (mod 2^64)`` — the positional
+    polynomial is evaluated as one flat weighted segment-sum: tokens are
+    exploded once (polars), per-token hashes come from the vectorized
+    xxhash kernel, the base powers are a precomputed table, and per-doc
+    sums use ``np.add.reduceat`` — no per-word Python, no per-word
+    hashlib (the round-1 kernel's cost).  Deterministic for a fixed
+    polars version; empty/whitespace-only docs hash to 0.
+    """
+    import polars as pl
+
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    toks = (
+        pl.DataFrame({"t": pl.Series(texts, dtype=pl.String).fill_null("")})
+        .with_row_index("_r")
+        .select(pl.col("_r"), pl.col("t").str.extract_all(r"\S+").alias("w"))
+        .explode("w")
+        .drop_nulls("w")
+    )
+    if not toks.height:
+        return out
+    r_idx = toks["_r"].to_numpy().astype(np.int64)  # nondecreasing (explode order)
+    wh = toks["w"].hash(seed=13).to_numpy().astype(np.uint64)
+    counts = np.bincount(r_idx, minlength=n_docs)
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pos = np.arange(len(r_idx)) - offsets[r_idx]
+    expo = counts[r_idx] - 1 - pos
+    max_n = int(counts.max())
+    powers = np.empty(max_n, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):  # wrap mod 2^64 is the point
+        for j in range(1, max_n):
+            powers[j] = powers[j - 1] * _ROLL_BASE
+        terms = wh * powers[expo]
+        present = np.nonzero(counts)[0]
+        starts = offsets[present]
+        out[present] = np.add.reduceat(terms, starts)
+    return out
+
+
 def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Add ``fp_md5`` (hex md5 of utf-8 text — DuckDB ``md5(text)`` parity)
-    and ``fp_roll`` (64-bit polynomial rolling hash over words, base 1315423911
-    — deterministic, non-SQL; the A4/doc-fingerprint analog)."""
+    and ``fp_roll`` (64-bit polynomial rolling hash over words — vectorized,
+    deterministic, non-SQL; the A4/doc-fingerprint analog)."""
     texts = batch[column].to_pylist()
     md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
-    rolls = np.empty(len(texts), dtype=np.uint64)
-    B = np.uint64(1315423911)
-    with np.errstate(over="ignore"):  # wrap mod 2^64 is the point
-        for i, t in enumerate(texts):
-            h = np.uint64(0)
-            for w in (t or "").split():
-                wh = np.uint64(int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16))
-                h = h * B + wh
-            rolls[i] = h
+    rolls = rolling_fingerprint(texts)
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
         "fp_roll", pa.array(rolls.view(np.int64), pa.int64())
     )
@@ -175,12 +215,18 @@ class LangId:
     """Actor-pool language-ID stage (stateful: tables built once per actor).
 
     The M20 lang-mapping + engine-dispatch analog (translation/utils.py:11-48)
-    recast as a detection operator a web corpus needs.
+    recast as a detection operator a web corpus needs.  The batch path is
+    fully vectorized (polars regex counts for the script ranges + list-eval
+    stopword hits, numpy for the decision) — ``detect_one`` is the frozen
+    scalar spec it must match (pinned by a property test).
     """
+
+    _STRIP = ".,;:!?\"'()"
 
     def __init__(self, column: str = "text") -> None:
         self._column = column
         self._stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self._langs = list(_STOPWORDS)  # decision order = insertion order
 
     def detect_one(self, text: str) -> str:
         if not text:
@@ -195,7 +241,7 @@ class LangId:
             return "ja"
         if han / n > 0.1:
             return "zh"
-        toks = [w.strip(".,;:!?\"'()").lower() for w in text.split()]
+        toks = [w.strip(self._STRIP).lower() for w in text.split()]
         if not toks:
             return "und"
         best, best_hits = "und", 0
@@ -206,6 +252,41 @@ class LangId:
         return best if best_hits > 0 else "und"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self._column].to_pylist()
-        langs = [self.detect_one(t or "") for t in texts]
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        import polars as pl
+
+        n_rows = batch.num_rows
+        if n_rows == 0:
+            return batch.append_column("lang_pred", pa.array([], pa.string()))
+        s = pl.Series(batch[self._column].to_pylist(), dtype=pl.String).fill_null("")
+        df = pl.DataFrame({"t": s})
+        toks = pl.col("t").str.extract_all(r"\S+")
+        stop_exprs = [
+            toks.list.eval(
+                pl.element()
+                .str.strip_chars(self._STRIP)
+                .str.to_lowercase()
+                .is_in(sorted(self._stop[lang]))
+            ).list.sum().fill_null(0).alias(f"_h_{lang}")
+            for lang in self._langs
+        ]
+        m = df.select(
+            pl.col("t").str.len_chars().cast(pl.Int64).alias("_n"),
+            pl.col("t").str.count_matches(r"[가-힯]").cast(pl.Int64).alias("_hang"),
+            pl.col("t").str.count_matches(r"[぀-ヿ]").cast(pl.Int64).alias("_kana"),
+            pl.col("t").str.count_matches(r"[一-鿿]").cast(pl.Int64).alias("_han"),
+            *stop_exprs,
+        )
+        n = m["_n"].to_numpy().astype(np.float64)
+        safe_n = np.maximum(n, 1.0)
+        hits = np.stack([m[f"_h_{lang}"].to_numpy() for lang in self._langs])
+        best_idx = np.argmax(hits, axis=0)  # first max wins = insertion order
+        best_hits = hits[best_idx, np.arange(n_rows)]
+        lang_arr = np.array(self._langs, dtype=object)
+        out = np.where(best_hits > 0, lang_arr[best_idx], "und").astype(object)
+        out[(m["_han"].to_numpy() / safe_n) > 0.1] = "zh"
+        out[(m["_kana"].to_numpy() / safe_n) > 0.05] = "ja"
+        out[(m["_hang"].to_numpy() / safe_n) > 0.1] = "ko"
+        out[n == 0] = "und"
+        return batch.append_column(
+            "lang_pred", pa.array(out.tolist(), pa.string())
+        )

@@ -6,20 +6,24 @@ shape) built from this engine's operators:
               → MinHash-LSH near-dedup (drop non-canonical members)
               → curated corpus + per-stage counts
 
-Scale notes per stage:
+STREAMING composition — no stage ever materializes the corpus in Ray object
+memory or collects rows to the driver:
 
-* quality: pure ``map_batches`` — streams.
-* exact dedup: winners are selected with one content-hash ``groupby``; the
-  survivor rows are recovered with a hash-partitioned **semi join** on the
-  id (both sides large → never broadcast).
-* near-dedup: the drop set (non-canonical members of near-dup clusters) is
-  a small fraction of the corpus by construction — it IS the duplicates —
-  so it travels as a broadcast ``ray.put`` set probed per batch.  If a
-  corpus is mostly duplicates, run exact dedup first (it is, here) and the
-  residual near-dup set stays small.
+* each stage writes **durable parquet** and the next stage re-reads it
+  (the same checkpoint pattern ``run_extract_job`` uses) — a multi-consumer
+  stage (dedup winners + survivor join both read quality output) costs a
+  cheap parquet re-read, not an object-store pin of the corpus;
+* survivor selection and near-dup drop are distributed **semi / anti
+  ``partition_join``s** on the id — no broadcast drop set, no driver loop;
+* per-stage counts come from parquet METADATA (``read_parquet().count()``
+  is a metadata-only fast path), not extra data scans.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
 
 import pyarrow as pa
 
@@ -28,10 +32,22 @@ from docling_translate_ray.functions import text_stats as fts
 
 
 def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
-                minhash_threshold: float = 0.7):
+                minhash_threshold: float = 0.7, work_dir: str | None = None):
     """Return (curated_ds, stats) — curated rows keep (id, text) plus the
-    quality columns; ``stats`` has per-stage survivor counts."""
-    import ray
+    quality columns; ``stats`` has per-stage survivor counts.
+
+    ``curated_ds`` is backed by durable parquet under ``work_dir`` (a temp
+    dir by default — pass one to keep / resume-inspect the intermediates).
+    The caller owns cleanup of a passed ``work_dir``; the default temp dir
+    lives until process exit so the returned Dataset stays readable.
+    """
+    import ray.data
+
+    from docling_translate_ray.stages.shuffle import partition_join
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="dtr_curate_")
+    os.makedirs(work_dir, exist_ok=True)
 
     stats: dict[str, int] = {"n_input": ds.count()}
 
@@ -39,54 +55,42 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         out = fts.quality_batch(batch, column)
         return out.filter(out["quality_ok"])
 
-    quality = ds.map_batches(quality_filter, batch_format="pyarrow")
-    # pin: three downstream consumers (count, winners, joins) must not
-    # re-run the upstream filter chain
-    quality = quality.materialize()
-    stats["n_quality_ok"] = quality.count()
+    q_dir = os.path.join(work_dir, "quality")
+    shutil.rmtree(q_dir, ignore_errors=True)
+    ds.map_batches(quality_filter, batch_format="pyarrow").write_parquet(q_dir)
+    quality = ray.data.read_parquet(q_dir)
+    stats["n_quality_ok"] = quality.count()  # parquet metadata, no scan
 
-    # exact dedup winners (content_md5 → min id), then semi-join survivors
-    # (partition_join: measured 3-6× faster than Dataset.join on wide rows)
-    from docling_translate_ray.stages.shuffle import partition_join
-
+    # exact dedup winners (content_md5 → min id), then a distributed SEMI
+    # join recovers the survivor rows (both sides re-read from parquet —
+    # never broadcast, never pinned)
     winners = fdedup.exact_dedup(quality, column=column, id_column=id_column)
-    surv = partition_join(
-        quality, winners.select_columns([id_column]), on=[id_column], how="inner"
-    ).materialize()
+    e_dir = os.path.join(work_dir, "exact")
+    shutil.rmtree(e_dir, ignore_errors=True)
+    partition_join(
+        quality, winners.select_columns([id_column]), on=[id_column], how="semi"
+    ).write_parquet(e_dir)
+    surv = ray.data.read_parquet(e_dir)
     stats["n_exact_unique"] = surv.count()
 
-    # near-dup labels: members of clusters that are NOT the canonical doc
+    # near-dup drop set: members of clusters that are NOT the canonical doc
+    # — subtracted with a distributed ANTI join (labels are a Dataset end
+    # to end; the drop set never touches the driver)
     labels = fdedup.minhash_lsh_dedup(
         surv, column=column, id_column=id_column, threshold=minhash_threshold
     )
-    drop: set[int] = set()
-    for b in labels.iter_batches(batch_format="pyarrow"):
-        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-        for i, c in zip(t[id_column].to_pylist(), t["canonical_id"].to_pylist()):
-            if i != c:
-                drop.add(i)
-    drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
 
-    class DropMembers:
-        """Drop set fetched ONCE per actor; per-batch filter is a single
-        vectorized pc.is_in (no per-batch deserialization, no Python rows)."""
+    def non_canonical(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __init__(self) -> None:
-            import ray as _ray
+        keep = pc.invert(pc.equal(batch[id_column], batch["canonical_id"]))
+        return batch.filter(keep).select([id_column])
 
-            self._drop = _ray.get(drop_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            mask = pc.invert(pc.is_in(batch[id_column], value_set=self._drop))
-            return batch.filter(mask)
-
-    from docling_translate_ray.util import auto_pool_size
-
-    curated = surv.map_batches(
-        DropMembers, batch_format="pyarrow", concurrency=auto_pool_size()
-    )
+    drop_ids = labels.map_batches(non_canonical, batch_format="pyarrow")
+    c_dir = os.path.join(work_dir, "curated")
+    shutil.rmtree(c_dir, ignore_errors=True)
+    partition_join(surv, drop_ids, on=[id_column], how="anti").write_parquet(c_dir)
+    curated = ray.data.read_parquet(c_dir)
     stats["n_curated"] = curated.count()
     return curated, stats
 

@@ -20,6 +20,8 @@ reproduce them.
 
 from __future__ import annotations
 
+import time
+
 import pyarrow as pa
 
 
@@ -27,11 +29,23 @@ class BaseEngine:
     """Engine protocol: ``prepare()`` once per actor, ``score(list[str])``.
 
     Analog of BaseTranslator (base.py:18-36); subclasses override ``score``.
-    ``max_retries``/fallback mirror the API-engine policy (openai.py:60-91).
+    Retry policy mirrors the reference API engines
+    (engines/openai.py:60-91): up to ``max_retries`` attempts with
+    **exponential backoff** (``backoff_base · 2^attempt`` seconds) on
+    RETRIABLE errors only (429 / 503 / rate_limit / overloaded markers —
+    openai.py:84); a non-retriable error stops retrying immediately.  On
+    exhaustion the engine falls back to a *different named engine*
+    (``fallback_engine`` — openai.py:93 falls back to google), whose own
+    policy applies in turn; the end of every chain is identity
+    (return-the-original, google.py:29-31).
     """
 
     name = "base"
     max_retries = 3
+    backoff_base = 1.0  # seconds; attempt n sleeps backoff_base * 2**n
+    fallback_engine: str | None = None  # next engine in the chain (T8)
+    RETRIABLE_MARKERS = ("429", "503", "rate_limit", "overloaded")
+    _sleep = staticmethod(time.sleep)  # injectable for tests
 
     def __init__(self) -> None:
         self.prepare()
@@ -42,25 +56,57 @@ class BaseEngine:
     def score(self, texts: list[str]) -> list[str]:
         raise NotImplementedError
 
-    def score_with_retry(self, texts: list[str]) -> list[str]:
-        """Batch-first, then per-sentence: one poison input must not cost
-        the whole batch its scores (the per-sentence retry/fallback policy,
-        openai.py:60-91 / google.py:29-31)."""
-        for _ in range(self.max_retries):
+    @classmethod
+    def _is_retriable(cls, exc: Exception) -> bool:
+        msg = str(exc).lower()
+        return any(m.lower() in msg for m in cls.RETRIABLE_MARKERS)
+
+    def _score_with_backoff(self, texts: list[str]) -> list[str]:
+        """One engine's attempt loop (openai.py:60-91): retriable errors
+        back off 2^attempt seconds between tries; others raise at once."""
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
             try:
                 return self.score(texts)
-            except Exception:
-                continue
+            except Exception as exc:
+                last = exc
+                if self._is_retriable(exc) and attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_base * (2 ** attempt))
+                    continue
+                break
+        raise last if last is not None else RuntimeError("empty retry loop")
+
+    def _fallback(self) -> "BaseEngine | None":
+        if self.fallback_engine is None:
+            return None
+        inst = getattr(self, "_fallback_inst", None)
+        if inst is None:
+            inst = self._fallback_inst = ENGINE_REGISTRY[self.fallback_engine]()
+        return inst
+
+    def score_with_retry(self, texts: list[str]) -> list[str]:
+        """Batch-first, then per-sentence isolation, then the cross-engine
+        fallback chain: one poison input must not cost the whole batch its
+        scores, and one dead engine must not cost the batch its engine."""
+        try:
+            return self._score_with_backoff(texts)
+        except Exception:
+            pass
+        fb = self._fallback()
         out: list[str] = []
         for t in texts:  # isolate the poison input(s)
-            scored = t  # identity fallback
-            for _ in range(self.max_retries):
+            try:
+                out.append(self._score_with_backoff([t])[0])
+                continue
+            except Exception:
+                pass
+            if fb is not None:
                 try:
-                    scored = self.score([t])[0]
-                    break
-                except Exception:
+                    out.append(fb.score_with_retry([t])[0])
                     continue
-            out.append(scored)
+                except Exception:
+                    pass
+            out.append(t)  # identity — the end of every chain (google.py:29-31)
         return out
 
 

@@ -96,9 +96,12 @@ def partition_join(left_ds, right_ds, on: list[str], how: str = "left",
     Non-key columns must be disjoint between the sides (no suffixing);
     each side is padded with typed nulls onto the unified schema, tagged,
     unioned, partitioned by ``hash(on)``, then polars-joined per
-    partition.  ``how`` ∈ {"left", "inner"}.
+    partition.  ``how`` ∈ {"left", "inner", "semi", "anti"} — semi/anti
+    return the LEFT columns only (existence filter; the right side's
+    non-key columns are ignored), which is the distributed path for
+    survivor-selection / drop-set subtraction without any broadcast.
     """
-    assert how in ("left", "inner")
+    assert how in ("left", "inner", "semi", "anti")
     lsch, rsch = left_ds.schema(), right_ds.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
@@ -132,6 +135,9 @@ def partition_join(left_ds, right_ds, on: list[str], how: str = "left",
 
         df = pl.from_arrow(part)
         left = df.filter(pl.col("_side") == 0).select(lcols)
+        if how in ("semi", "anti"):
+            right = df.filter(pl.col("_side") == 1).select(on).unique()
+            return left.join(right, on=on, how=how).select(lcols).to_arrow()
         right = df.filter(pl.col("_side") == 1).select(on + rextra)
         return left.join(right, on=on, how=how).select(unified).to_arrow()
 
