@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
         "windowed_watermark": q.q_windowed_watermark,
+        "windowed_watermark_disorder": q.q_windowed_watermark_disorder,
         "top_users": q.q_top_users,
         "top_users_per_type": q.q_top_users_per_type,
         "top_events": q.q_top_events,
@@ -124,6 +125,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, min(doc_id) AS doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1
+        """,
+        # MinHash-LSH verifies candidates with EXACT 3-gram Jaccard and
+        # closes clusters transitively, so its oracle is the closure of the
+        # exact pair predicate (LSH recall at these band parameters is ~1;
+        # a recall miss would surface here as a hash mismatch)
+        "minhash_near_dup": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS g
+              FROM w),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE 100 * len(list_intersect(a.g, b.g))
+                    >= 70 * len(list_distinct(a.g || b.g))),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+            SELECT a AS doc_id, least(a, min(b))::BIGINT AS canonical_id
+            FROM reach GROUP BY a
+        """,
+        # SimHash uses DuckDB's hash() for token hashes precisely so this
+        # oracle can recompute the identical 64-bit signature in pure SQL;
+        # Hamming <= 3 pairs + recursive closure (the 4x16-bit chunk
+        # bucketing is lossless by pigeonhole, so bucketing needs no model)
+        "simhash_near_dup": """
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE trim(text) <> ''),
+            th AS (SELECT doc_id, hash(w) AS h FROM tok),
+            bits AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY doc_id, b.b),
+            sig0 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+                              ELSE 0::UBIGINT END)::UBIGINT AS s
+              FROM bits GROUP BY doc_id),
+            sig AS (
+              SELECT d.doc_id, coalesce(s.s, 0::UBIGINT) AS s
+              FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.s, b.s)) <= 3),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+            SELECT a AS doc_id, least(a, min(b))::BIGINT AS canonical_id
+            FROM reach GROUP BY a
         """,
         "ngram_jaccard": """
             WITH w AS (
@@ -251,6 +316,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY 1, 2
         """,
+        # disordered replay: per-key cumulative-max watermark over the
+        # md5(event_id) arrival permutation; late rows (ts below the
+        # watermark at their own arrival) fall in a NULL-window bucket
+        "windowed_watermark_disorder": """
+            WITH a AS (
+              SELECT event_type, ts,
+                     md5(CAST(event_id AS VARCHAR)) AS arr
+              FROM events),
+            w AS (
+              SELECT event_type, ts,
+                     max(ts) OVER (PARTITION BY event_type ORDER BY arr
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)
+                       - INTERVAL 10 MINUTE AS wm
+              FROM a),
+            c AS (SELECT event_type, ts,
+                         (wm IS NOT NULL AND ts < wm) AS late FROM w)
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM c WHERE NOT late GROUP BY 1, 2
+            UNION ALL
+            SELECT event_type, NULL::TIMESTAMP AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM c WHERE late GROUP BY 1
+        """,
         "top_events": """
             SELECT event_id, value_cents, rank FROM (
               SELECT event_id,
@@ -317,19 +407,36 @@ def oracle_sql() -> dict[str, str]:
                       AND v.ts <= p.ts) AS last_view_ts
             FROM events p WHERE p.event_type = 'purchase'
         """,
+        # full reference code tables (nllb.py:27-58, utils.py:26-48);
+        # deepl = upper(lang) is exact for the corpus's 2-letter codes
         "lang_map": """
             SELECT doc_id, lang, upper(lang) AS deepl_code,
                    CASE lang
-                     WHEN 'en' THEN 'eng_Latn' WHEN 'de' THEN 'deu_Latn'
-                     WHEN 'fr' THEN 'fra_Latn' WHEN 'es' THEN 'spa_Latn'
-                     WHEN 'ko' THEN 'kor_Hang' WHEN 'ja' THEN 'jpn_Jpan'
-                     WHEN 'zh' THEN 'zho_Hans' ELSE 'und' END AS nllb_code
+                     WHEN 'en' THEN 'eng_Latn' WHEN 'ko' THEN 'kor_Hang'
+                     WHEN 'ja' THEN 'jpn_Jpan' WHEN 'zh' THEN 'zho_Hans'
+                     WHEN 'zh-TW' THEN 'zho_Hant' WHEN 'fr' THEN 'fra_Latn'
+                     WHEN 'de' THEN 'deu_Latn' WHEN 'es' THEN 'spa_Latn'
+                     WHEN 'it' THEN 'ita_Latn' WHEN 'pt' THEN 'por_Latn'
+                     WHEN 'ru' THEN 'rus_Cyrl' WHEN 'ar' THEN 'arb_Arab'
+                     WHEN 'hi' THEN 'hin_Deva' WHEN 'th' THEN 'tha_Thai'
+                     WHEN 'vi' THEN 'vie_Latn' WHEN 'id' THEN 'ind_Latn'
+                     WHEN 'nl' THEN 'nld_Latn' WHEN 'pl' THEN 'pol_Latn'
+                     WHEN 'tr' THEN 'tur_Latn' WHEN 'uk' THEN 'ukr_Cyrl'
+                     WHEN 'cs' THEN 'ces_Latn' WHEN 'sv' THEN 'swe_Latn'
+                     WHEN 'da' THEN 'dan_Latn' WHEN 'fi' THEN 'fin_Latn'
+                     WHEN 'el' THEN 'ell_Grek' WHEN 'he' THEN 'heb_Hebr'
+                     WHEN 'hu' THEN 'hun_Latn' WHEN 'ro' THEN 'ron_Latn'
+                     WHEN 'bg' THEN 'bul_Cyrl' WHEN 'no' THEN 'nob_Latn'
+                     ELSE 'und' END AS nllb_code
             FROM documents
         """,
         # rows-only (non-SQL-expressible): sentences splitter internals are
         # SQL-modelled above because the sf corpus has no sentence punctuation;
         # the following are genuinely non-relational: docs_text_segments
         # (regex lexers w/ offsets), extract_lineage (xxhash bucketing),
-        # minhash/simhash/embedding near-dup (LSH), knn_ivf (approximate),
-        # langid (heuristic voting), media_features (stubbed codec).
+        # embedding_near_dup (hyperplane LSH), knn_ivf (approximate),
+        # langid (heuristic voting), curate (composite job with temp dirs),
+        # media_features/video_frames (stubbed codec).  minhash/simhash
+        # near-dup ARE oracle-backed above (exact-predicate closure via
+        # recursive CTE; simhash recomputes the signature with hash()).
     }

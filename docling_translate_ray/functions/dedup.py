@@ -644,29 +644,62 @@ def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:
-    """Add a 64-bit ``simhash`` column (sign-aggregated token hash bits)."""
+    """Add a 64-bit ``simhash`` column (sign-aggregated token hash bits).
+
+    Token hashes use DuckDB's ``hash()`` kernel (held as a per-actor
+    connection — the stateful-stage pattern) so the DuckDB oracle can
+    recompute the identical signature in pure SQL; the per-batch path
+    hashes ALL tokens of the batch in one vectorized call and folds the
+    per-document bit votes with ``np.add.reduceat`` — no per-token Python.
+    """
 
     def __init__(self, column: str = "text") -> None:
+        import duckdb
+
         self.column = column
         self._bit_cols = np.arange(64, dtype=np.uint64)
+        self._con = duckdb.connect()
+
+    def _token_hashes(self, tokens: list[str]) -> np.ndarray:
+        if not tokens:
+            return np.empty(0, dtype=np.uint64)
+        tbl = pa.table({"w": pa.array(tokens, pa.string())})
+        self._con.register("_toks", tbl)
+        h = self._con.execute("SELECT hash(w) AS h FROM _toks").fetchnumpy()["h"]
+        self._con.unregister("_toks")
+        return h.astype(np.uint64)
 
     def simhash(self, text: str) -> int:
+        """Scalar spec (pinned by tests; the batch path must match it)."""
         toks = (text or "").split()
         if not toks:
             return 0
-        import polars as pl
-
-        # vectorized: per-token xxhash → (T, 64) bit matrix → signed votes
-        th = pl.Series(toks).hash(seed=11).to_numpy().astype(np.uint64)
+        th = self._token_hashes(toks)
         bits = (th[:, None] >> self._bit_cols[None, :]) & np.uint64(1)
         votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         out_bits = (votes > 0).astype(np.uint64)
         return int((out_bits << self._bit_cols).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.array([self.simhash(t) for t in batch[self.column].to_pylist()],
-                        dtype=np.uint64)
-        return batch.append_column("simhash", pa.array(vals.view(np.int64), pa.int64()))
+        texts = batch[self.column].to_pylist()
+        all_toks: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tk = (t or "").split()
+            all_toks.extend(tk)
+            counts[i] = len(tk)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if all_toks:
+            th = self._token_hashes(all_toks)
+            signed = ((th[:, None] >> self._bit_cols[None, :]) & np.uint64(1)
+                      ).astype(np.int64) * 2 - 1  # (T, 64) in {-1, +1}
+            offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            present = counts > 0
+            votes = np.add.reduceat(signed, offsets[present], axis=0)
+            out[present] = (
+                (votes > 0).astype(np.uint64) << self._bit_cols[None, :]
+            ).sum(axis=1)
+        return batch.append_column("simhash", pa.array(out.view(np.int64), pa.int64()))
 
 
 def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,

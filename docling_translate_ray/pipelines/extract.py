@@ -91,21 +91,31 @@ def score_docs(
     miss_policy: str = "empty",
     scorer_concurrency: int | tuple | None = None,
     score_batch_size: int = 2048,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    max_broadcast_rows: int = 5_000_000,
 ):
     """Dedup-score-join: the Phase-2 translation analog (core.py:460-497).
 
     ``docs_ds`` must carry ``url``/``spans`` (and any passthrough columns).
 
-    ``strategy='broadcast'``: unique sentences → actor-pool scorer → driver
-    dict → ``ray.put`` once → probe inside an actor pool.  Right when
-    uniques fit in memory (the reference's own per-file-map assumption).
+    ``strategy='broadcast'``: unique sentences → actor-pool scorer → Arrow
+    table → ``ray.put`` once → probe inside an actor pool.  Right when
+    uniques fit in memory (the reference's own per-file-map assumption);
+    raises past ``max_broadcast_rows``.
     NOTE: this consumes ``docs_ds`` twice — hand it a *read-back* dataset
     (parquet-backed), not a long transform chain, or extraction reruns.
 
     ``strategy='join'``: fully distributed — scored uniques hash-join back
     to the sentences table, per-url regroup, then join onto docs.
+
+    ``strategy='auto'`` (default): broadcast while the unique set fits
+    ``max_broadcast_rows``, else fall through to the join path — the
+    100-TB-safe default (the uniques count is corpus-dependent and a fixed
+    choice is wrong at one end or the other).  The scorer re-runs over the
+    uniques on fallback; the overflow path is the rare one and the scorer
+    cost is dominated by the corpus-side work.
     """
+    assert strategy in ("broadcast", "join", "auto")
     if scorer_concurrency is None:
         from docling_translate_ray.util import auto_pool_size
 
@@ -119,14 +129,19 @@ def score_docs(
         batch_size=score_batch_size,
         concurrency=scorer_concurrency,
     )
-    if strategy == "broadcast":
-        map_ref = dd.broadcast_score_map(scored)
-        return docs_ds.map_batches(
-            dd.ProbeScoreMap,
-            fn_constructor_kwargs={"map_ref": map_ref, "miss_policy": miss_policy},
-            batch_format="pyarrow",
-            concurrency=scorer_concurrency,
+    if strategy in ("broadcast", "auto"):
+        map_ref = dd.broadcast_score_map(
+            scored,
+            max_rows=max_broadcast_rows,
+            on_overflow="raise" if strategy == "broadcast" else "none",
         )
+        if map_ref is not None:
+            return docs_ds.map_batches(
+                dd.ProbeScoreMap,
+                fn_constructor_kwargs={"map_ref": map_ref, "miss_policy": miss_policy},
+                batch_format="pyarrow",
+                concurrency=scorer_concurrency,
+            )
     # join strategy: sentences ⋈ scored → per-url assemble, vectorized per
     # hash partition (NOT one Python call per url — stages/shuffle.py)
     from docling_translate_ray.stages.shuffle import hash_partition_apply
@@ -174,6 +189,13 @@ def score_docs(
     return out.map_batches(fill_missing, batch_format="pyarrow")
 
 
+def _drop_spans_if_present(batch):
+    """Uniform scored-sink schema for every strategy: the join path drops
+    ``spans`` inside score_docs, the broadcast path keeps them — the
+    durable scored output never wants the heavy span payload either way."""
+    return batch.drop_columns(["spans"]) if "spans" in batch.column_names else batch
+
+
 def run_extract_job(
     input_path: str,
     out_dir: str,
@@ -182,7 +204,7 @@ def run_extract_job(
     engine: str | None = None,
     miss_policy: str = "empty",
     source_kind: str = "pages",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     layout: str = "bucket",
     span_text: bool = True,
 ) -> dict:
@@ -266,7 +288,7 @@ def run_extract_job(
     if engine:
         back = ray.data.read_parquet(ckpt.docs_dir(out_dir))
         scored = score_docs(back, engine=engine, miss_policy=miss_policy, strategy=strategy)
-        sink = scored.drop_columns(["spans"]) if strategy == "broadcast" else scored
+        sink = scored.map_batches(_drop_spans_if_present, batch_format="pyarrow")
         for _ in ckpt.write_bucketed(
             sink, os.path.join(out_dir, "scored"), run_id
         ).iter_batches():
@@ -359,7 +381,7 @@ def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
         back = ray.data.read_parquet(ddir)
         scored = score_docs(back, engine=engine, miss_policy=miss_policy,
                             strategy=strategy)
-        sink = scored.drop_columns(["spans"]) if strategy == "broadcast" else scored
+        sink = scored.map_batches(_drop_spans_if_present, batch_format="pyarrow")
         writer = ckpt.ShardWriter(
             scored_dir, run_id,
             key_column="shard", key_is_path=False,

@@ -398,6 +398,38 @@ def q_windowed_watermark(sf_dir: str):
     )
 
 
+def q_windowed_watermark_disorder(sf_dir: str):
+    """Watermark windows over a DISORDERED replay: arrival order is a
+    deterministic pseudo-random permutation (md5 of event_id — computable
+    in both engines), so events genuinely arrive out of time order, the
+    per-key watermark advances non-trivially and the late bucket is
+    NON-EMPTY — this drives the drop-and-count path the time-ordered
+    ``windowed_watermark`` query can't reach.  The SQL oracle models the
+    same per-key cumulative-max watermark with a window function."""
+    import datetime as dt
+
+    from docling_translate_ray.stages.window import windowed_counts_with_watermark
+
+    def add_arrival(batch: pa.Table) -> pa.Table:
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("_e", batch.select(["event_id"]))
+        arr = con.execute(
+            "SELECT md5(CAST(event_id AS VARCHAR)) AS a FROM _e"
+        ).arrow()["a"]
+        con.close()
+        return batch.append_column("arrival", arr.combine_chunks().cast(pa.string()))
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts"]).map_batches(
+        add_arrival, batch_format="pyarrow"
+    )
+    return windowed_counts_with_watermark(
+        ds, key="event_type", ts_col="ts", arrival_col="arrival",
+        window="1h", lateness=dt.timedelta(minutes=10),
+    )
+
+
 def q_top_users(sf_dir: str):
     """Top-10 users by exact cents-sum of value (sort + limit, O2 analog)."""
     import polars as pl
@@ -416,23 +448,41 @@ def q_top_users(sf_dir: str):
 
 
 def q_top_events(sf_dir: str, k: int = 100):
-    """Global sort + limit (Ray ds.sort — the O2 sort analog at data scale):
-    top-k events by exact cents value, deterministic tie-break on event_id."""
+    """Global top-k WITHOUT a global sort: per-batch local top-k (each batch
+    forwards at most k rows) → tiny driver merge of k × n_batches candidates
+    — the same pattern knn_brute_force uses.  A full ``ds.sort`` would be an
+    all-to-all range shuffle of every event for a 100-row answer.
+    Deterministic tie-break on event_id."""
     import polars as pl
 
-    def add_cents(batch: pa.Table) -> pa.Table:
-        s = (pl.from_arrow(batch["value"]) * 100).round(0).cast(pl.Int64)
-        return batch.append_column("value_cents", s.to_arrow().cast(pa.int64()))
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            (pl.col("value") * 100).round(0).cast(pl.Int64).alias("value_cents")
+        )
+        return (
+            df.sort(["value_cents", "event_id"], descending=[True, False])
+            .head(k)
+            .select(["event_id", "value_cents"])
+            .to_arrow()
+        )
 
-    ds = (
-        _read(sf_dir, "events", ["event_id", "value"])
-        .map_batches(add_cents, batch_format="pyarrow")
-        .select_columns(["event_id", "value_cents"])
+    cand = _collect(
+        _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+            local_topk, batch_format="pyarrow"
+        )
+    )  # ≤ k rows per batch
+    import polars as pl2
+
+    top = (
+        pl2.from_arrow(cand)
         .sort(["value_cents", "event_id"], descending=[True, False])
-        .limit(k)
+        .head(k)
+        .to_arrow()
     )
-    tbl = _collect(ds)  # ≤ k rows
-    return tbl.append_column("rank", pa.array(range(1, tbl.num_rows + 1), pa.int64()))
+    from docling_translate_ray.state.checkpoint import normalize_arrow_types
+
+    top = normalize_arrow_types(top)
+    return top.append_column("rank", pa.array(range(1, top.num_rows + 1), pa.int64()))
 
 
 def q_lineitem_pricing(sf_dir: str):
@@ -600,20 +650,17 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
 # ------------------------------------------------------------------ lang map
 
 
-_NLLB_CODES = {
-    "en": "eng_Latn", "de": "deu_Latn", "fr": "fra_Latn", "es": "spa_Latn",
-    "ko": "kor_Hang", "ja": "jpn_Jpan", "zh": "zho_Hans",
-}
-
-
 def lang_map_batch(batch: pa.Table, column: str = "lang") -> pa.Table:
-    """M20 analog (translation/utils.py:11-48, nllb.py:27-58): ISO-639-1 →
-    engine codes; DeepL upper-cases, NLLB uses script-tagged codes."""
+    """M20 analog: ISO-639-1 → engine codes with the reference's COMPLETE
+    tables (functions/langcodes.py — 31 NLLB codes per nllb.py:27-58, DeepL
+    normalization per translation/utils.py:26-48)."""
+    from docling_translate_ray.functions import langcodes as lc
+
     langs = [(x or "") for x in batch[column].to_pylist()]
     return batch.append_column(
-        "deepl_code", pa.array([x.upper() for x in langs], pa.string())
+        "deepl_code", pa.array([lc.to_deepl_lang(x) for x in langs], pa.string())
     ).append_column(
-        "nllb_code", pa.array([_NLLB_CODES.get(x, "und") for x in langs], pa.string())
+        "nllb_code", pa.array([lc.to_nllb_lang(x) for x in langs], pa.string())
     )
 
 

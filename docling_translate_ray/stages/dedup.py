@@ -83,16 +83,20 @@ def unique_sentences(sent_ds, column: str = "sentence"):
 
 
 def broadcast_score_map(unique_scored_ds, column: str = "sentence",
-                        max_rows: int = 5_000_000) -> "ray.ObjectRef":
-    """Materialize the unique scored table to a dict and ``ray.put`` it once.
+                        max_rows: int = 5_000_000,
+                        on_overflow: str = "raise"):
+    """Materialize the unique scored table to an Arrow table, ``ray.put`` once.
 
     The translation_map analog (core.py:486).  Only valid when uniques fit
-    in driver memory — the same assumption the reference makes per file;
-    raises past ``max_rows`` (≈1 GB of short sentences) instead of silently
-    OOM-ing the driver: use ``strategy='join'`` (:func:`join_scores`) there.
+    in driver memory — the same assumption the reference makes per file.
+    Past ``max_rows`` (≈1 GB of short sentences): ``on_overflow='raise'``
+    fails loudly instead of silently OOM-ing the driver;
+    ``on_overflow='none'`` returns ``None`` so the caller can fall back to
+    the fully-distributed path (``score_docs(strategy='auto')`` does).
     """
     import ray
 
+    assert on_overflow in ("raise", "none")
     batches = []
     n = 0
     for b in unique_scored_ds.select_columns([column, "scored"]).iter_batches(
@@ -102,6 +106,8 @@ def broadcast_score_map(unique_scored_ds, column: str = "sentence",
         batches.append(t)
         n += t.num_rows
         if n > max_rows:
+            if on_overflow == "none":
+                return None
             raise ValueError(
                 f"unique-{column} count exceeds max_rows={max_rows}: the "
                 "broadcast map no longer fits a driver; use the "

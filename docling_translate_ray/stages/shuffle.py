@@ -103,6 +103,17 @@ def partition_join(left_ds, right_ds, on: list[str], how: str = "left",
     """
     assert how in ("left", "inner", "semi", "anti")
     lsch, rsch = left_ds.schema(), right_ds.schema()
+    if lsch is None:  # empty/unknown left — nothing to join in any mode
+        return left_ds
+    if rsch is None:  # empty/unknown right side (e.g. a filter matched nothing)
+        if how in ("left", "anti"):
+            return left_ds          # anti: nothing to subtract; left: no matches
+        if how == "semi":
+            return left_ds.limit(0)  # nothing can match
+        raise ValueError(
+            "partition_join: right side has no schema (empty dataset) — an "
+            "inner join needs the right columns; filter/short-circuit upstream"
+        )
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
     overlap = (set(ltypes) & set(rtypes)) - set(on)

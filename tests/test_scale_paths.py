@@ -1,0 +1,425 @@
+"""Scale-path tests for the round-2 hardening:
+
+* distributed connected components (single-block AND iterative paths, plus
+  a source-level guard that the closure never iterates rows on the driver);
+* MinHash-LSH band shuffle carrying ids+keys only (no text column);
+* candidate-text attach: broadcast-filter vs distributed-semi-join parity;
+* banded embedding LSH: planted-pair recall + bucket-size cap;
+* IVF index: pruned partition reads (deleting un-probed partitions must
+  not change the answer), batched queries;
+* scorer retry: exponential backoff schedule + cross-engine fallback chain;
+* streaming curate: no full-corpus materialize on the path;
+* disordered watermark replay vs the SQL cumulative-max model.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_translate_ray.functions import dedup as dd
+from docling_translate_ray.functions import knn as knn_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _to_table(ds) -> pa.Table:
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def _pairs(rows):
+    a, b = zip(*rows) if rows else ((), ())
+    return pa.table({"id_a": pa.array(list(a), pa.int64()),
+                     "id_b": pa.array(list(b), pa.int64())})
+
+
+# ------------------------------------------------------- connected components
+
+
+def test_components_single_block_path():
+    import ray.data
+
+    out = _to_table(dd.connected_components(
+        ray.data.from_arrow(_pairs([(5, 9), (9, 2), (7, 8)])), "doc_id"
+    ))
+    got = sorted(zip(out["doc_id"].to_pylist(), out["canonical_id"].to_pylist()))
+    assert got == [(2, 2), (5, 2), (7, 7), (8, 7), (9, 2)]
+
+
+def test_components_iterative_path_chain():
+    """Force the label-propagation path (threshold 0) on a chain — the
+    worst-case diameter shape — and on disjoint components."""
+    import ray.data
+
+    chain = _pairs([(i, i + 1) for i in range(7)] + [(100, 101), (101, 103)])
+    out = _to_table(dd.connected_components(
+        ray.data.from_arrow(chain).repartition(4), "doc_id",
+        single_block_threshold=0,
+    ))
+    got = dict(zip(out["doc_id"].to_pylist(), out["canonical_id"].to_pylist()))
+    assert {k: v for k, v in got.items() if k < 100} == {i: 0 for i in range(8)}
+    assert {k: v for k, v in got.items() if k >= 100} == {100: 100, 101: 100, 103: 100}
+
+
+def test_components_paths_agree():
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    edges = [(int(rng.randint(0, 60)), int(60 + rng.randint(0, 60)))
+             for _ in range(80)]
+    fast = _to_table(dd.connected_components(
+        ray.data.from_arrow(_pairs(edges)), "doc_id"))
+    slow = _to_table(dd.connected_components(
+        ray.data.from_arrow(_pairs(edges)).repartition(5), "doc_id",
+        single_block_threshold=0))
+    assert sorted(map(tuple, fast.to_pylist()[0].items())) is not None  # shape
+    f = sorted(zip(fast["doc_id"].to_pylist(), fast["canonical_id"].to_pylist()))
+    s = sorted(zip(slow["doc_id"].to_pylist(), slow["canonical_id"].to_pylist()))
+    assert f == s
+
+
+def test_closure_never_iterates_pairs_on_driver():
+    """The round-1 closure collected every dup pair into a driver dict; the
+    scale contract is that NO closure path pulls rows to the driver — pin
+    it at the source level (take_all / iter_batches / to_pylist / to_pandas
+    are the driver-side escape hatches)."""
+    for fn in (dd.connected_components, dd._single_block_components):
+        src = inspect.getsource(fn)
+        for needle in ("take_all", "iter_batches", "to_pylist", "to_pandas"):
+            assert needle not in src, f"{fn.__name__} uses driver-side {needle}"
+
+
+# ------------------------------------------------------- minhash band shuffle
+
+
+def test_band_explode_carries_no_text():
+    mh = dd.MinHasher()
+    batch = mh(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "text": ["alpha beta gamma delta", "alpha beta gamma delta"]}))
+    bands = dd._explode_bands(batch, 16, "doc_id")
+    assert set(bands.column_names) == {"band_id", "band_key", "doc_id"}
+    assert bands.num_rows == 32
+    # identical docs → identical keys in every band
+    df = bands.to_pydict()
+    key_by = {}
+    for bid, key, did in zip(df["band_id"], df["band_key"], df["doc_id"]):
+        key_by.setdefault(bid, set()).add(key)
+    assert all(len(ks) == 1 for ks in key_by.values())
+
+
+def test_candidate_texts_broadcast_and_distributed_agree():
+    import ray.data
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": [f"text number {i}" for i in range(10)],
+    }))
+    pairs = ray.data.from_arrow(_pairs([(1, 3), (3, 7)])).materialize()
+    via_bcast = _to_table(
+        dd._candidate_texts(docs, pairs, "doc_id", "text")).sort_by("doc_id")
+    via_dist = _to_table(
+        dd._candidate_texts(docs, pairs, "doc_id", "text", max_broadcast=0)
+    ).sort_by("doc_id")
+    assert via_bcast["doc_id"].to_pylist() == [1, 3, 7]
+    assert via_bcast["doc_id"].to_pylist() == via_dist["doc_id"].to_pylist()
+    assert via_bcast["text"].to_pylist() == via_dist["text"].to_pylist()
+
+
+# ------------------------------------------------------- banded embedding LSH
+
+
+def test_embedding_banded_recall_on_planted_pairs():
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    dim, n_pairs, n_noise = 16, 40, 200
+    base = rng.randn(n_pairs, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # near-dup partner: small perturbation → cos ≈ 0.97+
+    partner = base + 0.05 * rng.randn(n_pairs, dim)
+    noise = rng.randn(n_noise, dim)
+    vecs = np.concatenate([base, partner, noise])
+    ids = np.arange(len(vecs))
+    planted = {(i, i + n_pairs) for i in range(n_pairs)
+               if float(base[i] @ (partner[i] / np.linalg.norm(partner[i]))) >= 0.95}
+    assert len(planted) >= 20  # the perturbation keeps most pairs above τ
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    out = _to_table(dd.embedding_near_dup(
+        ray.data.from_arrow(tbl), threshold=0.95))
+    canon = dict(zip(out["vec_id"].to_pylist(), out["canonical_id"].to_pylist()))
+    recovered = sum(
+        1 for (a, b) in planted
+        if canon.get(a, a) == canon.get(b, b) and a in canon and b in canon
+    )
+    assert recovered / len(planted) >= 0.9
+
+
+def test_oversized_bucket_split_respects_cap():
+    rng = np.random.RandomState(5)
+    mat = rng.randn(5000, 8)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(5000)
+    sizes = [len(bids) for bids, _, windowed in
+             dd._split_oversized_bucket(ids, mat, cap=256, seed=11)
+             if not windowed]
+    assert sizes and max(sizes) <= 256 and sum(sizes) == 5000
+    # identical vectors can never split: the windowed flag must fire
+    same = np.tile(mat[0], (1000, 1))
+    got = list(dd._split_oversized_bucket(np.arange(1000), same, cap=64, seed=11))
+    assert any(w for _, _, w in got)
+
+
+# ------------------------------------------------------------------ IVF index
+
+
+def test_ivf_prunes_unprobed_partitions(tmp_path):
+    import os
+    import shutil
+
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(400, 8)
+    tbl = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    idx = str(tmp_path / "ivf")
+    knn_mod.build_ivf_index(ray.data.from_arrow(tbl), idx, n_centroids=8)
+    q = vecs[:2]
+    want = knn_mod.knn_ivf_query(idx, q, k=5, n_probe=3)
+    # physically delete every partition OUTSIDE the probe union — a pruned
+    # read must not notice (this is the "only n_probe partitions are
+    # opened" proof, stronger than instrumenting the reader)
+    cents = knn_mod.load_ivf_centroids(idx)
+    probes = knn_mod._probe_ids(cents, knn_mod._normalize(q.astype(np.float64)), 3)
+    union = {int(c) for p in probes for c in p}
+    vdir = os.path.join(idx, "vectors")
+    removed = 0
+    for d in os.listdir(vdir):
+        cid = int(d.split("=")[1])
+        if cid not in union:
+            shutil.rmtree(os.path.join(vdir, d))
+            removed += 1
+    assert removed >= 1  # the test is vacuous if every partition was probed
+    again = knn_mod.knn_ivf_query(idx, q, k=5, n_probe=3)
+    assert want.to_pydict() == again.to_pydict()
+
+
+def test_ivf_batched_queries_match_per_query(tmp_path):
+    import ray.data
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(300, 8)
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    idx = str(tmp_path / "ivf")
+    knn_mod.build_ivf_index(ray.data.from_arrow(tbl), idx, n_centroids=6)
+    q = vecs[10:13]
+    both = knn_mod.knn_ivf_query(idx, q, k=4, n_probe=3)
+    for qi in range(3):
+        single = knn_mod.knn_ivf_query(idx, q[qi:qi + 1], k=4, n_probe=3)
+        part = both.filter(
+            pa.compute.equal(both["query_idx"], qi)).drop_columns(["query_idx"])
+        assert part["vec_id"].to_pylist() == single["vec_id"].to_pylist()
+        assert part["rank"].to_pylist() == single["rank"].to_pylist()
+
+
+# ------------------------------------------------------------------ scorer
+
+
+def test_scorer_backoff_schedule_and_named_fallback():
+    from docling_translate_ray.stages import scorer as sc
+
+    sleeps: list[float] = []
+
+    class Flaky(sc.BaseEngine):
+        name = "flaky_test"
+        fallback_engine = "upper"
+        _sleep = staticmethod(sleeps.append)
+
+        def score(self, texts):
+            raise RuntimeError("429 rate_limit exceeded")
+
+    sc.register_engine(Flaky)
+    try:
+        eng = Flaky()
+        out = eng.score_with_retry(["hello"])
+        # dead engine → the NAMED fallback engine answers, not identity
+        assert out == ["HELLO"]
+        # batch attempt + per-sentence attempt, each with 2^0, 2^1 backoff
+        assert sleeps == [1.0, 2.0, 1.0, 2.0]
+    finally:
+        sc.ENGINE_REGISTRY.pop("flaky_test", None)
+
+
+def test_scorer_non_retriable_skips_backoff():
+    from docling_translate_ray.stages import scorer as sc
+
+    sleeps: list[float] = []
+
+    class Broken(sc.BaseEngine):
+        name = "broken_test"
+        _sleep = staticmethod(sleeps.append)
+
+        def score(self, texts):
+            raise ValueError("schema mismatch")  # not retriable
+
+    eng = Broken()
+    assert eng.score_with_retry(["keep me"]) == ["keep me"]  # identity end
+    assert sleeps == []  # no pointless backoff on a deterministic error
+
+
+def test_scorer_retriable_then_success():
+    from docling_translate_ray.stages import scorer as sc
+
+    sleeps: list[float] = []
+
+    class Recovers(sc.BaseEngine):
+        name = "recovers_test"
+        _sleep = staticmethod(sleeps.append)
+
+        def prepare(self):
+            self.calls = 0
+
+        def score(self, texts):
+            self.calls += 1
+            if self.calls < 3:
+                raise RuntimeError("503 overloaded")
+            return [t.upper() for t in texts]
+
+    eng = Recovers()
+    assert eng.score_with_retry(["ok"]) == ["OK"]
+    assert sleeps == [1.0, 2.0]  # exponential: 2^0, 2^1
+
+
+# ------------------------------------------------------------------ curate
+
+
+def test_curate_streams_without_materialize():
+    import inspect as _inspect
+
+    from docling_translate_ray.pipelines import curate as cur
+
+    src = _inspect.getsource(cur.curate_docs)
+    assert ".materialize()" not in src
+    assert "take_all" not in src and "to_pylist" not in src
+
+
+def test_curate_multiblock_counts(tmp_path):
+    import ray.data
+
+    from docling_translate_ray.pipelines.curate import curate_docs
+
+    texts = [f"decent quality document number {i} with several proper tokens."
+             for i in range(60)]
+    texts += [texts[0], texts[1]]               # exact dups
+    texts += ["x"]                               # fails quality (too short)
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(6)  # force multiple blocks
+    curated, stats = curate_docs(ds, work_dir=str(tmp_path / "w"))
+    assert stats["n_input"] == 63
+    assert stats["n_quality_ok"] == 62          # "x" dropped
+    assert stats["n_exact_unique"] == 60        # 2 exact dups dropped
+    assert stats["n_curated"] <= stats["n_exact_unique"]
+    assert curated.count() == stats["n_curated"]
+
+
+# ------------------------------------------------------------------ windows
+
+
+def test_disordered_watermark_matches_sql_model():
+    from docling_translate_ray.pipelines.queries import (
+        q_windowed_watermark_disorder,
+    )
+
+    got = _to_table(q_windowed_watermark_disorder(SF))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute("""
+        WITH a AS (
+          SELECT event_type, ts, md5(CAST(event_id AS VARCHAR)) AS arr
+          FROM events),
+        w AS (
+          SELECT event_type, ts,
+                 max(ts) OVER (PARTITION BY event_type ORDER BY arr
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - INTERVAL 10 MINUTE AS wm
+          FROM a),
+        c AS (SELECT event_type, ts, (wm IS NOT NULL AND ts < wm) AS late FROM w)
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*)::BIGINT AS n_events
+        FROM c WHERE NOT late GROUP BY 1, 2
+        UNION ALL
+        SELECT event_type, NULL::TIMESTAMP, count(*)::BIGINT
+        FROM c WHERE late GROUP BY 1
+    """).arrow()
+
+    def norm(t):
+        return sorted(
+            (r["event_type"], str(r["window_start"]), r["n_events"])
+            for r in t.to_pylist()
+        )
+
+    assert norm(got) == norm(want)
+    # the whole point: the disordered replay has a NON-EMPTY late bucket
+    assert any(r["window_start"] is None for r in got.to_pylist())
+
+
+# ------------------------------------------------------------- auto strategy
+
+
+def test_score_docs_auto_crosses_threshold_via_join():
+    """strategy='auto' with a tiny broadcast budget must complete through
+    the distributed join path and produce output identical to broadcast."""
+    import ray.data
+
+    from docling_translate_ray.corpus import gen_pages
+    from docling_translate_ray.pipelines.extract import score_docs
+    from docling_translate_ray.stages.extract import extract_batch
+
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    pages = gen_pages(40, seed=13)
+    tmp = tempfile.mkdtemp(prefix="dtr_auto_")
+    pq.write_table(pages, os.path.join(tmp, "pages.parquet"))
+    docs = ray.data.read_parquet(tmp).map_batches(
+        extract_batch, batch_format="pyarrow"
+    ).materialize()
+
+    def result(**kw):
+        out = score_docs(docs, engine="upper", miss_policy="empty", **kw)
+        return sorted(
+            (r["url"], r["translated_text"])
+            for r in _to_table(out).select(["url", "translated_text"]).to_pylist()
+        )
+
+    via_bcast = result(strategy="broadcast")
+    via_auto_join = result(strategy="auto", max_broadcast_rows=1)  # forces fallback
+    assert via_bcast == via_auto_join
+
+
+def test_broadcast_map_overflow_modes():
+    import ray.data
+
+    from docling_translate_ray.stages.dedup import broadcast_score_map
+
+    ds = ray.data.from_arrow(pa.table({
+        "sentence": ["a", "b", "c"], "scored": ["A", "B", "C"],
+    }))
+    assert broadcast_score_map(ds, max_rows=1, on_overflow="none") is None
+    with pytest.raises(ValueError):
+        broadcast_score_map(ds, max_rows=1, on_overflow="raise")
