@@ -203,7 +203,22 @@ def drop_span_text(batch: pa.Table) -> pa.Table:
     slim_struct = pa.StructArray.from_arrays(
         [pc.struct_field(flat, n) for n in keep], keep
     )
-    slim = pa.ListArray.from_arrays(col.offsets, slim_struct)
+    if col.offset == 0 and col.null_count == 0:
+        offsets = col.offsets  # raw offsets align with list_flatten output
+    else:
+        # sliced array or null list slots: raw offsets do NOT align with
+        # the flattened values (they index the unsliced buffer and skip
+        # nothing for nulls) — rebuild from per-row lengths instead of
+        # silently attaching spans to the wrong documents
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False
+        )
+        import numpy as np
+
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        )
+    slim = pa.ListArray.from_arrays(offsets, slim_struct)
     idx = batch.column_names.index("spans")
     return batch.set_column(idx, "spans", slim)
 

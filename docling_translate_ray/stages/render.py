@@ -38,12 +38,11 @@ def _fetch_map(map_ref) -> dict[str, str]:
     return dict(zip(obj[cols[0]].to_pylist(), obj["scored"].to_pylist()))
 
 
-def _format_formula(text: str) -> str:
-    """M11 (html_generator.py:48-64): display-math wrap; aligned env when
-    the formula contains alignment markers."""
-    if "&=" in text or r"\\" in text:
-        return r"\[\begin{aligned}" + text + r"\end{aligned}\]"
-    return r"\[" + text + r"\]"
+# M11 formula wrap: extract_core.format_formula is the single source of
+# truth (it matches html_generator.py:48-64 incl. the already-wrapped
+# passthrough and the bare-'&' aligned test; an earlier local copy here
+# had diverged)
+_format_formula = ec.format_formula
 
 
 def render_doc_html(url: str, spans: list[dict],

@@ -264,9 +264,15 @@ def compact_shards(dest_dir: str, min_files: int = 2) -> dict:
     part file (read → concat → atomic write → remove old parts).
 
     Runs as a Ray task per shard (embarrassingly parallel, no exchange);
-    safe to re-run and to interleave with readers — the merged file is
-    published before the old parts are deleted, and parquet readers list
-    the directory at open time.  Returns {shards_compacted, files_removed}.
+    safe to RE-RUN (idempotent), but it is an **offline maintenance op**:
+    run it only while no readers scan the dest dir.  Between publishing
+    the merged file and removing the old parts, a reader that lists the
+    shard directory would see every row twice, and a reader that listed
+    before compaction hits FileNotFound on the removed parts.  (A fully
+    concurrent version would swap at directory granularity — write the
+    merged output to a new shard dir and rename — at the cost of breaking
+    the stable ``shard=<key>`` addressing that resume relies on.)
+    Returns {shards_compacted, files_removed}.
     """
     import ray
 
@@ -443,18 +449,44 @@ def compute_lineage(out_dir: str, run_id: str | None = None) -> pa.Table:
     return tbl.cast(LINEAGE_SCHEMA)
 
 
+def _hash_probe() -> str:
+    """Fingerprint of the url-hash kernel actually in use: hash a fixed
+    probe string through the SAME code path that assigns buckets
+    (stages.extract._hash64_str = polars xxhash).  Bucket-layout resume is
+    only valid while this fingerprint is stable — a polars upgrade that
+    changes xxhash output would silently re-bucket every url, duplicating
+    docs into new buckets while lineage marks the old ones complete."""
+    from docling_translate_ray.stages.extract import _hash64_str
+
+    probe = pa.array(["dtr-bucket-probe-v1", "잡종-βüñ"], pa.string())
+    vals = _hash64_str(probe).to_pylist()
+    return ":".join(f"{v & 0xFFFFFFFFFFFFFFFF:016x}" for v in vals)
+
+
 def write_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
     """Record the partitioning parameters so a resume with INCOMPATIBLE
     parameters fails loudly instead of silently skipping wrong partitions
-    (bucket ids from n_buckets=64 mean nothing under n_buckets=16)."""
+    (bucket ids from n_buckets=64 mean nothing under n_buckets=16; bucket
+    ids from a different hash-kernel version mean nothing either — the
+    probe hash pins the kernel, not just the declared library version)."""
     import json
+
+    import polars as pl
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "job_meta.json")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"layout": layout, "n_buckets": n_buckets}, f)
+            json.dump(
+                {
+                    "layout": layout,
+                    "n_buckets": n_buckets,
+                    "polars_version": pl.__version__,
+                    "hash_probe": _hash_probe(),
+                },
+                f,
+            )
         os.replace(tmp, path)
 
 
@@ -477,6 +509,22 @@ def check_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
             "or matching parameters (bucket ids are not comparable across "
             "bucketings)"
         )
+    # meta written before the probe existed carries no fingerprint; only
+    # enforce when present (old outputs stay resumable on the same install)
+    want_probe = meta.get("hash_probe")
+    if layout == "bucket" and want_probe is not None:
+        have = _hash_probe()
+        if have != want_probe:
+            import polars as pl
+
+            raise ValueError(
+                f"resume hash-kernel mismatch for {out_dir}: existing "
+                f"buckets were assigned by a url-hash kernel fingerprinted "
+                f"{want_probe} (polars {meta.get('polars_version')}), this "
+                f"environment produces {have} (polars {pl.__version__}). "
+                "Resuming would re-bucket urls and duplicate documents; "
+                "re-run into a fresh out_dir (or pin the original polars)."
+            )
 
 
 def write_lineage(out_dir: str, lineage: pa.Table, run_id: str) -> str:

@@ -423,3 +423,27 @@ def test_broadcast_map_overflow_modes():
     assert broadcast_score_map(ds, max_rows=1, on_overflow="none") is None
     with pytest.raises(ValueError):
         broadcast_score_map(ds, max_rows=1, on_overflow="raise")
+
+
+# ------------------------------------------------------------- span slimming
+
+
+def test_drop_span_text_on_sliced_and_null_lists():
+    """Sliced ListArrays / null list slots: raw offsets don't align with
+    list_flatten output — the rebuilt offsets must keep spans attached to
+    the right documents (nulls degrade to empty span lists)."""
+    from docling_translate_ray.stages.extract import SPAN_STRUCT, drop_span_text
+
+    def span(seg, text):
+        return {"seg_id": seg, "start": 0, "end": 3, "kind": "prose",
+                "translatable": True, "line_number": 1, "page_no": 0,
+                "text": text}
+
+    typ = pa.list_(pa.struct([(f.name, f.type) for f in SPAN_STRUCT]))
+    full = pa.array([[span(0, "abc")], [span(1, "def")], None,
+                     [span(2, "ghi")]], typ)
+    t = pa.table({"url": ["a", "b", "c", "d"], "spans": full}).slice(1, 3)
+    out = drop_span_text(t)["spans"].to_pylist()
+    assert [([s["seg_id"] for s in row] if row else []) for row in out] == \
+        [[1], [], [2]]
+    assert all("text" not in s for row in out for s in (row or []))
