@@ -155,7 +155,68 @@ def hardware_speedup(lo: int, hi: int) -> float:
     return times[lo] / times[hi]
 
 
+def kernel_bench() -> dict:
+    """Micro-bench the vectorized kernels against scalar reference loops
+    (the round-1 implementations): rolling fingerprint and language-ID.
+    Pure driver-side, no Ray."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_translate_ray.functions import text_stats as ts
+
+    texts = [
+        f"word{i % 97} the quick brown fox and some more filler tokens here "
+        * 20
+        for i in range(4000)
+    ]
+
+    def roll_scalar(batch_texts):
+        B = np.uint64(1315423911)
+        out = np.empty(len(batch_texts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(batch_texts):
+                h = np.uint64(0)
+                for w in (t or "").split():
+                    wh = np.uint64(int(hashlib.blake2b(
+                        w.encode(), digest_size=8).hexdigest(), 16))
+                    h = h * B + wh
+                out[i] = h
+        return out
+
+    def best_of(fn, n=3):
+        # warm first (regex/query-plan compile is once-per-actor in
+        # production, not once-per-batch), then best of n — host noise on
+        # this box swings single trials ±50%
+        fn()
+        return min(
+            (lambda t0: (fn(), time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(n)
+        )
+
+    t_roll_old = best_of(lambda: roll_scalar(texts), 1)
+    t_roll_new = best_of(lambda: ts.rolling_fingerprint(texts))
+
+    li = ts.LangId()
+    batch = pa.table({"text": texts})
+    t_lid_old = best_of(lambda: [li.detect_one(t) for t in texts], 1)
+    t_lid_new = best_of(lambda: li(batch))
+    return {
+        "rolling_fp": {"scalar_sec": round(t_roll_old, 3),
+                       "vector_sec": round(t_roll_new, 3),
+                       "speedup": round(t_roll_old / t_roll_new, 1)},
+        "langid": {"scalar_sec": round(t_lid_old, 3),
+                   "vector_sec": round(t_lid_new, 3),
+                   "speedup": round(t_lid_old / t_lid_new, 1)},
+    }
+
+
 def main() -> None:
+    if "--kernels" in sys.argv:
+        print(json.dumps({"metric": "kernel micro-bench", "unit": "speedup",
+                          "kernels": kernel_bench()}))
+        return
     if "--scaling" in sys.argv:
         pages_dir = ensure_pages_corpus()
         runs = {c: scaling_run(c, pages_dir) for c in (2, 8, 32)}

@@ -467,17 +467,65 @@ def _collect_pair_ids(pairs_ds, max_broadcast: int):
     return ids if len(ids) <= max_broadcast else None
 
 
+def _jaccard_pass(sa: frozenset, sb: frozenset, threshold_pct: int) -> bool:
+    union = len(sa | sb)
+    return union == 0 or 100 * len(sa & sb) >= threshold_pct * union
+
+
 def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
-                          threshold_pct: int, k_shingle: int = 3):
+                          threshold_pct: int, k_shingle: int = 3,
+                          text_broadcast_bytes: int = 512 * 1024 * 1024):
     """Exact n-gram-Jaccard verify of candidate pairs.
 
-    Texts are attached ONLY for candidate members (two small
-    ``partition_join``s against the filtered docs); the integer threshold
-    ``100·|∩| ≥ pct·|∪|`` keeps the DuckDB oracle bit-exact.
+    Texts are attached ONLY for candidate members — the filtered
+    candidate-docs table is pinned once; while it fits
+    ``text_broadcast_bytes`` it is broadcast via ``ray.put`` and pairs
+    verify against it in a single ``map_batches`` (zero joins — the common
+    case: the candidate set IS the duplicates, a small corpus fraction);
+    past the budget the texts attach through two bounded
+    ``partition_join``s against the pinned table instead.  The integer
+    threshold ``100·|∩| ≥ pct·|∪|`` keeps the DuckDB oracle bit-exact.
     """
+    import ray
+
     from docling_translate_ray.stages.shuffle import partition_join
 
-    cand_docs = _candidate_texts(docs_ds, pairs_ds, id_column, column)
+    cand_docs = _candidate_texts(docs_ds, pairs_ds, id_column, column).materialize()
+
+    if cand_docs.size_bytes() <= text_broadcast_bytes:
+        tbl = pa.concat_tables(
+            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+             for b in cand_docs.iter_batches(batch_format="pyarrow")]
+        ) if cand_docs.count() else pa.table(
+            {id_column: pa.array([], pa.int64()),
+             column: pa.array([], pa.string())}
+        )
+        ref = ray.put(tbl.select([id_column, column]))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            t = _ray.get(ref)  # zero-copy shared-memory read per task
+            texts = dict(zip(t[id_column].to_pylist(), t[column].to_pylist()))
+            shingles: dict[int, frozenset] = {}
+
+            def sh(i: int) -> frozenset:
+                s = shingles.get(i)
+                if s is None:
+                    s = shingles[i] = frozenset(
+                        word_shingles(texts.get(i) or "", k_shingle))
+                return s
+
+            out_a, out_b = [], []
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                if a in texts and b in texts and _jaccard_pass(
+                        sh(a), sh(b), threshold_pct):
+                    out_a.append(a)
+                    out_b.append(b)
+            return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                             "id_b": pa.array(out_b, pa.int64())})
+
+        return pairs_ds.map_batches(verify_bcast, batch_format="pyarrow")
 
     def rename_to(idc: str, txtc: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -503,8 +551,7 @@ def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
             sb = shingles.get(b)
             if sb is None:
                 sb = shingles[b] = frozenset(word_shingles(tb or "", k_shingle))
-            union = len(sa | sb)
-            if union == 0 or 100 * len(sa & sb) >= threshold_pct * union:
+            if _jaccard_pass(sa, sb, threshold_pct):
                 out_a.append(a)
                 out_b.append(b)
         return pa.table({"id_a": pa.array(out_a, pa.int64()),

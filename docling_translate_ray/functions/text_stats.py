@@ -226,6 +226,7 @@ class LangId:
     def __init__(self, column: str = "text") -> None:
         self._column = column
         self._stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self._stop_lists = {lang: sorted(ws) for lang, ws in _STOPWORDS.items()}
         self._langs = list(_STOPWORDS)  # decision order = insertion order
 
     def detect_one(self, text: str) -> str:
@@ -259,26 +260,36 @@ class LangId:
             return batch.append_column("lang_pred", pa.array([], pa.string()))
         s = pl.Series(batch[self._column].to_pylist(), dtype=pl.String).fill_null("")
         df = pl.DataFrame({"t": s})
-        toks = pl.col("t").str.extract_all(r"\S+")
-        stop_exprs = [
-            toks.list.eval(
-                pl.element()
-                .str.strip_chars(self._STRIP)
-                .str.to_lowercase()
-                .is_in(sorted(self._stop[lang]))
-            ).list.sum().fill_null(0).alias(f"_h_{lang}")
-            for lang in self._langs
-        ]
         m = df.select(
             pl.col("t").str.len_chars().cast(pl.Int64).alias("_n"),
             pl.col("t").str.count_matches(r"[가-힯]").cast(pl.Int64).alias("_hang"),
             pl.col("t").str.count_matches(r"[぀-ヿ]").cast(pl.Int64).alias("_kana"),
             pl.col("t").str.count_matches(r"[一-鿿]").cast(pl.Int64).alias("_han"),
-            *stop_exprs,
         )
+        # stopword hits: explode tokens ONCE, normalize once, then one
+        # grouped pass with an is_in per language (4 vectorized membership
+        # tests over the flat token column — no per-list evaluation)
+        toks = (
+            df.with_row_index("_r")
+            .select(pl.col("_r"), pl.col("t").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(
+                pl.col("w").str.strip_chars(self._STRIP)
+                .str.to_lowercase().alias("_nw")
+            )
+        )
+        hits = np.zeros((len(self._langs), n_rows), dtype=np.int64)
+        if toks.height:
+            agg = toks.group_by("_r").agg(
+                *[pl.col("_nw").is_in(self._stop_lists[lang]).sum()
+                  .cast(pl.Int64).alias(f"_h_{lang}") for lang in self._langs]
+            )
+            ridx = agg["_r"].to_numpy().astype(np.int64)
+            for li, lang in enumerate(self._langs):
+                hits[li, ridx] = agg[f"_h_{lang}"].to_numpy()
         n = m["_n"].to_numpy().astype(np.float64)
         safe_n = np.maximum(n, 1.0)
-        hits = np.stack([m[f"_h_{lang}"].to_numpy() for lang in self._langs])
         best_idx = np.argmax(hits, axis=0)  # first max wins = insertion order
         best_hits = hits[best_idx, np.arange(n_rows)]
         lang_arr = np.array(self._langs, dtype=object)

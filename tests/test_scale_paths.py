@@ -447,3 +447,30 @@ def test_drop_span_text_on_sliced_and_null_lists():
     assert [([s["seg_id"] for s in row] if row else []) for row in out] == \
         [[1], [], [2]]
     assert all("text" not in s for row in out for s in (row or []))
+
+
+# ------------------------------------------------------------- kernels
+
+
+def test_langid_batch_matches_scalar_spec():
+    from docling_translate_ray.functions import text_stats as ts
+
+    texts = ["", None, "the quick and of to in", "der und ist nicht",
+             "안녕하세요 세계 이것은 테스트", "これはテストです かな",
+             "这是一个测试文本 好的", "   ", "le la les et est", "x",
+             "el la los y es un", "...!!!", "Unrelated words xyz qqq",
+             "'the' (and) of, to; in!", "mixed 안녕 the and of to in words"]
+    li = ts.LangId()
+    got = li(pa.table({"text": pa.array(texts, pa.string())}))["lang_pred"].to_pylist()
+    want = [li.detect_one(t or "") for t in texts]
+    assert got == want
+
+
+def test_rolling_fingerprint_order_sensitive_and_deterministic():
+    from docling_translate_ray.functions import text_stats as ts
+
+    r = ts.rolling_fingerprint(["a b c", "c b a", "a b c", "", "  ", "solo"])
+    assert r[0] == r[2] and r[0] != r[1]
+    assert r[3] == 0 and r[4] == 0
+    again = ts.rolling_fingerprint(["a b c"])
+    assert again[0] == r[0]
