@@ -3,7 +3,8 @@ re-expressed as a Ray job driver::
 
     python -m docling_translate_ray INPUT_DIR OUT_DIR \
         [--layout shard|bucket] [--engine identity|upper|lexicon]
-        [--miss-policy empty|identity] [--strategy broadcast|join]
+        [--miss-policy empty|identity] [--strategy auto|broadcast|join]
+        [--speed-mode fast|balanced|accurate] [--fast]
         [--n-buckets 64] [--no-resume] [--source-kind pages|docs_text]
         [--num-cpus N]
 
@@ -27,7 +28,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--engine", default=None,
                    help="scoring engine (identity|upper|lexicon); omit to skip Phase 2")
     p.add_argument("--miss-policy", choices=["empty", "identity"], default="empty")
-    p.add_argument("--strategy", choices=["broadcast", "join"], default="broadcast")
+    p.add_argument("--strategy", choices=["auto", "broadcast", "join"],
+                   default="auto",
+                   help="Phase-2 join-back: auto = broadcast while uniques "
+                        "fit a budget, else distributed join")
+    p.add_argument("--speed-mode", choices=["fast", "balanced", "accurate"],
+                   default="accurate", dest="speed_mode",
+                   help="S4 fidelity/speed profile: fast skips table-cell/"
+                        "caption recovery and formula classification "
+                        "(main.py --fast analog)")
+    p.add_argument("--fast", action="store_const", const="fast",
+                   dest="speed_mode", help="alias for --speed-mode fast")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--source-kind", choices=["pages", "docs_text"], default="pages")
@@ -61,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         strategy=args.strategy,
         layout=args.layout,
         span_text=not args.no_span_text,
+        speed_mode=args.speed_mode,
     )
     print(json.dumps(res))
     ray.shutdown()

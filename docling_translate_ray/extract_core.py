@@ -382,19 +382,33 @@ _FLUSH_TAGS = frozenset(
 LINK_DENSITY_THRESHOLD = 0.5  # link-char share above which prose/list is boilerplate
 
 
-def _classify_block(kind: str, text: str, link_chars: int, total_chars: int) -> tuple[str, bool]:
+def _classify_block(kind: str, text: str, link_chars: int, total_chars: int,
+                    skip_formula: bool = False) -> tuple[str, bool]:
     """Block classification: formula check + link-density boilerplate rule."""
     if kind in ("prose", "list_item") and total_chars:
         if link_chars / total_chars > LINK_DENSITY_THRESHOLD:
             return "boilerplate", False
-    if kind in ("prose", "header", "list_item") and is_formula_text(text):
+    if (not skip_formula and kind in ("prose", "header", "list_item")
+            and is_formula_text(text)):
         return "formula", False
     if kind == "code_block":
         return kind, False
     return kind, True
 
 
-def segment_html(content: str) -> list[_RawSpan]:
+SPEED_MODES = ("fast", "balanced", "accurate")
+
+# fast mode (S4 analog, core.py:93-117): the reference's fast profile
+# trades table/structure fidelity for 3-5× parse speed (pypdfium2 backend
+# + TableFormerMode.FAST).  Our lexer's analog: skip table-structure
+# recovery (td/th/caption become plain flush tags — no table_cell/caption
+# spans) and skip the formula regex classification.  balanced == accurate
+# for the HTML path (the reference's balanced/accurate split only selects
+# the Docling table model quality).
+_FAST_SKIPPED_KINDS = frozenset(("table_cell", "caption"))
+
+
+def segment_html(content: str, speed_mode: str = "accurate") -> list[_RawSpan]:
     """Stream-lex HTML into classified block spans.
 
     A single pass over tag tokens; text nodes accumulate into the current
@@ -402,8 +416,13 @@ def segment_html(content: str) -> list[_RawSpan]:
     (page-marker analog, html_generator.py:538-544 — page_no is carried on
     the span).  Subtrees under :data:`DROP_TAGS` are skipped entirely
     (PAGE_HEADER/PAGE_FOOTER drop).  Link density over prose/list blocks
-    marks boilerplate (north-star DOM heuristic).
+    marks boilerplate (north-star DOM heuristic).  ``speed_mode='fast'``
+    drops table-cell/caption recovery and formula classification (lower
+    fidelity for speed, the S4 contract — see :data:`SPEED_MODES`).
     """
+    if speed_mode not in SPEED_MODES:
+        raise ValueError(f"speed_mode must be one of {SPEED_MODES}, got {speed_mode!r}")
+    fast = speed_mode == "fast"
     spans: list[_RawSpan] = []
     drop_stack: list[str] = []
     a_depth = 0
@@ -422,7 +441,9 @@ def segment_html(content: str) -> list[_RawSpan]:
             raw = "".join(blk_parts)
             text = _WS_RE.sub(" ", _htmllib.unescape(raw)).strip()
             if text:
-                kind, translatable = _classify_block(blk_kind, text, blk_link, blk_total)
+                kind, translatable = _classify_block(
+                    blk_kind, text, blk_link, blk_total, skip_formula=fast
+                )
                 spans.append((text, blk_start, blk_end, kind, translatable, blk_line))
         blk_kind = None
         blk_parts = []
@@ -480,7 +501,10 @@ def segment_html(content: str) -> list[_RawSpan]:
         if tag in _BLOCK_KIND:
             flush()
             if not closing:
-                blk_kind = _BLOCK_KIND[tag]
+                kind = _BLOCK_KIND[tag]
+                if fast and kind in _FAST_SKIPPED_KINDS:
+                    continue  # fast mode: cell/caption text is never collected
+                blk_kind = kind
                 blk_start = m.end()
                 blk_end = m.end()
                 blk_line = cur_line
@@ -520,10 +544,11 @@ def _attach_pages(content: str, spans: list[_RawSpan]) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
-def segment_content(doctype: str, content: str) -> list[Span]:
+def segment_content(doctype: str, content: str,
+                    speed_mode: str = "accurate") -> list[Span]:
     """Segment decoded content by doctype → dense-seg_id spans."""
     if doctype == "html":
-        raw = _attach_pages(content, segment_html(content))
+        raw = _attach_pages(content, segment_html(content, speed_mode))
     else:
         seg = _TEXT_SEGMENTERS.get(doctype, _segment_plaintext)
         raw = [(*s, -1) for s in seg(content)]
@@ -547,11 +572,13 @@ def assemble_text(spans: Iterable[Span]) -> str:
     return "\n".join(s.text for s in ordered if s.translatable and s.text.strip())
 
 
-def extract_page(url: str, data: bytes) -> dict:
+def extract_page(url: str, data: bytes, speed_mode: str = "accurate") -> dict:
     """Full single-page extraction: decode → detect → segment → assemble.
 
     Returns a plain dict (url, doctype, status, extracted_text, n_spans,
     spans) — the golden record the Ray pipeline must reproduce per url.
+    ``speed_mode`` selects the S4 fidelity/speed profile (fast skips
+    table-structure recovery; byte-identity goldens are frozen per mode).
     """
     try:
         if is_binary(data):
@@ -561,7 +588,7 @@ def extract_page(url: str, data: bytes) -> dict:
             }
         content = decode_bytes(data)
         doctype = detect_doctype(url, data)
-        spans = segment_content(doctype, content)
+        spans = segment_content(doctype, content, speed_mode)
         return {
             "url": url, "doctype": doctype, "status": "ok",
             "extracted_text": assemble_text(spans), "spans": spans,

@@ -63,17 +63,18 @@ def read_pages(path: str):
     return ray.data.read_parquet(path, columns=PAGES_COLUMNS)
 
 
-def extract_docs(pages_ds, n_buckets: int = 64):
+def extract_docs(pages_ds, n_buckets: int = 64, speed_mode: str = "accurate"):
     """pages → docs Dataset (with bucket column). Lazy; nothing executes."""
     return pages_ds.map_batches(
         add_url_bucket, batch_format="pyarrow", fn_kwargs={"n_buckets": n_buckets}
-    ).map_batches(extract_batch_keep_bucket, batch_format="pyarrow")
+    ).map_batches(extract_batch_keep_bucket, batch_format="pyarrow",
+                  fn_kwargs={"speed_mode": speed_mode})
 
 
-def extract_batch_keep_bucket(batch: pa.Table) -> pa.Table:
+def extract_batch_keep_bucket(batch: pa.Table, speed_mode: str = "accurate") -> pa.Table:
     """extract_batch, carrying the pre-computed bucket column through."""
     bucket = batch["bucket"]
-    out = extract_batch(batch)
+    out = extract_batch(batch, speed_mode)
     return out.append_column("bucket", bucket)
 
 
@@ -207,6 +208,7 @@ def run_extract_job(
     strategy: str = "auto",
     layout: str = "bucket",
     span_text: bool = True,
+    speed_mode: str = "accurate",
 ) -> dict:
     """End-to-end job: extract → docs+lineage; optionally score → scored.
 
@@ -234,13 +236,20 @@ def run_extract_job(
             "first, or keep span_text=True"
         )
 
+    from docling_translate_ray import extract_core as _ec
+
+    if speed_mode not in _ec.SPEED_MODES:
+        raise ValueError(
+            f"speed_mode must be one of {_ec.SPEED_MODES}, got {speed_mode!r}")
+
     run_id = uuid.uuid4().hex[:12]
 
     if layout == "shard":
         ckpt.check_job_meta(out_dir, "shard", None)
         ckpt.write_job_meta(out_dir, "shard", None)
         return _run_shard_job(input_path, out_dir, run_id, resume, engine,
-                              miss_policy, strategy, source_kind, span_text)
+                              miss_policy, strategy, source_kind, span_text,
+                              speed_mode)
 
     ckpt.check_job_meta(out_dir, "bucket", n_buckets)
     ckpt.write_job_meta(out_dir, "bucket", n_buckets)
@@ -258,7 +267,8 @@ def run_extract_job(
     )
     src = ckpt.filter_completed(src, done)
     if source_kind == "pages":
-        docs = src.map_batches(extract_batch_keep_bucket, batch_format="pyarrow")
+        docs = src.map_batches(extract_batch_keep_bucket, batch_format="pyarrow",
+                               fn_kwargs={"speed_mode": speed_mode})
     else:
         docs = src.map_batches(_docs_text_keep_bucket, batch_format="pyarrow")
 
@@ -302,9 +312,9 @@ def _docs_text_keep_bucket(batch: pa.Table) -> pa.Table:
     return extract_docs_text_batch(batch).append_column("bucket", bucket)
 
 
-def _extract_keep_path(batch: pa.Table) -> pa.Table:
+def _extract_keep_path(batch: pa.Table, speed_mode: str = "accurate") -> pa.Table:
     path = batch["path"]
-    return extract_batch(batch).append_column("path", path)
+    return extract_batch(batch, speed_mode).append_column("path", path)
 
 
 def _docs_text_keep_path(batch: pa.Table) -> pa.Table:
@@ -324,7 +334,8 @@ def _list_input_files(input_path: str) -> list[str]:
 
 def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
                    engine: str | None, miss_policy: str, strategy: str,
-                   source_kind: str, span_text: bool = True) -> dict:
+                   source_kind: str, span_text: bool = True,
+                   speed_mode: str = "accurate") -> dict:
     """Shard-layout body of :func:`run_extract_job` (no data shuffle)."""
     import shutil
 
@@ -346,8 +357,11 @@ def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
             columns=PAGES_COLUMNS if source_kind == "pages" else None,
             include_paths=True,
         )
-        fn = _extract_keep_path if source_kind == "pages" else _docs_text_keep_path
-        docs = src.map_batches(fn, batch_format="pyarrow")
+        if source_kind == "pages":
+            docs = src.map_batches(_extract_keep_path, batch_format="pyarrow",
+                                   fn_kwargs={"speed_mode": speed_mode})
+        else:
+            docs = src.map_batches(_docs_text_keep_path, batch_format="pyarrow")
         if not span_text:
             from docling_translate_ray.stages.extract import drop_span_text
 

@@ -58,19 +58,22 @@ SPANS_SCHEMA = pa.schema(
 )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, speed_mode: str = "accurate") -> pa.Table:
     """pages batch → docs batch (decode → detect → segment → assemble).
 
     One output row per input page; a poison page becomes a ``status='error…'``
-    row, never a failed block (retry policy, SURVEY.md §4).
+    row, never a failed block (retry policy, SURVEY.md §4).  ``speed_mode``
+    selects the S4 fidelity/speed profile (extract_core.SPEED_MODES).
     """
+    if speed_mode not in ec.SPEED_MODES:  # loud, not a per-row error status
+        raise ValueError(f"speed_mode must be one of {ec.SPEED_MODES}, got {speed_mode!r}")
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
     langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
 
     out: dict[str, list] = {k: [] for k in DOCS_SCHEMA.names}
     for url, data, lang in zip(urls, htmls, langs):
-        rec = ec.extract_page(url, data if data is not None else b"")
+        rec = ec.extract_page(url, data if data is not None else b"", speed_mode)
         spans = rec["spans"]
         n_tr = sum(1 for s in spans if s.translatable and s.text.strip())
         out["url"].append(url)

@@ -99,6 +99,103 @@ def render_doc_html(url: str, spans: list[dict],
     return "".join(parts)
 
 
+_MD_SEP_RE = None  # compiled lazily below
+
+
+def render_markdown_html(url: str, content: str,
+                         translations: dict[str, str] | None = None,
+                         miss_policy: str = "identity") -> str:
+    """M18 markdown render with the reference's three extensions
+    (text_html_generator.py:24 — ``fenced_code``, ``tables``, ``nl2br``):
+
+    * fenced blocks (``\\`\\`\\``` / ``~~~``) → ``<pre><code>`` verbatim
+      (never translated);
+    * pipe tables (header row + ``|---|`` separator) → ``<table>`` with
+      per-cell translation probes;
+    * single newlines inside a paragraph → ``<br/>`` (nl2br);
+    * plus headings / bullet lists / paragraphs from the mini renderer.
+
+    ``translations`` probes per text block/cell; the default miss policy is
+    identity (text path, text_html_generator.py:481).
+    """
+    import re as _re
+
+    global _MD_SEP_RE
+    if _MD_SEP_RE is None:
+        _MD_SEP_RE = _re.compile(r"^\s*\|?[\s:|-]+\|?\s*$")
+
+    def tr(text: str) -> str:
+        if translations is None:
+            return text
+        return translations.get(
+            text, text if miss_policy == "identity" else "")
+
+    def cells(row: str) -> list[str]:
+        return [c.strip() for c in row.strip().strip("|").split("|")]
+
+    lines = content.split("\n")
+    out = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_html.escape(url)}</title></head><body>",
+    ]
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        stripped = ln.strip()
+        if stripped.startswith("```") or stripped.startswith("~~~"):
+            fence = stripped[:3]
+            code: list[str] = []
+            i += 1
+            while i < len(lines) and not lines[i].strip().startswith(fence):
+                code.append(lines[i])
+                i += 1
+            i += 1  # closing fence
+            out.append(f"<pre><code>{_html.escape(chr(10).join(code))}</code></pre>")
+            continue
+        if ("|" in ln and stripped and i + 1 < len(lines)
+                and "-" in lines[i + 1] and _MD_SEP_RE.match(lines[i + 1])):
+            header = cells(ln)
+            i += 2
+            rows: list[list[str]] = []
+            while i < len(lines) and "|" in lines[i] and lines[i].strip():
+                rows.append(cells(lines[i]))
+                i += 1
+            thead = "".join(f"<th>{_html.escape(tr(c))}</th>" for c in header)
+            tbody = "".join(
+                "<tr>" + "".join(f"<td>{_html.escape(tr(c))}</td>" for c in r) + "</tr>"
+                for r in rows
+            )
+            out.append(
+                f"<table><thead><tr>{thead}</tr></thead><tbody>{tbody}</tbody></table>"
+            )
+            continue
+        if not stripped:
+            i += 1
+            continue
+        block = [ln]
+        i += 1
+        while (i < len(lines) and lines[i].strip()
+               and not lines[i].strip().startswith(("```", "~~~"))):
+            block.append(lines[i])
+            i += 1
+        m = _re.match(r"^(#{1,6})\s+(.*)$", block[0])
+        if m and len(block) == 1:
+            lvl = len(m.group(1))
+            out.append(f"<h{lvl}>{_html.escape(tr(m.group(2)))}</h{lvl}>")
+            continue
+        if all(_re.match(r"^\s*[-*]\s+", b) for b in block):
+            stripped_items = [_re.sub(r"^\s*[-*]\s+", "", b) for b in block]
+            items = "".join(
+                f"<li>{_html.escape(tr(it))}</li>" for it in stripped_items
+            )
+            out.append(f"<ul>{items}</ul>")
+            continue
+        # nl2br: single newlines inside the paragraph become <br/>
+        out.append("<p>" + "<br/>".join(_html.escape(tr(b)) for b in block) + "</p>")
+    out.append("</body></html>")
+    return "".join(out)
+
+
 def render_code_html(url: str, content: str,
                      translations: dict[str, str]) -> str:
     """M17/J3 code-file re-render (text_html_generator.py:844-889):

@@ -44,10 +44,22 @@ class BaseEngine:
     max_retries = 3
     backoff_base = 1.0  # seconds; attempt n sleeps backoff_base * 2**n
     fallback_engine: str | None = None  # next engine in the chain (T8)
+    # true-batched engines (NLLB CT2, nllb.py:103-155) score fixed-size
+    # chunks — the intra-batch vectorization unit, independent of the Ray
+    # batch_size above it; None = whole batch at once
+    chunk_size: int | None = None
     RETRIABLE_MARKERS = ("429", "503", "rate_limit", "overloaded")
     _sleep = staticmethod(time.sleep)  # injectable for tests
 
-    def __init__(self) -> None:
+    def __init__(self, **options) -> None:
+        """``options`` is the engine-options surface (chunk_size=16,
+        beam=4-style knobs, nllb.py:69-100): recognized keys override the
+        class attributes; everything lands in ``self.options`` for
+        ``prepare`` to consume."""
+        self.options = options
+        for key in ("chunk_size", "max_retries", "backoff_base", "fallback_engine"):
+            if key in options:
+                setattr(self, key, options[key])
         self.prepare()
 
     def prepare(self) -> None:  # model load / regex compile / lexicon build
@@ -87,7 +99,14 @@ class BaseEngine:
     def score_with_retry(self, texts: list[str]) -> list[str]:
         """Batch-first, then per-sentence isolation, then the cross-engine
         fallback chain: one poison input must not cost the whole batch its
-        scores, and one dead engine must not cost the batch its engine."""
+        scores, and one dead engine must not cost the batch its engine.
+        Engines with a ``chunk_size`` score chunk-at-a-time (the NLLB
+        chunking loop, nllb.py:126-155) — retry/fallback apply per chunk."""
+        if self.chunk_size and len(texts) > self.chunk_size:
+            out: list[str] = []
+            for i in range(0, len(texts), self.chunk_size):
+                out.extend(self.score_with_retry(texts[i : i + self.chunk_size]))
+            return out
         try:
             return self._score_with_backoff(texts)
         except Exception:
@@ -170,10 +189,13 @@ class ScoreSentences:
     Use as ``ds.map_batches(ScoreSentences, fn_constructor_kwargs=
     {"engine": "identity"}, concurrency=N, batch_size=B,
     batch_format="pyarrow")`` — engine state pinned per actor.
+    ``engine_options`` forwards the per-engine knob surface (chunk_size,
+    backoff, fallback — see BaseEngine.__init__).
     """
 
-    def __init__(self, engine: str = "identity", column: str = "sentence") -> None:
-        self._engine = ENGINE_REGISTRY[engine]()
+    def __init__(self, engine: str = "identity", column: str = "sentence",
+                 engine_options: dict | None = None) -> None:
+        self._engine = ENGINE_REGISTRY[engine](**(engine_options or {}))
         self._column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:

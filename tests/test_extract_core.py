@@ -231,3 +231,47 @@ def test_assemble_miss_policies():
 def test_extract_page_binary_and_error():
     rec = ec.extract_page("https://x/a", b"\x00bin")
     assert rec["status"] == "skipped_binary" and rec["extracted_text"] == ""
+
+
+# ------------------------------------------------------------- speed modes
+
+
+def test_speed_mode_fast_drops_table_structure():
+    """S4 profile (core.py:93-117 analog): fast trades table/caption/formula
+    fidelity for speed; balanced == accurate on the HTML path."""
+    from docling_translate_ray import extract_core as ec
+
+    html = (b"<html><body><p>Hello world.</p>"
+            b"<table><tr><td>cell A</td><td>cell B</td></tr>"
+            b"<caption>Cap</caption></table>"
+            b"<p>x^{2} &amp;= y</p><p>Tail para</p></body></html>")
+    acc = ec.extract_page("u", html)
+    bal = ec.extract_page("u", html, speed_mode="balanced")
+    fast = ec.extract_page("u", html, speed_mode="fast")
+    assert [s.kind for s in acc["spans"]] == [s.kind for s in bal["spans"]]
+    assert acc["extracted_text"] == bal["extracted_text"]
+    assert any(s.kind == "table_cell" for s in acc["spans"])
+    assert any(s.kind == "formula" for s in acc["spans"])
+    assert not any(s.kind in ("table_cell", "caption", "formula")
+                   for s in fast["spans"])
+    assert "cell A" in acc["extracted_text"]
+    assert "cell A" not in fast["extracted_text"]
+    # spans OUTSIDE tables keep identical offsets across modes
+    acc_prose = [(s.text, s.start, s.end) for s in acc["spans"] if s.kind == "prose"]
+    fast_prose = [(s.text, s.start, s.end) for s in fast["spans"] if s.kind == "prose"]
+    assert set(acc_prose) <= set(fast_prose)
+
+
+def test_speed_mode_validation_is_loud():
+    import pytest
+
+    from docling_translate_ray import extract_core as ec
+    from docling_translate_ray.stages.extract import extract_batch
+
+    import pyarrow as pa
+
+    with pytest.raises(ValueError):
+        ec.segment_html("<p>x</p>", speed_mode="warp")
+    with pytest.raises(ValueError):
+        extract_batch(pa.table({"url": ["u"], "html": [b"<p>x</p>"]}),
+                      speed_mode="warp")

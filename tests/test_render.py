@@ -147,3 +147,52 @@ def test_score_join_strategy_matches_broadcast(pages_path):
         assert via_join.get(url, "") in (txt, None) and (
             via_join.get(url) == txt or txt == ""
         ), url
+
+
+# ------------------------------------------------------------- markdown (M18)
+
+
+def test_render_markdown_extensions():
+    """The three reference extensions (text_html_generator.py:24):
+    fenced_code, tables, nl2br."""
+    from docling_translate_ray.stages.render import render_markdown_html
+
+    md = "\n".join([
+        "# Title",
+        "",
+        "First line",
+        "second line",
+        "",
+        "| colA | colB |",
+        "|------|------|",
+        "| a1   | b1   |",
+        "| a2   | b2   |",
+        "",
+        "```",
+        "code <here>",
+        "```",
+        "",
+        "- item one",
+        "- item two",
+    ])
+    html = render_markdown_html("doc://md", md)
+    assert "<h1>Title</h1>" in html
+    assert "<p>First line<br/>second line</p>" in html  # nl2br
+    assert "<th>colA</th>" in html and "<td>b2</td>" in html  # tables
+    assert "<pre><code>code &lt;here&gt;</code></pre>" in html  # fenced, escaped
+    assert "<li>item one</li>" in html
+
+
+def test_render_markdown_translation_probe():
+    from docling_translate_ray.stages.render import render_markdown_html
+
+    md = "| h |\n|---|\n| cell |\n\npara"
+    html = render_markdown_html(
+        "u", md, translations={"cell": "CELL", "para": "PARA"})
+    assert "<td>CELL</td>" in html and "<p>PARA</p>" in html
+    # identity miss policy: untranslated header stays
+    assert "<th>h</th>" in html
+    # empty miss policy blanks misses
+    html2 = render_markdown_html(
+        "u", md, translations={"cell": "CELL"}, miss_policy="empty")
+    assert "<p></p>" in html2

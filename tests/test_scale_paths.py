@@ -474,3 +474,29 @@ def test_rolling_fingerprint_order_sensitive_and_deterministic():
     assert r[3] == 0 and r[4] == 0
     again = ts.rolling_fingerprint(["a b c"])
     assert again[0] == r[0]
+
+
+def test_engine_chunked_scoring():
+    """NLLB-style true batching (nllb.py:126-155): a chunk_size engine
+    scores fixed-size chunks regardless of the Ray batch size above it."""
+    from docling_translate_ray.stages import scorer as sc
+
+    calls: list[int] = []
+
+    class Chunky(sc.BaseEngine):
+        name = "chunky_test"
+        chunk_size = 4
+
+        def score(self, texts):
+            calls.append(len(texts))
+            return [t.upper() for t in texts]
+
+    eng = Chunky()
+    out = eng.score_with_retry([f"t{i}" for i in range(10)])
+    assert out == [f"T{i}" for i in range(10)]
+    assert calls == [4, 4, 2]
+    # options surface overrides the class attribute
+    eng2 = Chunky(chunk_size=5)
+    calls.clear()
+    eng2.score_with_retry([f"t{i}" for i in range(10)])
+    assert calls == [5, 5]
