@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q.q_simhash_near_dup,
         "ngram_jaccard": q.q_ngram_jaccard,
         "embedding_near_dup": q.q_embedding_near_dup,
+        "line_dedup": q.q_line_dedup,
+        "top_words": q.q_top_words,
         # similarity search
         "knn_topk": q.q_knn_topk,
         "knn_ivf": q.q_knn_ivf,
@@ -208,6 +210,39 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 80 * len(list_distinct(a.g || b.g))
+        """,
+        # C4-style line dedup over a deterministic 8-word line wrapping:
+        # drop lines present in >= 2 distinct docs, reassemble in order
+        "line_dedup": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> ''),
+            l AS (
+              SELECT doc_id, i AS line_no,
+                     array_to_string(ws[(i-1)*8+1 : i*8], ' ') AS line
+              FROM w, unnest(range(1, CAST(ceil(len(ws) / 8.0) AS BIGINT) + 1))
+                       AS t(i)),
+            freq AS (
+              SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+            kept AS (
+              SELECT l.doc_id, l.line_no, l.line
+              FROM l JOIN freq USING (line) WHERE freq.nd < 2)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text_deduped,
+                   count(*)::BIGINT AS n_lines_kept
+            FROM kept GROUP BY doc_id
+        """,
+        "top_words": """
+            SELECT word, n_occurrences, rank FROM (
+              SELECT word, n_occurrences,
+                     row_number() OVER (
+                       ORDER BY n_occurrences DESC, word) AS rank
+              FROM (
+                SELECT word, count(*)::BIGINT AS n_occurrences FROM (
+                  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents WHERE trim(text) <> '')
+                GROUP BY word))
+            WHERE rank <= 50
         """,
         "knn_topk": """
             WITH q AS (

@@ -688,6 +688,142 @@ def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
     )
 
 
+# ---------------------------------------------------------------- line dedup
+
+def wrap_words_as_lines(batch: pa.Table, words_per_line: int = 8,
+                        column: str = "text") -> pa.Table:
+    """Deterministic line structure for line-level ops over single-line
+    corpora: split on whitespace, join every ``words_per_line`` tokens with
+    a space, lines joined by newline.  Token-less docs keep empty text."""
+    import polars as pl
+
+    s = pl.Series(batch[column].to_pylist(), dtype=pl.String).fill_null("")
+    out = []
+    for t in s:
+        toks = t.split()
+        out.append("\n".join(
+            " ".join(toks[i:i + words_per_line])
+            for i in range(0, len(toks), words_per_line)
+        ))
+    res = batch.drop_columns([column])
+    return res.append_column(column, pa.array(out, pa.string()))
+
+
+def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
+               min_docs: int = 2, max_broadcast: int = 2_000_000):
+    """C4-style LINE-level dedup: drop every line that occurs in ≥
+    ``min_docs`` distinct documents, reassemble the survivors per document
+    in original line order.  Returns (id, text_deduped, n_lines_kept);
+    documents whose every line was dropped are omitted.
+
+    Scale shape: explode lines (a doc's lines stay in its batch, so the
+    per-batch (line, doc) unique IS a correct distinct-doc combiner) →
+    one ``grouped_sum`` by line → the FREQUENT line set (boilerplate —
+    small by construction) broadcasts via ``ray.put`` and documents filter
+    locally; past ``max_broadcast`` frequent lines the subtraction runs as
+    a distributed anti ``partition_join`` on the exploded table instead.
+    Reassembly is one hash-partition exchange keyed by the doc id.
+    """
+    import polars as pl
+
+    import ray
+
+    from docling_translate_ray.stages.shuffle import (
+        grouped_sum,
+        hash_partition_apply,
+        partition_join,
+    )
+
+    def explode_lines(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            id_column: pl.Series(batch[id_column].to_pylist(), dtype=pl.Int64),
+            column: pl.Series(batch[column].to_pylist(), dtype=pl.String).fill_null(""),
+        }).filter(pl.col(column).str.strip_chars() != "")
+        return (
+            df.with_columns(pl.col(column).str.split("\n").alias("_lines"))
+            .explode("_lines")
+            .with_columns(
+                pl.int_range(1, pl.len() + 1).over(id_column).alias("line_no")
+            )
+            .select(
+                pl.col(id_column),
+                pl.col("line_no").cast(pl.Int64),
+                pl.col("_lines").alias("line"),
+            )
+            .to_arrow()
+            .cast(pa.schema([(id_column, pa.int64()), ("line_no", pa.int64()),
+                             ("line", pa.string())]))
+        )
+
+    lines = ds.select_columns([id_column, column]).map_batches(
+        explode_lines, batch_format="pyarrow"
+    )
+
+    def distinct_doc_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .unique(subset=["line", id_column])
+            .group_by("line")
+            .agg(pl.len().cast(pl.Int64).alias("_nd"))
+            .to_arrow()
+        )
+
+    freq = grouped_sum(
+        lines.select_columns([id_column, "line"]).map_batches(
+            distinct_doc_partial, batch_format="pyarrow"
+        ),
+        ["line"],
+        [pl.col("_nd").sum().alias("_nd")],
+        {"n_docs": "_nd"},
+        num_partitions=32,
+    )
+
+    def only_frequent(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["n_docs"], min_docs)).select(["line"])
+
+    frequent = freq.map_batches(only_frequent, batch_format="pyarrow").materialize()
+
+    if frequent.count() <= max_broadcast:
+        tbl = pa.concat_tables(
+            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+             for b in frequent.iter_batches(batch_format="pyarrow")]
+        ) if frequent.count() else pa.table({"line": pa.array([], pa.string())})
+        ref = ray.put(tbl["line"].combine_chunks())
+
+        def drop_frequent(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            import ray as _ray
+
+            bad = _ray.get(ref)  # zero-copy shared-memory read
+            return batch.filter(
+                pc.invert(pc.is_in(batch["line"], value_set=bad)))
+
+        kept = lines.map_batches(drop_frequent, batch_format="pyarrow")
+    else:
+        kept = partition_join(lines, frequent, on=["line"], how="anti",
+                              num_partitions=32)
+
+    def reassemble(part: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(part)
+            .sort([id_column, "line_no"])
+            .group_by(id_column, maintain_order=True)
+            .agg(
+                pl.col("line").str.join("\n").alias("text_deduped"),
+                pl.len().cast(pl.Int64).alias("n_lines_kept"),
+            )
+            .to_arrow()
+            .cast(pa.schema([(id_column, pa.int64()),
+                             ("text_deduped", pa.string()),
+                             ("n_lines_kept", pa.int64())]))
+        )
+
+    return hash_partition_apply(kept, [id_column], reassemble, num_partitions=32)
+
+
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:

@@ -195,6 +195,71 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """C4-style line-level dedup: docs wrapped into deterministic 8-word
+    lines, lines occurring in ≥2 distinct docs dropped, survivors
+    reassembled in order (functions/dedup.line_dedup)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fdedup.wrap_words_as_lines, batch_format="pyarrow",
+        fn_kwargs={"words_per_line": 8},
+    )
+    return fdedup.line_dedup(docs, min_docs=2)
+
+
+def q_top_words(sf_dir: str, k: int = 50):
+    """Corpus vocabulary top-k (token distribution — the training-data
+    "what's in my corpus" op): global word counts via per-batch combiner →
+    one grouped_sum exchange → per-partition local top-k → tiny merge (no
+    global sort).  Deterministic tie-break on the word."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        s = pl.Series(batch["text"].to_pylist(), dtype=pl.String).fill_null("")
+        return (
+            pl.DataFrame({"t": s})
+            .select(pl.col("t").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("_n"))
+            .rename({"w": "word"})
+            .to_arrow()
+        )
+
+    counts = grouped_sum(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            word_partial, batch_format="pyarrow"
+        ),
+        ["word"],
+        [pl.col("_n").sum().alias("_n")],
+        {"n_occurrences": "_n"},
+        num_partitions=32,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .sort(["n_occurrences", "word"], descending=[True, False])
+            .head(k)
+            .to_arrow()
+        )
+
+    # counts already has one row per word; per-batch top-k → tiny merge
+    cand = _collect(counts.map_batches(local_topk, batch_format="pyarrow"))
+    top = (
+        pl.from_arrow(cand)
+        .sort(["n_occurrences", "word"], descending=[True, False])
+        .head(k)
+        .to_arrow()
+    )
+    from docling_translate_ray.state.checkpoint import normalize_arrow_types
+
+    top = normalize_arrow_types(top)
+    return top.append_column("rank", pa.array(range(1, top.num_rows + 1), pa.int64()))
+
+
 def q_embedding_near_dup(sf_dir: str):
     return fdedup.embedding_near_dup(
         _read(sf_dir, "embeddings"), threshold=0.9, num_planes=6
@@ -653,14 +718,31 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
 def lang_map_batch(batch: pa.Table, column: str = "lang") -> pa.Table:
     """M20 analog: ISO-639-1 → engine codes with the reference's COMPLETE
     tables (functions/langcodes.py — 31 NLLB codes per nllb.py:27-58, DeepL
-    normalization per translation/utils.py:26-48)."""
+    normalization per translation/utils.py:26-48).  The NLLB probe is a
+    vectorized dictionary replace; DeepL falls back to the scalar rule only
+    for codes outside its explicit map (region variants)."""
+    import polars as pl
+
     from docling_translate_ray.functions import langcodes as lc
 
-    langs = [(x or "") for x in batch[column].to_pylist()]
+    s = pl.Series(batch[column].to_pylist(), dtype=pl.String).fill_null("")
+    nllb = s.replace_strict(
+        old=list(lc.NLLB_LANG_CODES), new=list(lc.NLLB_LANG_CODES.values()),
+        default="und",
+    )
+    # DeepL: 2-letter codes (the corpus shape) are a vectorized uppercase;
+    # anything longer routes through the scalar normalization rule
+    deepl = s.str.to_uppercase().to_list()
+    long_mask = (s.str.len_chars() > 2).to_list()
+    if any(long_mask):
+        vals = s.to_list()
+        for i, is_long in enumerate(long_mask):
+            if is_long:
+                deepl[i] = lc.to_deepl_lang(vals[i])
     return batch.append_column(
-        "deepl_code", pa.array([lc.to_deepl_lang(x) for x in langs], pa.string())
+        "deepl_code", pa.array(deepl, pa.string())
     ).append_column(
-        "nllb_code", pa.array([lc.to_nllb_lang(x) for x in langs], pa.string())
+        "nllb_code", nllb.to_arrow().cast(pa.string())
     )
 
 

@@ -500,3 +500,52 @@ def test_engine_chunked_scoring():
     calls.clear()
     eng2.score_with_retry([f"t{i}" for i in range(10)])
     assert calls == [5, 5]
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_drops_cross_doc_boilerplate():
+    import ray.data
+
+    boiler = "subscribe to our newsletter now"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            f"unique alpha content\n{boiler}\nmore unique alpha",
+            f"{boiler}\ndifferent beta content",
+            "entirely original gamma\nno shared lines here",
+        ],
+    })
+    out = _to_table(dd.line_dedup(ray.data.from_arrow(docs))).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["text_deduped"] == "unique alpha content\nmore unique alpha"
+    assert rows[1]["n_lines_kept"] == 2
+    assert rows[2]["text_deduped"] == "different beta content"
+    assert rows[3]["n_lines_kept"] == 2
+    assert boiler not in " ".join(r["text_deduped"] for r in rows.values())
+
+
+def test_line_dedup_doc_fully_boilerplate_is_omitted():
+    import ray.data
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["same line", "same line"],
+    })
+    out = _to_table(dd.line_dedup(ray.data.from_arrow(docs)))
+    assert out.num_rows == 0
+
+
+def test_line_dedup_distributed_fallback_agrees():
+    import ray.data
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [f"shared line\nunique {i}" for i in range(6)],
+    })
+    a = _to_table(dd.line_dedup(ray.data.from_arrow(docs))).sort_by("doc_id")
+    b = _to_table(dd.line_dedup(ray.data.from_arrow(docs),
+                                max_broadcast=0)).sort_by("doc_id")
+    assert a.to_pylist() == b.to_pylist()
+    assert all("shared line" not in r["text_deduped"] for r in a.to_pylist())
