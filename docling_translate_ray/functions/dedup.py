@@ -472,6 +472,11 @@ def _jaccard_pass(sa: frozenset, sb: frozenset, threshold_pct: int) -> bool:
     return union == 0 or 100 * len(sa & sb) >= threshold_pct * union
 
 
+# per-WORKER cache for the broadcast candidate-text table (keyed by object
+# ref; cleared whenever a different candidate set arrives)
+_VERIFY_TEXT_CACHE: dict[str, tuple] = {}
+
+
 def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
                           threshold_pct: int, k_shingle: int = 3,
                           text_broadcast_bytes: int = 512 * 1024 * 1024):
@@ -501,13 +506,24 @@ def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
              column: pa.array([], pa.string())}
         )
         ref = ray.put(tbl.select([id_column, column]))
+        ref_key = ref.hex()
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
             import ray as _ray
 
-            t = _ray.get(ref)  # zero-copy shared-memory read per task
-            texts = dict(zip(t[id_column].to_pylist(), t[column].to_pylist()))
-            shingles: dict[int, frozenset] = {}
+            # the id→text dict (and shingle cache) builds ONCE per worker
+            # process, not once per batch: ray.get is zero-copy but the
+            # Python dict materialization is not
+            cached = _VERIFY_TEXT_CACHE.get(ref_key)
+            if cached is None:
+                t = _ray.get(ref)
+                cached = (
+                    dict(zip(t[id_column].to_pylist(), t[column].to_pylist())),
+                    {},
+                )
+                _VERIFY_TEXT_CACHE.clear()  # hold at most one candidate set
+                _VERIFY_TEXT_CACHE[ref_key] = cached
+            texts, shingles = cached
 
             def sh(i: int) -> frozenset:
                 s = shingles.get(i)
@@ -716,12 +732,14 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
     in original line order.  Returns (id, text_deduped, n_lines_kept);
     documents whose every line was dropped are omitted.
 
-    Scale shape: explode lines (a doc's lines stay in its batch, so the
-    per-batch (line, doc) unique IS a correct distinct-doc combiner) →
-    one ``grouped_sum`` by line → the FREQUENT line set (boilerplate —
-    small by construction) broadcasts via ``ray.put`` and documents filter
-    locally; past ``max_broadcast`` frequent lines the subtraction runs as
-    a distributed anti ``partition_join`` on the exploded table instead.
+    Scale shape: explode lines → global DISTINCT on (line, doc) (its own
+    per-batch combiner thins within-doc repeats before the exchange; the
+    hash partition guarantees correctness even when Ray splits one doc's
+    exploded lines across blocks) → one ``grouped_sum`` by line counts
+    distinct docs → the FREQUENT line set (boilerplate — small by
+    construction) broadcasts via ``ray.put`` and documents filter locally;
+    past ``max_broadcast`` frequent lines the subtraction runs as a
+    distributed anti ``partition_join`` on the exploded table instead.
     Reassembly is one hash-partition exchange keyed by the doc id.
     """
     import polars as pl
@@ -759,19 +777,25 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
         explode_lines, batch_format="pyarrow"
     )
 
-    def distinct_doc_partial(batch: pa.Table) -> pa.Table:
+    from docling_translate_ray.stages.shuffle import distinct
+
+    # exact global (line, doc) pairs — a per-batch unique alone would
+    # double-count a doc whose exploded lines Ray split across blocks
+    line_doc = distinct(
+        lines.select_columns([id_column, "line"]), ["line", id_column],
+        num_partitions=32,
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(batch)
-            .unique(subset=["line", id_column])
             .group_by("line")
             .agg(pl.len().cast(pl.Int64).alias("_nd"))
             .to_arrow()
         )
 
     freq = grouped_sum(
-        lines.select_columns([id_column, "line"]).map_batches(
-            distinct_doc_partial, batch_format="pyarrow"
-        ),
+        line_doc.map_batches(count_partial, batch_format="pyarrow"),
         ["line"],
         [pl.col("_nd").sum().alias("_nd")],
         {"n_docs": "_nd"},
@@ -959,30 +983,35 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
 # ---------------------------------------------------------------- embedding
 
 def _split_oversized_bucket(ids: np.ndarray, mat: np.ndarray, cap: int,
-                            seed: int, max_depth: int = 20):
+                            seed: int, max_fails: int = 20):
     """Yield sub-buckets of size ≤ cap by recursively halving with extra
-    seeded hyperplanes (deterministic).  A bucket that 20 extra planes
-    cannot split (identical/near-identical vectors) is yielded whole with
-    ``windowed=True`` — the verifier then compares a sorted sliding window
-    instead of all pairs, and transitive closure reconstitutes the cluster.
+    seeded hyperplanes (deterministic).  The budget counts CONSECUTIVE
+    FAILED splits only — a successful split strictly shrinks the bucket
+    (guaranteed progress), so diverse skewed buckets keep splitting all the
+    way down to the cap; only a bucket that ``max_fails`` planes in a row
+    cannot separate (identical/near-identical vectors) is yielded whole
+    with ``windowed=True`` — the verifier then compares a sorted sliding
+    window instead of all pairs, and transitive closure reconstitutes the
+    (duplicate) cluster.
     """
-    stack = [(ids, mat, 0)]
+    stack = [(ids, mat, 0, 0)]  # (ids, vecs, plane_idx, consecutive_fails)
     while stack:
-        bids, bmat, depth = stack.pop()
+        bids, bmat, plane_idx, fails = stack.pop()
         if len(bids) <= cap:
             yield bids, bmat, False
             continue
-        if depth >= max_depth:
+        if fails >= max_fails:
             yield bids, bmat, True
             continue
-        rng = np.random.RandomState((seed * 1_000_003 + depth * 7919) % (1 << 31))
+        rng = np.random.RandomState(
+            (seed * 1_000_003 + plane_idx * 7919) % (1 << 31))
         plane = rng.randn(bmat.shape[1])
         mask = bmat @ plane > 0
         if mask.all() or not mask.any():
-            stack.append((bids, bmat, depth + 1))
+            stack.append((bids, bmat, plane_idx + 1, fails + 1))
             continue
-        stack.append((bids[mask], bmat[mask], depth + 1))
-        stack.append((bids[~mask], bmat[~mask], depth + 1))
+        stack.append((bids[mask], bmat[mask], plane_idx + 1, 0))
+        stack.append((bids[~mask], bmat[~mask], plane_idx + 1, 0))
 
 
 def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",

@@ -192,10 +192,16 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16, seed: int = 42,
 
     from docling_translate_ray.util import auto_pool_size
 
+    import shutil
+
     cents = centroids if centroids is not None else train_centroids(
         ds, n_centroids=n_centroids, seed=seed, column=column
     )
     os.makedirs(index_dir, exist_ok=True)
+    # a rebuild replaces the whole index: stale vector files from a prior
+    # generation would otherwise sit beside the new ones (the writer names
+    # parts by uuid) and every query would rank BOTH generations
+    shutil.rmtree(os.path.join(index_dir, _VECTORS_SUBDIR), ignore_errors=True)
     pq.write_table(
         pa.table({"centroid_id": pa.array(range(cents.shape[0]), pa.int64()),
                   "centroid": pa.array(cents.tolist(), pa.list_(pa.float64()))}),

@@ -46,7 +46,13 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     from docling_translate_ray.stages.shuffle import partition_join
 
     if work_dir is None:
+        import atexit
+
         work_dir = tempfile.mkdtemp(prefix="dtr_curate_")
+        # the returned Dataset reads from this dir, so it must survive the
+        # call — but not the process (corpus-sized intermediates would
+        # accumulate across invocations otherwise)
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
     os.makedirs(work_dir, exist_ok=True)
 
     stats: dict[str, int] = {"n_input": ds.count()}

@@ -122,7 +122,9 @@ def render_markdown_html(url: str, content: str,
 
     global _MD_SEP_RE
     if _MD_SEP_RE is None:
-        _MD_SEP_RE = _re.compile(r"^\s*\|?[\s:|-]+\|?\s*$")
+        # GFM-style separator MUST contain a pipe — a bare '---' line is a
+        # thematic break / setext underline, never a table separator
+        _MD_SEP_RE = _re.compile(r"^\s*\|?[\s:-]*-[\s:-]*\|[\s:|-]*$")
 
     def tr(text: str) -> str:
         if translations is None:
@@ -179,10 +181,14 @@ def render_markdown_html(url: str, content: str,
             block.append(lines[i])
             i += 1
         m = _re.match(r"^(#{1,6})\s+(.*)$", block[0])
-        if m and len(block) == 1:
+        if m:
+            # a heading closes itself even without a trailing blank line
+            # (markdown lib behavior): emit it, keep the rest as a paragraph
             lvl = len(m.group(1))
             out.append(f"<h{lvl}>{_html.escape(tr(m.group(2)))}</h{lvl}>")
-            continue
+            block = block[1:]
+            if not block:
+                continue
         if all(_re.match(r"^\s*[-*]\s+", b) for b in block):
             stripped_items = [_re.sub(r"^\s*[-*]\s+", "", b) for b in block]
             items = "".join(

@@ -114,8 +114,12 @@ class BaseEngine:
         fb = self._fallback()
         out: list[str] = []
         for t in texts:  # isolate the poison input(s)
+            # single attempt, NO backoff: the batch-level loop above already
+            # spent the retry budget proving the engine unhealthy — a
+            # per-sentence 2^n sleep schedule on a 2048-row batch would be
+            # hours of pure sleeping per actor for one dead engine
             try:
-                out.append(self._score_with_backoff([t])[0])
+                out.append(self.score([t])[0])
                 continue
             except Exception:
                 pass

@@ -196,3 +196,14 @@ def test_render_markdown_translation_probe():
     html2 = render_markdown_html(
         "u", md, translations={"cell": "CELL"}, miss_policy="empty")
     assert "<p></p>" in html2
+
+
+def test_render_markdown_heading_without_blank_line_and_no_false_tables():
+    from docling_translate_ray.stages.render import render_markdown_html
+
+    html = render_markdown_html("u", "# Title\nBody text")
+    assert "<h1>Title</h1>" in html and "<p>Body text</p>" in html
+    # a bare '---' after a pipe-bearing paragraph is NOT a table separator
+    html2 = render_markdown_html("u", "price 5 | qty 3\n---\nnext para")
+    assert "<table>" not in html2
+    assert "next para" in html2

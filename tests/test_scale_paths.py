@@ -256,8 +256,9 @@ def test_scorer_backoff_schedule_and_named_fallback():
         out = eng.score_with_retry(["hello"])
         # dead engine → the NAMED fallback engine answers, not identity
         assert out == ["HELLO"]
-        # batch attempt + per-sentence attempt, each with 2^0, 2^1 backoff
-        assert sleeps == [1.0, 2.0, 1.0, 2.0]
+        # backoff budget is spent ONCE at batch level (2^0, 2^1); the
+        # per-sentence isolation pass is a single no-sleep attempt
+        assert sleeps == [1.0, 2.0]
     finally:
         sc.ENGINE_REGISTRY.pop("flaky_test", None)
 
@@ -549,3 +550,20 @@ def test_line_dedup_distributed_fallback_agrees():
                                 max_broadcast=0)).sort_by("doc_id")
     assert a.to_pylist() == b.to_pylist()
     assert all("shared line" not in r["text_deduped"] for r in a.to_pylist())
+
+
+def test_ivf_rebuild_replaces_old_generation(tmp_path):
+    import ray.data
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(100, 8)
+    t1 = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                   "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    idx = str(tmp_path / "ivf")
+    knn_mod.build_ivf_index(ray.data.from_arrow(t1), idx, n_centroids=4)
+    # rebuild with HALF the corpus: old generation must be gone
+    t2 = t1.slice(0, 50)
+    knn_mod.build_ivf_index(ray.data.from_arrow(t2), idx, n_centroids=4)
+    out = knn_mod.knn_ivf_query(idx, vecs[:1], k=100, n_probe=4)
+    ids = out["vec_id"].to_pylist()
+    assert len(ids) == len(set(ids)) and max(ids) < 50
