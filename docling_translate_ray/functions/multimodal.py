@@ -1,15 +1,21 @@
-"""Multimodal (image/audio/video) column plumbing — Ray-side real, codecs stubbed.
+"""Multimodal (image/audio/video) column plumbing — REAL image/audio codecs,
+video container stubbed.
 
 The reference saves table/picture images per document (utils.py:25-77,
 S10 in SURVEY.md §2); at corpus scale media are opaque ``binary`` columns
-with typed metadata, processed by actor-pool stages.  The image/audio codec
-libraries are NOT in this container, so the decode kernels are stubbed:
+with typed metadata, processed by actor-pool stages.  No PIL/ffmpeg exists
+in this container, so the codec story is:
 
-* ``deterministic_fake=True`` (default in tests) produces features derived
-  from the payload bytes (blake2b-seeded) — schema/batching/actor plumbing
-  is fully real and tested;
-* ``deterministic_fake=False`` raises ``NotImplementedError`` at the exact
-  point a real decoder (PIL/ffmpeg) would be called.
+* **images are real BMPs** — 24-bit uncompressed BMP is decodable and
+  encodable in pure numpy (:func:`decode_bmp` / :func:`encode_bmp`), so
+  decode, featurize and nearest-neighbor resize are REAL pixel work;
+* **audio is real WAV** — PCM16 WAV via the stdlib ``wave`` module
+  (:func:`decode_wav` / :func:`encode_wav`): RMS / zero-crossing features
+  are computed from actual samples;
+* **video stays behind the honest stub boundary** — demuxing a container
+  needs ffmpeg; the frame-sample PLAN and the 1→N explode are real, the
+  frame grab raises ``NotImplementedError`` unless the clearly-marked
+  deterministic fake is enabled.
 
 Schema convention (FIXTURES/media):
 ``media(media_id:int64, url:string, kind:string{image,audio,video},
@@ -19,6 +25,9 @@ payload:binary, meta:struct<width:int32, height:int32, duration_ms:int32>)``.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -39,26 +48,109 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------- BMP codec
+# 24-bit uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB):
+# a public, fixed-layout format — rows bottom-up, BGR, 4-byte row padding.
+
+_AUDIO_RATE = 8000
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → BMP bytes (pure numpy, no image library)."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (h, w, 3) RGB array")
+    h, w, _ = arr.shape
+    row = w * 3
+    stride = (row + 3) & ~3
+    img_size = stride * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    buf = np.zeros((h, stride), dtype=np.uint8)
+    buf[:, :row] = arr[::-1, :, ::-1].reshape(h, row)  # bottom-up, BGR
+    return header + info + buf.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, 3) uint8 RGB.  Only 24-bit BI_RGB is supported
+    (which is what this pipeline writes); anything else raises ValueError."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP is supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(data) < offset + stride * h:
+        raise ValueError("truncated BMP payload")
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                       offset=offset).reshape(h, stride)
+    img = px[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------- WAV codec
+
+def encode_wav(samples: np.ndarray, rate: int = _AUDIO_RATE) -> bytes:
+    """mono int16 samples → PCM16 WAV bytes (stdlib wave module)."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes → (mono int16 samples, sample rate)."""
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a WAV payload: {exc}") from exc
+    return np.frombuffer(raw, dtype="<i2"), rate
+
+
+# ---------------------------------------------------------------- fixtures
+
 def gen_media(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table (payload = seeded pseudo-random bytes)."""
+    """Deterministic media table with REAL payloads: images are decodable
+    BMPs, audio rows are decodable WAVs; video payloads are opaque bytes
+    (the container format is the stubbed part)."""
     import random
 
     ids, urls, kinds, payloads, metas = [], [], [], [], []
     for i in range(n_rows):
         rng = random.Random((seed << 16) ^ i)
+        nprng = np.random.RandomState((seed * 1_000_003 + i) % (1 << 31))
         kind = ("image", "audio", "video")[i % 3]
-        size = rng.randint(256, 4096)
         ids.append(i)
         urls.append(f"https://media.example/{kind}/{i}")
         kinds.append(kind)
-        payloads.append(rng.randbytes(size))
-        metas.append(
-            {
-                "width": rng.randint(16, 1920) if kind != "audio" else 0,
-                "height": rng.randint(16, 1080) if kind != "audio" else 0,
-                "duration_ms": rng.randint(100, 60000) if kind != "image" else 0,
-            }
-        )
+        if kind == "image":
+            w, h = rng.randint(8, 48), rng.randint(8, 48)
+            payloads.append(
+                encode_bmp(nprng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+            )
+            metas.append({"width": w, "height": h, "duration_ms": 0})
+        elif kind == "audio":
+            dur_ms = rng.randint(50, 400)
+            n = max(1, (_AUDIO_RATE * dur_ms) // 1000)
+            samples = (nprng.randn(n) * 3000).astype(np.int16)
+            payloads.append(encode_wav(samples))
+            metas.append({"width": 0, "height": 0, "duration_ms": dur_ms})
+        else:
+            payloads.append(rng.randbytes(rng.randint(256, 4096)))
+            metas.append({"width": rng.randint(160, 1920),
+                          "height": rng.randint(90, 1080),
+                          "duration_ms": rng.randint(100, 60000)})
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -70,26 +162,52 @@ def gen_media(n_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------- stages
+
 class MediaFeaturizer:
     """Actor-pool stage: payload → fixed-dim feature vector + basic stats.
 
-    Real pipeline shape (small ``batch_size`` for MB-scale binary cells,
-    model "loaded" once per actor in ``__init__``); the codec itself is the
-    stubbed part.  Output adds ``payload_bytes:int64`` and
-    ``features:list<float>(dim)``.
+    Image and audio features are computed from REAL decoded pixels/samples
+    (BMP / WAV codecs above); video featurization would need ffmpeg, so it
+    raises unless ``video_fake=True`` (the default — a clearly-marked
+    deterministic stand-in derived from the payload hash).  Output adds
+    ``payload_bytes:int64`` and ``features:list<float>(dim)``.
     """
 
-    def __init__(self, dim: int = 16, deterministic_fake: bool = True) -> None:
+    def __init__(self, dim: int = 16, video_fake: bool = True) -> None:
         self.dim = dim
-        self.fake = deterministic_fake
-        # "model load" happens here, once per actor
-        self._proj_seed = 1234
+        self.video_fake = video_fake
+
+    def _pad(self, vals: list[float]) -> np.ndarray:
+        out = np.zeros(self.dim, dtype=np.float64)
+        arr = np.asarray(vals[: self.dim], dtype=np.float64)
+        out[: len(arr)] = arr
+        return out
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
-        if not self.fake:
+        if kind == "image":
+            img = decode_bmp(payload).astype(np.float64)
+            h, w, _ = img.shape
+            return self._pad([
+                w, h, img.mean(), img.std(),
+                img[:, :, 0].mean(), img[:, :, 1].mean(), img[:, :, 2].mean(),
+                np.abs(np.diff(img, axis=0)).mean() if h > 1 else 0.0,
+                np.abs(np.diff(img, axis=1)).mean() if w > 1 else 0.0,
+            ])
+        if kind == "audio":
+            samples, rate = decode_wav(payload)
+            x = samples.astype(np.float64)
+            n = len(x)
+            rms = float(np.sqrt((x ** 2).mean())) if n else 0.0
+            zcr = float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
+            return self._pad([n, rate, rms, zcr,
+                              float(x.mean()) if n else 0.0,
+                              float(np.abs(x).max()) if n else 0.0])
+        # video: the container demux is the stubbed boundary
+        if not self.video_fake:
             raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg, not present in this "
-                "environment; run with deterministic_fake=True"
+                "video featurization requires ffmpeg, not present in this "
+                "environment; run with video_fake=True"
             )
         digest = hashlib.blake2b(payload, digest_size=8).digest()
         rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
@@ -107,26 +225,27 @@ class MediaFeaturizer:
 
 def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:
     """Frame-sampling timestamps for a video payload (pure planning logic —
-    the actual frame grab is behind the same stub boundary)."""
+    the actual frame grab is behind the ffmpeg stub boundary)."""
     if duration_ms <= 0:
         return []
     return list(range(0, duration_ms, every_ms))
 
 
+def _resize_nearest(img: np.ndarray, w2: int, h2: int) -> np.ndarray:
+    h, w, _ = img.shape
+    rows = (np.arange(h2) * h // h2).clip(0, h - 1)
+    cols = (np.arange(w2) * w // w2).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
 class MediaResizer:
-    """Actor-pool resize stage for image rows (S10 analog at corpus scale).
+    """Actor-pool resize stage for image rows (S10 analog at corpus scale):
+    REAL pixel work — decode BMP → nearest-neighbor resample to an
+    aspect-preserving fit box → re-encode BMP; meta struct rewritten with
+    the actual output dims.  Non-image rows pass through untouched."""
 
-    Real Ray plumbing: small ``batch_size`` for binary cells, per-actor
-    "codec" setup in ``__init__``, meta struct rewritten with the target
-    box (aspect-preserving fit).  The pixel work itself is stubbed: the
-    fake produces size-proportional deterministic bytes; ``deterministic_
-    fake=False`` raises at the exact PIL call site.
-    """
-
-    def __init__(self, max_w: int = 256, max_h: int = 256,
-                 deterministic_fake: bool = True) -> None:
+    def __init__(self, max_w: int = 256, max_h: int = 256) -> None:
         self.max_w, self.max_h = max_w, max_h
-        self.fake = deterministic_fake
 
     def _fit(self, w: int, h: int) -> tuple[int, int]:
         if w <= 0 or h <= 0:
@@ -135,15 +254,10 @@ class MediaResizer:
         return max(1, int(w * scale)), max(1, int(h * scale))
 
     def _resize(self, payload: bytes, w: int, h: int) -> bytes:
-        if not self.fake:
-            raise NotImplementedError(
-                "real resize requires PIL, not present in this environment; "
-                "run with deterministic_fake=True"
-            )
-        seed = hashlib.blake2b(payload, digest_size=8).digest()
-        n = max(16, (w * h) // 8)  # size-proportional fake jpeg-ish payload
-        reps = (n // len(seed)) + 1
-        return (seed * reps)[:n]
+        img = decode_bmp(payload)
+        if (img.shape[1], img.shape[0]) == (w, h):
+            return payload
+        return encode_bmp(_resize_nearest(img, w, h))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -171,10 +285,11 @@ class FrameSampler:
     """Actor-pool explode stage: one output row per sampled video frame.
 
     The 1-row→N-rows explode, schema, and timestamps are real
-    (``frame_sample_plan``); the frame-grab kernel is stubbed the same way
-    as the other codecs.  Non-video rows are dropped (use a union with the
-    original stream if both are needed).  Output: ``media_id, url,
-    frame_ts_ms:int64, frame:binary``.
+    (``frame_sample_plan``); the frame-grab kernel needs ffmpeg and is
+    stubbed (``deterministic_fake=True`` yields payload-hash frames;
+    ``False`` raises at the exact grab site).  Non-video rows are dropped
+    (use a union with the original stream if both are needed).  Output:
+    ``media_id, url, frame_ts_ms:int64, frame:binary``.
     """
 
     def __init__(self, every_ms: int = 1000, deterministic_fake: bool = True) -> None:

@@ -420,10 +420,37 @@ def test_media_featurizer_deterministic():
     assert f2["features"].to_pylist() == feats[:5]
 
 
-def test_media_featurizer_real_decode_is_stubbed():
-    f = mm.MediaFeaturizer(deterministic_fake=False)
+def test_media_codecs_roundtrip_and_real_features():
+    import numpy as np
+
+    # BMP: pure-numpy encode/decode roundtrip (incl. non-4-multiple widths)
+    for w, h in [(3, 2), (17, 5), (32, 32)]:
+        img = np.random.RandomState(w * h).randint(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (mm.decode_bmp(mm.encode_bmp(img)) == img).all()
+    # WAV: stdlib encode/decode roundtrip
+    samples = (np.sin(np.linspace(0, 20, 400)) * 5000).astype(np.int16)
+    got, rate = mm.decode_wav(mm.encode_wav(samples, rate=8000))
+    assert rate == 8000 and (got == samples).all()
+    # features are REAL pixel/sample statistics, not payload hashes
+    flat = np.full((4, 4, 3), 100, dtype=np.uint8)
+    f = mm.MediaFeaturizer(dim=8)
+    feats = f._decode(mm.encode_bmp(flat), "image")
+    assert feats[0] == 4 and feats[1] == 4          # width, height
+    assert feats[2] == 100.0 and feats[3] == 0.0    # mean, std
+    afeat = f._decode(mm.encode_wav(samples), "audio")
+    assert afeat[0] == len(samples) and afeat[1] == 8000
+    assert abs(afeat[2] - np.sqrt((samples.astype(float) ** 2).mean())) < 1e-6
+
+
+def test_media_featurizer_video_stub_and_invalid_payloads():
+    f = mm.MediaFeaturizer(dim=8, video_fake=False)
     with pytest.raises(NotImplementedError):
-        f._decode(b"abc", "image")
+        f._decode(b"abc", "video")
+    with pytest.raises(ValueError):
+        f._decode(b"not a bmp", "image")
+    with pytest.raises(ValueError):
+        f._decode(b"not a wav", "audio")
 
 
 def test_frame_sample_plan():
@@ -451,10 +478,15 @@ def test_media_resizer():
                 r0 = before["meta"]["width"] / before["meta"]["height"]
                 r1 = after["meta"]["width"] / after["meta"]["height"]
                 assert abs(r0 - r1) / r0 < 0.25
+            # REAL resize: the re-encoded BMP decodes to exactly the
+            # dimensions the meta struct claims
+            img = mm.decode_bmp(after["payload"])
+            assert img.shape[0] == after["meta"]["height"]
+            assert img.shape[1] == after["meta"]["width"]
         else:
             assert after["payload"] == before["payload"]  # non-images untouched
-    with pytest.raises(NotImplementedError):
-        mm.MediaResizer(deterministic_fake=False)._resize(b"x", 4, 4)
+    with pytest.raises(ValueError):
+        mm.MediaResizer()._resize(b"x", 4, 4)  # not a BMP
 
 
 def test_frame_sampler_explodes_videos():
