@@ -317,6 +317,98 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        # the language-ID heuristic IS SQL-expressible: script-range char
+        # counts + per-language stopword hits + the first-max decision
+        # chain (en wins ties, then de, fr, es — python insertion order)
+        "langid": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     len(regexp_extract_all(text, '[가-힯]')) AS hang,
+                     len(regexp_extract_all(text, '[぀-ヿ]')) AS kana,
+                     len(regexp_extract_all(text, '[一-鿿]')) AS han,
+                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    w -> lower(trim(w, '.,;:!?"''()'))) AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id, n, hang, kana, han,
+                     len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+                     len(list_filter(toks, x -> list_contains(
+                       ['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS h_de,
+                     len(list_filter(toks, x -> list_contains(
+                       ['le','la','les','et','est','un','une','de','que','pour'], x))) AS h_fr,
+                     len(list_filter(toks, x -> list_contains(
+                       ['el','la','los','y','es','un','una','de','que','para'], x))) AS h_es
+              FROM b)
+            SELECT doc_id,
+                   CASE
+                     WHEN n = 0 THEN 'und'
+                     WHEN hang / n > 0.1 THEN 'ko'
+                     WHEN kana / n > 0.05 THEN 'ja'
+                     WHEN han / n > 0.1 THEN 'zh'
+                     WHEN h_en > 0 AND h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+                     WHEN h_de > 0 AND h_de >= greatest(h_fr, h_es) THEN 'de'
+                     WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
+                     WHEN h_es > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM h
+        """,
+        # the whole curation composite (quality gate → exact dedup → minhash
+        # near-dedup) expressed end-to-end in SQL: the near-dup stage reuses
+        # the exact-Jaccard closure model from the minhash oracle, applied
+        # to the exact-dedup survivors
+        "curate": r"""
+            WITH RECURSIVE qual AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tokens,
+                       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+                       length(text) - length(regexp_replace(text, '\S', '', 'g')) AS n_nonws,
+                       length(text) AS n_chars
+                FROM documents)
+              WHERE n_tokens >= 5
+                AND np / greatest(n_chars, 1) <= 0.2
+                AND n_nonws / greatest(n_tokens, 1) BETWEEN 2 AND 14),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+            surv AS (
+              SELECT q.doc_id, q.text FROM qual q JOIN winners USING (doc_id)),
+            w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM surv),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS g
+              FROM w),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE 100 * len(list_intersect(a.g, b.g))
+                    >= 70 * len(list_distinct(a.g || b.g))),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            labels AS (
+              SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+              FROM reach GROUP BY a),
+            dropped AS (SELECT doc_id FROM labels WHERE doc_id <> canonical_id)
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+                   (SELECT count(*) FROM qual)::BIGINT AS n_quality_ok,
+                   (SELECT count(*) FROM surv)::BIGINT AS n_exact_unique,
+                   ((SELECT count(*) FROM surv)
+                    - (SELECT count(*) FROM dropped))::BIGINT AS n_curated
+        """,
         "sample_docs": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
             WHERE md5(text) < '40000000000000000000000000000000'
@@ -465,13 +557,12 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und' END AS nllb_code
             FROM documents
         """,
-        # rows-only (non-SQL-expressible): sentences splitter internals are
-        # SQL-modelled above because the sf corpus has no sentence punctuation;
-        # the following are genuinely non-relational: docs_text_segments
-        # (regex lexers w/ offsets), extract_lineage (xxhash bucketing),
-        # embedding_near_dup (hyperplane LSH), knn_ivf (approximate),
-        # langid (heuristic voting), curate (composite job with temp dirs),
-        # media_features/video_frames (stubbed codec).  minhash/simhash
-        # near-dup ARE oracle-backed above (exact-predicate closure via
-        # recursive CTE; simhash recomputes the signature with hash()).
+        # rows-only (non-SQL-expressible): docs_text_segments (regex lexers
+        # w/ offsets), extract_lineage (xxhash bucketing),
+        # embedding_near_dup (hyperplane LSH; the sf embeddings contain no
+        # cos≥0.9 pair — max pairwise cosine is 0.51 — so 0 rows is the
+        # true answer, pinned by the planted-pair recall pytest), knn_ivf
+        # (approximate; recall pinned by pytest), media_features /
+        # video_frames (video codec stubbed).  minhash/simhash near-dup,
+        # langid and the curate composite ARE oracle-backed above.
     }
