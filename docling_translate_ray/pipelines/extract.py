@@ -245,14 +245,14 @@ def run_extract_job(
     run_id = uuid.uuid4().hex[:12]
 
     if layout == "shard":
-        ckpt.check_job_meta(out_dir, "shard", None)
-        ckpt.write_job_meta(out_dir, "shard", None)
+        ckpt.check_job_meta(out_dir, "shard", None, speed_mode)
+        ckpt.write_job_meta(out_dir, "shard", None, speed_mode)
         return _run_shard_job(input_path, out_dir, run_id, resume, engine,
                               miss_policy, strategy, source_kind, span_text,
                               speed_mode)
 
-    ckpt.check_job_meta(out_dir, "bucket", n_buckets)
-    ckpt.write_job_meta(out_dir, "bucket", n_buckets)
+    ckpt.check_job_meta(out_dir, "bucket", n_buckets, speed_mode)
+    ckpt.write_job_meta(out_dir, "bucket", n_buckets, speed_mode)
 
     done: set[int] = set()
     if resume:

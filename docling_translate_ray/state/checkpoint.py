@@ -463,7 +463,8 @@ def _hash_probe() -> str:
     return ":".join(f"{v & 0xFFFFFFFFFFFFFFFF:016x}" for v in vals)
 
 
-def write_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
+def write_job_meta(out_dir: str, layout: str, n_buckets: int | None,
+                   speed_mode: str = "accurate") -> None:
     """Record the partitioning parameters so a resume with INCOMPATIBLE
     parameters fails loudly instead of silently skipping wrong partitions
     (bucket ids from n_buckets=64 mean nothing under n_buckets=16; bucket
@@ -482,6 +483,7 @@ def write_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
                 {
                     "layout": layout,
                     "n_buckets": n_buckets,
+                    "speed_mode": speed_mode,
                     "polars_version": pl.__version__,
                     "hash_probe": _hash_probe(),
                 },
@@ -490,7 +492,8 @@ def write_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
         os.replace(tmp, path)
 
 
-def check_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
+def check_job_meta(out_dir: str, layout: str, n_buckets: int | None,
+                   speed_mode: str = "accurate") -> None:
     import json
 
     path = os.path.join(out_dir, "job_meta.json")
@@ -508,6 +511,14 @@ def check_job_meta(out_dir: str, layout: str, n_buckets: int | None) -> None:
             f"layout={layout!r} n_buckets={n_buckets}; use a fresh out_dir "
             "or matching parameters (bucket ids are not comparable across "
             "bucketings)"
+        )
+    want_mode = meta.get("speed_mode")
+    if want_mode is not None and want_mode != speed_mode:
+        raise ValueError(
+            f"resume speed-mode mismatch for {out_dir}: existing output was "
+            f"extracted with speed_mode={want_mode!r}, this run requests "
+            f"{speed_mode!r} — resuming would mix fidelity profiles in one "
+            "output; use a fresh out_dir or the original mode"
         )
     # meta written before the probe existed carries no fingerprint; only
     # enforce when present (old outputs stay resumable on the same install)

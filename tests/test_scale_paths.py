@@ -567,3 +567,21 @@ def test_ivf_rebuild_replaces_old_generation(tmp_path):
     out = knn_mod.knn_ivf_query(idx, vecs[:1], k=100, n_probe=4)
     ids = out["vec_id"].to_pylist()
     assert len(ids) == len(set(ids)) and max(ids) < 50
+
+
+def test_resume_rejects_speed_mode_mismatch(tmp_path):
+    import pyarrow.parquet as pq
+
+    from docling_translate_ray.corpus import gen_pages
+    from docling_translate_ray.pipelines.extract import run_extract_job
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    pq.write_table(gen_pages(30, seed=5), str(pages / "p.parquet"))
+    out = str(tmp_path / "out")
+    run_extract_job(str(pages), out, layout="shard", speed_mode="fast")
+    with pytest.raises(ValueError, match="speed-mode mismatch"):
+        run_extract_job(str(pages), out, layout="shard", speed_mode="accurate")
+    # same mode resumes cleanly
+    res = run_extract_job(str(pages), out, layout="shard", speed_mode="fast")
+    assert res["skipped_shards"] == res["shards"]
