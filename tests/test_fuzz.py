@@ -72,3 +72,34 @@ def test_split_sentences_preserves_nonspace(text):
     lost = "".join(text.split())
     got = "".join("".join(s.split()) for s in sents)
     assert got == lost
+
+
+@given(st.text(alphabet=st.sampled_from(list("ab#|-` \n*:")), max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_render_markdown_never_raises(md):
+    from docling_translate_ray.stages.render import render_markdown_html
+
+    html = render_markdown_html("u", md)
+    assert html.startswith("<!DOCTYPE html>") and html.endswith("</html>")
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from docling_translate_ray.functions import multimodal as mm
+
+    img = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (mm.decode_bmp(mm.encode_bmp(img)) == img).all()
+
+
+@given(_HTMLISH)
+@settings(max_examples=150, deadline=None)
+def test_fast_mode_never_raises_and_drops_structure(content):
+    acc = ec.segment_html(content)
+    fast = ec.segment_html(content, speed_mode="fast")
+    assert not any(kind in ("table_cell", "caption", "formula")
+                   for _, _, _, kind, _, _ in fast)
+    # fast never invents spans beyond the accurate parse's block count
+    assert len(fast) <= len(acc)
