@@ -473,8 +473,11 @@ def _jaccard_pass(sa: frozenset, sb: frozenset, threshold_pct: int) -> bool:
 
 
 # per-WORKER cache for the broadcast candidate-text table (keyed by object
-# ref; cleared whenever a different candidate set arrives)
+# ref; cleared whenever a different candidate set arrives; only tables up
+# to _VERIFY_CACHE_MAX_BYTES are cached so a worker never pins more than
+# that after the job completes)
 _VERIFY_TEXT_CACHE: dict[str, tuple] = {}
+_VERIFY_CACHE_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
@@ -495,34 +498,36 @@ def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
 
     from docling_translate_ray.stages.shuffle import partition_join
 
+    from docling_translate_ray.util import collect_to_table
+
     cand_docs = _candidate_texts(docs_ds, pairs_ds, id_column, column).materialize()
 
     if cand_docs.size_bytes() <= text_broadcast_bytes:
-        tbl = pa.concat_tables(
-            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-             for b in cand_docs.iter_batches(batch_format="pyarrow")]
-        ) if cand_docs.count() else pa.table(
-            {id_column: pa.array([], pa.int64()),
-             column: pa.array([], pa.string())}
+        tbl = collect_to_table(
+            cand_docs,
+            empty_schema=pa.schema([(id_column, pa.int64()),
+                                    (column, pa.string())]),
         )
         ref = ray.put(tbl.select([id_column, column]))
         ref_key = ref.hex()
+        # per-worker caching of the decoded dict pays off across batches
+        # but pins heap after the job ends — only cache small tables; big
+        # ones rebuild per batch (bounded residency beats repeated wins)
+        cacheable = tbl.nbytes <= _VERIFY_CACHE_MAX_BYTES
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
             import ray as _ray
 
-            # the id→text dict (and shingle cache) builds ONCE per worker
-            # process, not once per batch: ray.get is zero-copy but the
-            # Python dict materialization is not
-            cached = _VERIFY_TEXT_CACHE.get(ref_key)
+            cached = _VERIFY_TEXT_CACHE.get(ref_key) if cacheable else None
             if cached is None:
-                t = _ray.get(ref)
+                t = _ray.get(ref)  # zero-copy shared-memory read
                 cached = (
                     dict(zip(t[id_column].to_pylist(), t[column].to_pylist())),
                     {},
                 )
-                _VERIFY_TEXT_CACHE.clear()  # hold at most one candidate set
-                _VERIFY_TEXT_CACHE[ref_key] = cached
+                if cacheable:
+                    _VERIFY_TEXT_CACHE.clear()  # at most one candidate set
+                    _VERIFY_TEXT_CACHE[ref_key] = cached
             texts, shingles = cached
 
             def sh(i: int) -> frozenset:
@@ -786,18 +791,13 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
         num_partitions=32,
     )
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(batch)
-            .group_by("line")
-            .agg(pl.len().cast(pl.Int64).alias("_nd"))
-            .to_arrow()
-        )
-
+    # grouped_sum's own partial stage is the per-batch combiner: rows of
+    # line_doc are globally unique (line, doc) pairs, so len() per line IS
+    # the distinct-doc count
     freq = grouped_sum(
-        line_doc.map_batches(count_partial, batch_format="pyarrow"),
+        line_doc,
         ["line"],
-        [pl.col("_nd").sum().alias("_nd")],
+        [pl.len().cast(pl.Int64).alias("_nd")],
         {"n_docs": "_nd"},
         num_partitions=32,
     )
@@ -811,11 +811,12 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
     frequent = freq.map_batches(only_frequent, batch_format="pyarrow").materialize()
 
     if frequent.count() <= max_broadcast:
-        tbl = pa.concat_tables(
-            [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-             for b in frequent.iter_batches(batch_format="pyarrow")]
-        ) if frequent.count() else pa.table({"line": pa.array([], pa.string())})
-        ref = ray.put(tbl["line"].combine_chunks())
+        from docling_translate_ray.util import collect_to_table
+
+        tbl = collect_to_table(
+            frequent, empty_schema=pa.schema([("line", pa.string())])
+        )
+        ref = ray.put(tbl["line"].combine_chunks().cast(pa.string()))
 
         def drop_frequent(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

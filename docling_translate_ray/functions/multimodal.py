@@ -111,6 +111,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM16 WAV bytes → (mono int16 samples, sample rate)."""
     try:
         with wave.open(io.BytesIO(data)) as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError(
+                    f"only mono PCM16 WAV is supported, got "
+                    f"{w.getnchannels()}ch/{w.getsampwidth() * 8}-bit — "
+                    "reinterpreting would silently corrupt the samples"
+                )
             rate = w.getframerate()
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError) as exc:

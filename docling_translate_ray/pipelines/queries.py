@@ -43,13 +43,9 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 def _collect(ds) -> pa.Table:
     """Materialize a SMALL dataset to one Arrow table (driver-side only)."""
-    batches = [
-        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-        for b in ds.iter_batches(batch_format="pyarrow")
-    ]
-    if not batches:
-        return pa.table({})
-    return pa.concat_tables(batches, promote_options="default")
+    from docling_translate_ray.util import collect_to_table
+
+    return collect_to_table(ds)
 
 
 # ------------------------------------------------------------------ extraction

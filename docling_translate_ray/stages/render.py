@@ -122,9 +122,14 @@ def render_markdown_html(url: str, content: str,
 
     global _MD_SEP_RE
     if _MD_SEP_RE is None:
-        # GFM-style separator MUST contain a pipe — a bare '---' line is a
-        # thematic break / setext underline, never a table separator
-        _MD_SEP_RE = _re.compile(r"^\s*\|?[\s:-]*-[\s:-]*\|[\s:|-]*$")
+        _MD_SEP_RE = _re.compile(r"^[\s:|-]+$")
+
+    def is_sep(line: str) -> bool:
+        # GFM-style separator: only [-:| ] chars, with BOTH a dash and a
+        # pipe present — a bare '---' is a thematic break / setext
+        # underline, never a table separator, while '| ---' and '--- |'
+        # single-column forms both qualify
+        return bool(_MD_SEP_RE.match(line)) and "-" in line and "|" in line
 
     def tr(text: str) -> str:
         if translations is None:
@@ -155,7 +160,7 @@ def render_markdown_html(url: str, content: str,
             out.append(f"<pre><code>{_html.escape(chr(10).join(code))}</code></pre>")
             continue
         if ("|" in ln and stripped and i + 1 < len(lines)
-                and "-" in lines[i + 1] and _MD_SEP_RE.match(lines[i + 1])):
+                and is_sep(lines[i + 1])):
             header = cells(ln)
             i += 2
             rows: list[list[str]] = []
@@ -180,15 +185,17 @@ def render_markdown_html(url: str, content: str,
                and not lines[i].strip().startswith(("```", "~~~"))):
             block.append(lines[i])
             i += 1
-        m = _re.match(r"^(#{1,6})\s+(.*)$", block[0])
-        if m:
-            # a heading closes itself even without a trailing blank line
-            # (markdown lib behavior): emit it, keep the rest as a paragraph
+        # headings close themselves even without a trailing blank line
+        # (markdown lib behavior) — including several in a row
+        while block:
+            m = _re.match(r"^(#{1,6})\s+(.*)$", block[0])
+            if not m:
+                break
             lvl = len(m.group(1))
             out.append(f"<h{lvl}>{_html.escape(tr(m.group(2)))}</h{lvl}>")
             block = block[1:]
-            if not block:
-                continue
+        if not block:
+            continue
         if all(_re.match(r"^\s*[-*]\s+", b) for b in block):
             stripped_items = [_re.sub(r"^\s*[-*]\s+", "", b) for b in block]
             items = "".join(

@@ -3,6 +3,24 @@
 from __future__ import annotations
 
 
+def collect_to_table(ds, empty_schema=None):
+    """Materialize a SMALL dataset to one Arrow table on the driver.
+
+    The one sanctioned driver-side collection idiom (bounded inputs only:
+    lineage rows, candidate sets, top-k merges).  ``empty_schema`` supplies
+    the schema when the dataset yields no batches.
+    """
+    import pyarrow as pa
+
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not batches:
+        return empty_schema.empty_table() if empty_schema is not None else pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
 def auto_pool_size(frac: float = 0.5, reserve: int = 1, cap: int = 16) -> int:
     """Size an actor pool to the cluster, leaving headroom.
 

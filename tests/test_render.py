@@ -207,3 +207,15 @@ def test_render_markdown_heading_without_blank_line_and_no_false_tables():
     html2 = render_markdown_html("u", "price 5 | qty 3\n---\nnext para")
     assert "<table>" not in html2
     assert "next para" in html2
+
+
+def test_render_markdown_single_column_and_consecutive_headings():
+    from docling_translate_ray.stages.render import render_markdown_html
+
+    # leading-pipe-only separator: still a valid single-column table
+    html = render_markdown_html("u", "| col |\n| ---\n| a |")
+    assert "<th>col</th>" in html and "<td>a</td>" in html
+    # consecutive headings without blank lines
+    html2 = render_markdown_html("u", "# A\n## B\ntext")
+    assert "<h1>A</h1>" in html2 and "<h2>B</h2>" in html2
+    assert "<p>text</p>" in html2 and "##" not in html2
