@@ -643,14 +643,17 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
 
 
 def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
-                        threshold_pct: int = 80, k: int = 3):
+                        threshold_pct: int = 80, k: int = 3,
+                        max_docs: int = 100_000):
     """EXACT all-pairs n-gram Jaccard (the LSH verifier as a standalone op).
 
     The full (id → shingle set) index is broadcast once (``ray.put``); each
     batch compares its docs against every higher id — O(n²) pair work split
     across batches, zero shuffle.  This is the small/medium-corpus exact
     tool (and the oracle for LSH recall); at corpus scale use
-    :func:`minhash_lsh_dedup`, which only verifies colliding candidates.
+    :func:`minhash_lsh_dedup`, which only verifies colliding candidates —
+    the ``max_docs`` fence fails loudly instead of silently attempting a
+    10¹⁰-pair scan on a corpus this op was never meant for.
 
     The threshold compares as integers (``100·|∩| ≥ pct·|∪|``) so the DuckDB
     oracle (list_intersect/list_distinct) matches bit-exactly — no float
@@ -663,6 +666,13 @@ def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
     # index build and the distributed pair scan below — without this the
     # upstream pipeline would execute twice
     ds = ds.select_columns([id_column, column]).materialize()
+    n = ds.count()
+    if n > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the EXACT all-pairs tool (O(n²)): "
+            f"{n} docs exceeds max_docs={max_docs}; use minhash_lsh_dedup "
+            "at corpus scale (same verify predicate, candidates only)"
+        )
 
     index: dict[int, frozenset] = {}
     for b in ds.iter_batches(

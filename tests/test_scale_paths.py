@@ -585,3 +585,14 @@ def test_resume_rejects_speed_mode_mismatch(tmp_path):
     # same mode resumes cleanly
     res = run_extract_job(str(pages), out, layout="shard", speed_mode="fast")
     assert res["skipped_shards"] == res["shards"]
+
+
+def test_ngram_jaccard_scale_fence():
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": [f"doc {i}" for i in range(20)],
+    }))
+    with pytest.raises(ValueError, match="all-pairs"):
+        dd.ngram_jaccard_pairs(ds, max_docs=10)
