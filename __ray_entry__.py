@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
+        "doc_terms": q.q_doc_terms,
         "sample_docs": q.q_sample_docs,
         # aggregates / sort / window (A1-A6, O2)
         "distinct_pairs": q.q_distinct_pairs,
@@ -408,6 +409,31 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM surv)::BIGINT AS n_exact_unique,
                    ((SELECT count(*) FROM surv)
                     - (SELECT count(*) FROM dropped))::BIGINT AS n_curated
+        """,
+        # per-doc top-5 salient terms; salience = tf * (N_docs - df) is the
+        # integer-exact tf-idf analog (float ln() differs across libms)
+        "doc_terms": """
+            WITH tf AS (
+              SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                FROM documents WHERE trim(text) <> '')
+              GROUP BY doc_id, word),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tf GROUP BY term),
+            n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     tf.tf * (n.n_docs - dfreq.df) AS salience
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, df, salience::BIGINT AS salience, rank
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY salience DESC, term) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         "sample_docs": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents

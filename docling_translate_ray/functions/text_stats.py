@@ -201,6 +201,96 @@ def gopher_quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return res
 
 
+def doc_salient_terms(ds, k: int = 5, column: str = "text",
+                      id_column: str = "doc_id", num_partitions: int = 32):
+    """Per-document top-``k`` salient terms — the keyword-extraction /
+    corpus-statistics op a training pipeline uses for topic tagging.
+
+    Salience is the INTEGER-exact tf-idf analog ``tf × (N_docs − df)``
+    (term frequency × inverted document frequency as a plain difference):
+    rankings track tf-idf while every comparison is exact int64 math, so
+    the DuckDB oracle hash-compares bit-for-bit (a float ``ln(N/df)``
+    differs in the last ulp between libms — see pipelines/queries
+    docstring on scaled-integer aggregates).
+
+    Scale shape: explode (doc, word) with per-batch tf pre-count →
+    ``grouped_sum`` by (doc, word) → df per word from a global DISTINCT →
+    one ``partition_join`` on word attaches df → per-doc top-k via ONE
+    hash-partition pass keyed by the doc id.  Ties break on (term asc).
+    Output: (id, term, tf:int64, df:int64, salience:int64, rank).
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import (
+        distinct,
+        grouped_sum,
+        hash_partition_apply,
+        partition_join,
+    )
+
+    n_docs = ds.count()
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            id_column: pl.Series(batch[id_column].to_pylist(), dtype=pl.Int64),
+            "t": pl.Series(batch[column].to_pylist(), dtype=pl.String).fill_null(""),
+        })
+        return (
+            df.select(pl.col(id_column), pl.col("t").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .group_by([id_column, "w"])
+            .agg(pl.len().cast(pl.Int64).alias("_tf"))
+            .rename({"w": "term"})
+            .to_arrow()
+            .cast(pa.schema([(id_column, pa.int64()), ("term", pa.string()),
+                             ("_tf", pa.int64())]))
+        )
+
+    tf_partial = ds.select_columns([id_column, column]).map_batches(
+        explode_tf, batch_format="pyarrow"
+    )
+    tf = grouped_sum(
+        tf_partial, [id_column, "term"],
+        [pl.col("_tf").sum().alias("_tf")], {"tf": "_tf"},
+        num_partitions=num_partitions,
+    )
+    # document frequency: distinct (term, doc) then count per term — exact
+    # even when one doc's tokens span several blocks
+    df_counts = grouped_sum(
+        distinct(tf.select_columns([id_column, "term"]), ["term", id_column],
+                 num_partitions=num_partitions),
+        ["term"],
+        [pl.len().cast(pl.Int64).alias("_df")], {"df": "_df"},
+        num_partitions=num_partitions,
+    )
+    joined = partition_join(tf, df_counts, on=["term"], how="inner",
+                            num_partitions=num_partitions)
+
+    def topk_block(part: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(part)
+            .with_columns(
+                (pl.col("tf") * (n_docs - pl.col("df"))).alias("salience")
+            )
+            .sort([id_column, "salience", "term"],
+                  descending=[False, True, False])
+            .group_by(id_column, maintain_order=True)
+            .head(k)
+            .with_columns(
+                pl.int_range(1, pl.len() + 1).over(id_column).alias("rank")
+            )
+            .select([id_column, "term", "tf", "df", "salience", "rank"])
+            .to_arrow()
+            .cast(pa.schema([(id_column, pa.int64()), ("term", pa.string()),
+                             ("tf", pa.int64()), ("df", pa.int64()),
+                             ("salience", pa.int64()), ("rank", pa.int64())]))
+        )
+
+    return hash_partition_apply(joined, [id_column], topk_block,
+                                num_partitions=num_partitions)
+
+
 # language-ID heuristic: unicode-script ranges for CJK/Hangul, stopword hit
 # rates for latin languages.  Deterministic; rows-only oracle.
 _STOPWORDS = {

@@ -358,6 +358,14 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+def q_doc_terms(sf_dir: str):
+    """Per-doc top-5 salient terms, integer-exact tf-idf analog
+    (functions/text_stats.doc_salient_terms)."""
+    return fts.doc_salient_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )
+
+
 def q_langid(sf_dir: str):
     from docling_translate_ray.util import auto_pool_size
 

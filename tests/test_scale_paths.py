@@ -596,3 +596,25 @@ def test_ngram_jaccard_scale_fence():
     }))
     with pytest.raises(ValueError, match="all-pairs"):
         dd.ngram_jaccard_pairs(ds, max_docs=10)
+
+
+def test_doc_salient_terms_handmade():
+    import ray.data
+
+    from docling_translate_ray.functions.text_stats import doc_salient_terms
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "apple apple banana shared",   # apple tf=2, df=1 → salience 2*(3-1)=4
+            "banana banana shared",        # banana df=2
+            "cherry shared",               # shared df=3 → salience 0 everywhere
+        ],
+    })
+    out = _to_table(doc_salient_terms(ray.data.from_arrow(docs), k=2))
+    rows = {(r["doc_id"], r["rank"]): r for r in out.to_pylist()}
+    assert rows[(1, 1)]["term"] == "apple" and rows[(1, 1)]["salience"] == 4
+    assert rows[(2, 1)]["term"] == "banana" and rows[(2, 1)]["salience"] == 2
+    assert rows[(3, 1)]["term"] == "cherry" and rows[(3, 1)]["salience"] == 2
+    # 'shared' (df == n_docs) has salience 0 and ranks last
+    assert rows[(3, 2)]["term"] == "shared" and rows[(3, 2)]["salience"] == 0
