@@ -89,14 +89,24 @@ _EXTRACTED_EXPR = (
     " || chr(10) || text"
 )
 
-_NTOK_EXPR = (
-    "CASE WHEN trim(text) = '' THEN 0"
-    " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-)
+# RE2 (DuckDB) character classes matching the kernel tokenizers EXACTLY:
+# polars' Rust-regex \S is the Unicode White_Space complement (25 code
+# points), while RE2's \s is ASCII-only and regexp_split emits empty edge
+# tokens for leading/trailing whitespace — both latent oracle divergences
+# on real web text (NBSP etc.).  Oracles below reference @NONWS@ (token
+# pattern) / @WSCLASS@ (whitespace class); oracle_sql() substitutes them.
+# Known residual: python str.split() also treats \x1c-\x1f as whitespace
+# (polars/RE2 do not) — unreachable in text corpora, documented here.
+_WS_CHARS = (r"\t\n\x0b\x0c\r \x{0085}\x{00a0}\x{1680}"
+             r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}")
+_NONWS = "[^" + _WS_CHARS + "]+"
+_WS_CLASS = "[" + _WS_CHARS + "]"
+
+_NTOK_EXPR = "len(regexp_extract_all(text, '@NONWS@'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    raw = {
         "extract_pages": f"""
             SELECT 'doc://' || doc_id AS url,
                    'ok' AS status,
@@ -135,7 +145,7 @@ def oracle_sql() -> dict[str, str]:
         # a recall miss would surface here as a hash mismatch)
         "minhash_near_dup": """
             WITH RECURSIVE w AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
               FROM documents),
             d AS (
               SELECT doc_id,
@@ -165,8 +175,8 @@ def oracle_sql() -> dict[str, str]:
         # bucketing is lossless by pigeonhole, so bucketing needs no model)
         "simhash_near_dup": """
             WITH RECURSIVE tok AS (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-              FROM documents WHERE trim(text) <> ''),
+              SELECT doc_id, unnest(regexp_extract_all(text, '@NONWS@')) AS w
+              FROM documents),
             th AS (SELECT doc_id, hash(w) AS h FROM tok),
             bits AS (
               SELECT doc_id, b.b,
@@ -195,7 +205,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": """
             WITH w AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
               FROM documents),
             d AS (
               SELECT doc_id,
@@ -216,8 +226,8 @@ def oracle_sql() -> dict[str, str]:
         # drop lines present in >= 2 distinct docs, reassemble in order
         "line_dedup": """
             WITH w AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-              FROM documents WHERE trim(text) <> ''),
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
             l AS (
               SELECT doc_id, i AS line_no,
                      array_to_string(ws[(i-1)*8+1 : i*8], ' ') AS line
@@ -240,8 +250,8 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_occurrences DESC, word) AS rank
               FROM (
                 SELECT word, count(*)::BIGINT AS n_occurrences FROM (
-                  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-                  FROM documents WHERE trim(text) <> '')
+                  SELECT unnest(regexp_extract_all(text, '@NONWS@')) AS word
+                  FROM documents)
                 GROUP BY word))
             WHERE rank <= 50
         """,
@@ -270,7 +280,7 @@ def oracle_sql() -> dict[str, str]:
                      {_NTOK_EXPR} AS n_tokens,
                      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
                      length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
-                     length(text) - length(regexp_replace(text, '\\S', '', 'g')) AS n_nonws
+                     length(regexp_replace(text, '@WSCLASS@', '', 'g')) AS n_nonws
               FROM documents)
             SELECT doc_id,
                    n_chars::BIGINT AS n_chars,
@@ -295,7 +305,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT doc_id,
                      {_NTOK_EXPR} AS n_words,
-                     length(text) - length(regexp_replace(text, '\\S', '', 'g'))
+                     length(regexp_replace(text, '@WSCLASS@', '', 'g'))
                          AS n_nonws,
                      length(regexp_extract_all(text, '#')) AS nh,
                      length(regexp_extract_all(text, '\\.\\.\\.')) AS ne,
@@ -328,7 +338,7 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[가-힯]')) AS hang,
                      len(regexp_extract_all(text, '[぀-ヿ]')) AS kana,
                      len(regexp_extract_all(text, '[一-鿿]')) AS han,
-                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     list_transform(regexp_extract_all(text, '@NONWS@'),
                                     w -> lower(trim(w, '.,;:!?"''()'))) AS toks
               FROM documents),
             h AS (
@@ -364,9 +374,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE qual AS (
               SELECT doc_id, text FROM (
                 SELECT doc_id, text,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                       END AS n_tokens,
+                       len(regexp_extract_all(text, '@NONWS@')) AS n_tokens,
                        length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
                        length(text) - length(regexp_replace(text, '\S', '', 'g')) AS n_nonws,
                        length(text) AS n_chars
@@ -379,7 +387,7 @@ def oracle_sql() -> dict[str, str]:
             surv AS (
               SELECT q.doc_id, q.text FROM qual q JOIN winners USING (doc_id)),
             w AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
               FROM surv),
             d AS (
               SELECT doc_id,
@@ -416,8 +424,8 @@ def oracle_sql() -> dict[str, str]:
             WITH tf AS (
               SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-                FROM documents WHERE trim(text) <> '')
+                       unnest(regexp_extract_all(text, '@NONWS@')) AS word
+                FROM documents)
               GROUP BY doc_id, word),
             dfreq AS (
               SELECT term, count(DISTINCT doc_id)::BIGINT AS df
@@ -592,3 +600,5 @@ def oracle_sql() -> dict[str, str]:
         # video_frames (video codec stubbed).  minhash/simhash near-dup,
         # langid and the curate composite ARE oracle-backed above.
     }
+    return {k: v.replace("@NONWS@", _NONWS).replace("@WSCLASS@", _WS_CLASS)
+            for k, v in raw.items()}

@@ -222,44 +222,46 @@ def doc_salient_terms(ds, k: int = 5, column: str = "text",
     import polars as pl
 
     from docling_translate_ray.stages.shuffle import (
-        distinct,
         grouped_sum,
         hash_partition_apply,
         partition_join,
     )
 
+    # pin the projection once: count() + the explode below would otherwise
+    # execute any upstream pipeline twice (same note as ngram_jaccard_pairs)
+    ds = ds.select_columns([id_column, column]).materialize()
     n_docs = ds.count()
 
     def explode_tf(batch: pa.Table) -> pa.Table:
-        df = pl.DataFrame({
-            id_column: pl.Series(batch[id_column].to_pylist(), dtype=pl.Int64),
-            "t": pl.Series(batch[column].to_pylist(), dtype=pl.String).fill_null(""),
-        })
+        df = pl.from_arrow(batch).rename(
+            {id_column: "_id", column: "t"}
+        ).with_columns(
+            pl.col("_id").cast(pl.Int64), pl.col("t").fill_null("")
+        )
         return (
-            df.select(pl.col(id_column), pl.col("t").str.extract_all(r"\S+").alias("w"))
+            df.select(pl.col("_id"), pl.col("t").str.extract_all(r"\S+").alias("w"))
             .explode("w")
             .drop_nulls("w")
-            .group_by([id_column, "w"])
+            .group_by(["_id", "w"])
             .agg(pl.len().cast(pl.Int64).alias("_tf"))
-            .rename({"w": "term"})
+            .rename({"w": "term", "_id": id_column})
             .to_arrow()
             .cast(pa.schema([(id_column, pa.int64()), ("term", pa.string()),
                              ("_tf", pa.int64())]))
         )
 
-    tf_partial = ds.select_columns([id_column, column]).map_batches(
-        explode_tf, batch_format="pyarrow"
-    )
+    tf_partial = ds.map_batches(explode_tf, batch_format="pyarrow")
     tf = grouped_sum(
         tf_partial, [id_column, "term"],
         [pl.col("_tf").sum().alias("_tf")], {"tf": "_tf"},
         num_partitions=num_partitions,
     )
-    # document frequency: distinct (term, doc) then count per term — exact
-    # even when one doc's tokens span several blocks
+    # document frequency: tf's (doc, term) keys are already GLOBALLY unique
+    # (grouped_sum co-partitions equal keys and finalizes one row per key),
+    # so counting rows per term IS the distinct-doc count — no extra
+    # distinct() exchange needed
     df_counts = grouped_sum(
-        distinct(tf.select_columns([id_column, "term"]), ["term", id_column],
-                 num_partitions=num_partitions),
+        tf.select_columns([id_column, "term"]),
         ["term"],
         [pl.len().cast(pl.Int64).alias("_df")], {"df": "_df"},
         num_partitions=num_partitions,

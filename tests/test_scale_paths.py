@@ -618,3 +618,45 @@ def test_doc_salient_terms_handmade():
     assert rows[(3, 1)]["term"] == "cherry" and rows[(3, 1)]["salience"] == 2
     # 'shared' (df == n_docs) has salience 0 and ranks last
     assert rows[(3, 2)]["term"] == "shared" and rows[(3, 2)]["salience"] == 0
+
+
+def test_tokenizing_oracles_survive_unicode_whitespace(tmp_path):
+    """Adversarial op-vs-oracle parity on text the synthetic corpus never
+    produces: leading/trailing tabs/newlines (regexp_split would emit empty
+    edge tokens) and NBSP (RE2's ASCII \\s would not split).  The oracle
+    tokenizer must match the kernel on BOTH."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "\thello world hello\n",          # edge whitespace
+            "café club café club",  # NBSP joins a token pair
+            "plain words here",
+            "  ",                              # whitespace-only
+        ],
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    qs, osql = E.queries(), E.oracle_sql()
+
+    def canon(t: pa.Table):
+        cols = sorted(t.column_names)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in t.select(cols).to_pylist()
+        )
+
+    for name in ["token_count", "quality", "gopher_quality", "top_words",
+                 "doc_terms", "minhash_near_dup", "langid"]:
+        res = qs[name](sf)
+        got = canon(res if isinstance(res, pa.Table) else _to_table(res))
+        want = canon(con.execute(osql[name]).arrow())
+        assert got == want, f"{name}: oracle diverges on adversarial text"
