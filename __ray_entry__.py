@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
+        "dataset_split": q.q_dataset_split,
         "sample_docs": q.q_sample_docs,
         # aggregates / sort / window (A1-A6, O2)
         "distinct_pairs": q.q_distinct_pairs,
@@ -442,6 +443,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY salience DESC, term) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        # deterministic 80/10/10 split by content-hash range
+        "dataset_split": """
+            SELECT split, count(*)::BIGINT AS n_docs,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM (
+              SELECT text,
+                     CASE WHEN md5(text) < 'c8888888888888888888888888888888'
+                            THEN 'train'
+                          WHEN md5(text) < 'e1111111111111111111111111111111'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            GROUP BY split
         """,
         "sample_docs": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents

@@ -366,6 +366,44 @@ def q_doc_terms(sf_dir: str):
     )
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split assignment + per-split stats —
+    the standard corpus-partitioning op: split = content-hash range
+    (train < 0xC8…, val < 0xE1…, else test ≈ 80/10/10), reproducible
+    across runs, engines and cluster sizes (layout-independent, same
+    trick as q_sample_docs).  Returns (split, n_docs, total_chars)."""
+    import polars as pl
+
+    bounds = [("train", "c" + "8" * 31), ("val", "e" + "1" * 31)]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        with_md5 = fts.fingerprint_batch(batch)
+        md5s = with_md5["fp_md5"].to_pylist()
+        split = [
+            next((name for name, b in bounds if h < b), "test") for h in md5s
+        ]
+        return pa.table(
+            {
+                "split": pa.array(split, pa.string()),
+                "n_chars": pa.array(
+                    [len(t or "") for t in batch["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return _grouped_sum(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            assign, batch_format="pyarrow"
+        ),
+        ["split"],
+        [
+            pl.len().cast(pl.Int64).alias("_n"),
+            pl.col("n_chars").sum().alias("_c"),
+        ],
+        {"n_docs": ("_n", "sum"), "total_chars": ("_c", "sum")},
+    )
+
+
 def q_langid(sf_dir: str):
     from docling_translate_ray.util import auto_pool_size
 
