@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "embedding_near_dup": q.q_embedding_near_dup,
         "line_dedup": q.q_line_dedup,
+        "url_dedup": q.q_url_dedup,
         "top_words": q.q_top_words,
         # similarity search
         "knn_topk": q.q_knn_topk,
@@ -243,6 +244,47 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, chr(10) ORDER BY line_no) AS text_deduped,
                    count(*)::BIGINT AS n_lines_kept
             FROM kept GROUP BY doc_id
+        """,
+        # canonical-URL dedup over deterministically synthesized crawl
+        # variants (every 4 consecutive doc_ids = 4 surface forms of one
+        # canonical url); the canonicalization chain mirrors
+        # functions/urltools.canonicalize_urls rule for rule
+        "url_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'https://site' || ((doc_id // 4) % 97)
+                                   || '.example.com/Docs/page-' || (doc_id // 4)
+                       WHEN 1 THEN 'HTTPS://WWW.SITE' || ((doc_id // 4) % 97)
+                                   || '.EXAMPLE.COM/Docs/page-' || (doc_id // 4)
+                                   || '?utm_source=feed'
+                       WHEN 2 THEN 'https://site' || ((doc_id // 4) % 97)
+                                   || '.example.com:443/Docs/page-'
+                                   || (doc_id // 4) || '#section-2'
+                       ELSE 'https://www.site' || ((doc_id // 4) % 97)
+                            || '.example.com/Docs/page-' || (doc_id // 4) || '/'
+                     END AS u
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(u, '#.*$', ''),
+                                         '\?.*$', '') AS u FROM raw),
+            s3 AS (SELECT doc_id,
+                          lower(coalesce(regexp_extract(
+                              u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*'), ''))
+                          || regexp_replace(
+                              u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '')
+                              AS u FROM s1),
+            s4 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(
+                              u, '^(https://[^/:]+):443(/|$)', '\1\2'),
+                              '^(http://[^/:]+):80(/|$)', '\1\2') AS u FROM s3),
+            s5 AS (SELECT doc_id,
+                          regexp_replace(u, '^(https?://)www\.', '\1') AS u
+                   FROM s4),
+            canon AS (SELECT doc_id, regexp_replace(u, '/$', '') AS u FROM s5)
+            SELECT u AS canonical_url, min(doc_id)::BIGINT AS first_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM canon GROUP BY u
         """,
         "top_words": """
             SELECT word, n_occurrences, rank FROM (

@@ -202,6 +202,49 @@ def q_line_dedup(sf_dir: str):
     return fdedup.line_dedup(docs, min_docs=2)
 
 
+def synth_url_variants_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic crawl-variant URLs for the `documents` rows (the
+    oracle builds the SAME strings in SQL): every group of 4 consecutive
+    doc_ids yields 4 surface variants (clean / upper+www+query /
+    default-port+fragment / www+trailing-slash) of one canonical URL."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id"]))
+    out = df.with_columns(
+        (pl.col("doc_id") // 4).alias("_g"), (pl.col("doc_id") % 4).alias("_v")
+    ).with_columns(
+        ((pl.col("_g") % 97).cast(pl.String)).alias("_s"),
+        pl.col("_g").cast(pl.String).alias("_gs"),
+    ).with_columns(
+        pl.when(pl.col("_v") == 0)
+        .then("https://site" + pl.col("_s") + ".example.com/Docs/page-" + pl.col("_gs"))
+        .when(pl.col("_v") == 1)
+        .then("HTTPS://WWW.SITE" + pl.col("_s") + ".EXAMPLE.COM/Docs/page-"
+              + pl.col("_gs") + "?utm_source=feed")
+        .when(pl.col("_v") == 2)
+        .then("https://site" + pl.col("_s") + ".example.com:443/Docs/page-"
+              + pl.col("_gs") + "#section-2")
+        .otherwise("https://www.site" + pl.col("_s") + ".example.com/Docs/page-"
+                   + pl.col("_gs") + "/")
+        .alias("url")
+    )
+    return out.select(["doc_id", "url"]).to_arrow().cast(
+        pa.schema([("doc_id", pa.int64()), ("url", pa.string())])
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (the first step of a Common-Crawl ingest):
+    canonicalize crawl-variant URLs (functions/urltools spec), keep one
+    row per canonical url with the winning min doc_id + duplicate count."""
+    from docling_translate_ray.functions import urltools
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_url_variants_batch, batch_format="pyarrow"
+    )
+    return urltools.url_dedup(pages, url_column="url", id_column="doc_id")
+
+
 def q_top_words(sf_dir: str, k: int = 50):
     """Corpus vocabulary top-k (token distribution — the training-data
     "what's in my corpus" op): global word counts via per-batch combiner →

@@ -1,0 +1,105 @@
+"""URL canonicalization + canonical-URL dedup (functions/urltools).
+
+The canonicalization spec (fragment → query → lowercase authority →
+default ports → www. → trailing slash, in that order) is frozen here with
+unit cases; the DuckDB oracle in __ray_entry__ mirrors it regex for regex,
+so any drift between the two surfaces as a CORRECTNESS hash mismatch.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+
+import ray.data
+
+from docling_translate_ray.functions.urltools import (
+    canonicalize_batch,
+    canonicalize_urls,
+    url_dedup,
+)
+
+
+def _canon(url: str) -> str:
+    return canonicalize_urls(pl.Series([url])).to_list()[0]
+
+
+def test_canonicalize_rules():
+    # all six rules in one URL
+    assert (
+        _canon("https://www.Example.COM:443/Path/To/Page?q=1#frag")
+        == "https://example.com/Path/To/Page"
+    )
+    # path case is PRESERVED, authority case is not
+    assert _canon("HTTP://EXAMPLE.com/CaseSensitive") == "http://example.com/CaseSensitive"
+    # non-default ports survive; a ':' in the path is not a port
+    assert _canon("https://example.com:8443/keep:port") == "https://example.com:8443/keep:port"
+    # default port dropped with and without a trailing path
+    assert _canon("http://example.com:80") == "http://example.com"
+    assert _canon("http://example.com:80/x") == "http://example.com/x"
+    # :443 only default for https, :80 only for http
+    assert _canon("http://example.com:443/x") == "http://example.com:443/x"
+    # www. only stripped as the leading host label of http(s)
+    assert _canon("https://www.example.com/a") == "https://example.com/a"
+    assert _canon("https://notwww.example.com/a") == "https://notwww.example.com/a"
+    # only ONE trailing slash is dropped
+    assert _canon("https://example.com/a//") == "https://example.com/a/"
+    # schemeless: rules 1/2/6 only
+    assert _canon("no-scheme/path/?x=1#y") == "no-scheme/path"
+    # non-http scheme: authority still lowercased, ports kept
+    assert _canon("ftp://Host.Com:21/File") == "ftp://host.com:21/File"
+    assert _canon("") == ""
+
+
+def test_canonicalize_idempotent():
+    urls = pl.Series(
+        [
+            "https://www.Example.COM:443/Path?q#f",
+            "HTTP://A.B:80/",
+            "relative/x/",
+            "https://x.com/a/b/c",
+        ]
+    )
+    once = canonicalize_urls(urls)
+    twice = canonicalize_urls(once)
+    assert once.to_list() == twice.to_list()
+
+
+def test_canonicalize_batch_appends_column():
+    t = pa.table({"url": ["https://WWW.X.com/A/", None]})
+    out = canonicalize_batch(t)
+    assert out["canonical_url"].to_pylist() == ["https://x.com/A", ""]
+
+
+def test_url_dedup_groups_variants():
+    # 3 surface variants of one canonical url + 1 distinct url
+    t = pa.table(
+        {
+            "url": [
+                "https://www.site.com/p?utm=1",
+                "HTTPS://SITE.COM/p#frag",
+                "https://site.com:443/p/",
+                "https://other.com/q",
+            ],
+            "doc_id": [7, 3, 5, 9],
+        }
+    )
+    out = url_dedup(ray.data.from_arrow(t), num_partitions=4).take_all()
+    by_url = {r["canonical_url"]: r for r in out}
+    assert set(by_url) == {"https://site.com/p", "https://other.com/q"}
+    assert by_url["https://site.com/p"]["first_doc_id"] == 3
+    assert by_url["https://site.com/p"]["n_dups"] == 3
+    assert by_url["https://other.com/q"]["n_dups"] == 1
+
+
+def test_url_dedup_partition_invariant():
+    t = pa.table(
+        {
+            "url": [f"https://www.h{i % 5}.com/p{i % 11}/" for i in range(200)],
+            "doc_id": list(range(200)),
+        }
+    )
+    a = url_dedup(ray.data.from_arrow(t), num_partitions=2).take_all()
+    b = url_dedup(ray.data.from_arrow(t).repartition(7), num_partitions=16).take_all()
+    key = lambda r: r["canonical_url"]
+    assert sorted(a, key=key) == sorted(b, key=key)
