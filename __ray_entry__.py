@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q.q_token_count_bpe,
         "quality": q.q_quality,
         "gopher_quality": q.q_gopher_quality,
+        "rep_signals": q.q_rep_signals,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
@@ -369,6 +370,43 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # Gopher-style repetition signals; 2grams are adjacent \S+ token
+        # pairs, fractions are int/int double divisions (bit-identical to
+        # the polars kernel since both divide the same int64s)
+        "rep_signals": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     len(list_distinct(ws)) AS nuw,
+                     CASE WHEN len(ws) < 2 THEN []
+                          ELSE list_transform(range(1, len(ws)),
+                                              i -> ws[i] || ' ' || ws[i+1])
+                     END AS g2
+              FROM w),
+            gc AS (
+              SELECT doc_id, g, count(*)::BIGINT AS c
+              FROM (SELECT doc_id, unnest(g2) AS g FROM base)
+              GROUP BY doc_id, g),
+            ga AS (
+              SELECT doc_id, sum(c)::BIGINT AS n2, count(*)::BIGINT AS nd2,
+                     max(c)::BIGINT AS top
+              FROM gc GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words::BIGINT AS n_words,
+                   (b.n_words - b.nuw) / greatest(b.n_words, 1)
+                       AS dup_word_frac,
+                   (coalesce(ga.n2, 0) - coalesce(ga.nd2, 0))
+                       / greatest(coalesce(ga.n2, 0), 1) AS dup_2gram_frac,
+                   coalesce(ga.top, 0) / greatest(coalesce(ga.n2, 0), 1)
+                       AS top_2gram_frac,
+                   ((coalesce(ga.n2, 0) - coalesce(ga.nd2, 0))
+                        / greatest(coalesce(ga.n2, 0), 1) <= 0.08
+                    AND (b.n_words - b.nuw) / greatest(b.n_words, 1) <= 0.65
+                    AND coalesce(ga.top, 0) / greatest(coalesce(ga.n2, 0), 1)
+                        <= 0.10) AS rep_ok
+            FROM base b LEFT JOIN ga USING (doc_id)
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         # the language-ID heuristic IS SQL-expressible: script-range char

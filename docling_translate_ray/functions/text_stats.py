@@ -133,6 +133,81 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return res
 
 
+def rep_signals_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per doc, fully vectorized and
+    SQL-expressible (shared oracle formula over ``\\S+`` tokens):
+
+    * ``n_words``        = token count
+    * ``dup_word_frac``  = (n_words − n_distinct_words) / max(n_words, 1)
+    * ``dup_2gram_frac`` = (n_2grams − n_distinct_2grams) / max(n_2grams, 1)
+    * ``top_2gram_frac`` = count(most frequent 2gram) / max(n_2grams, 1)
+    * ``rep_ok``         = dup_2gram ≤ 0.08 ∧ dup_word ≤ 0.65 ∧ top_2gram ≤ 0.10
+      (thresholds chosen to cut real docs on the sf corpora)
+
+    Shape: one explode + two grouped aggregations per batch — no Python
+    per row, no cross-batch state (the signals are per-doc by definition).
+    """
+    import polars as pl
+
+    s = pl.from_arrow(batch[column]).fill_null("")
+    base = (
+        pl.DataFrame({"t": s})
+        .with_row_index("_r")
+        .select(
+            "_r", pl.col("t").str.extract_all(r"\S+").alias("ws")
+        )
+        .with_columns(
+            pl.col("ws").list.len().cast(pl.Int64).alias("n_words"),
+            pl.col("ws").list.n_unique().cast(pl.Int64).alias("_nuw"),
+        )
+    )
+    pairs = (
+        base.select("_r", "ws")
+        .explode("ws")
+        .drop_nulls("ws")
+        .with_columns(pl.col("ws").shift(-1).over("_r").alias("_nxt"))
+        .drop_nulls("_nxt")
+        .with_columns((pl.col("ws") + " " + pl.col("_nxt")).alias("g"))
+        .group_by("_r", "g")
+        .len()
+    )
+    ga = pairs.group_by("_r").agg(
+        pl.col("len").sum().cast(pl.Int64).alias("_n2"),
+        pl.len().cast(pl.Int64).alias("_nd2"),
+        pl.col("len").max().cast(pl.Int64).alias("_top"),
+    )
+    out = (
+        base.join(ga, on="_r", how="left")
+        .sort("_r")
+        .with_columns(
+            pl.col("_n2").fill_null(0),
+            pl.col("_nd2").fill_null(0),
+            pl.col("_top").fill_null(0),
+        )
+        .with_columns(
+            ((pl.col("n_words") - pl.col("_nuw"))
+             / pl.max_horizontal(pl.col("n_words"), 1)).alias("dup_word_frac"),
+            ((pl.col("_n2") - pl.col("_nd2"))
+             / pl.max_horizontal(pl.col("_n2"), 1)).alias("dup_2gram_frac"),
+            (pl.col("_top")
+             / pl.max_horizontal(pl.col("_n2"), 1)).alias("top_2gram_frac"),
+        )
+        .with_columns(
+            (
+                (pl.col("dup_2gram_frac") <= 0.08)
+                & (pl.col("dup_word_frac") <= 0.65)
+                & (pl.col("top_2gram_frac") <= 0.10)
+            ).alias("rep_ok")
+        )
+    )
+    res = batch
+    for name in ["n_words", "dup_word_frac", "dup_2gram_frac", "top_2gram_frac", "rep_ok"]:
+        if name in res.column_names:
+            res = res.drop_columns([name])
+        res = res.append_column(name, out[name].to_arrow())
+    return res
+
+
 _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 

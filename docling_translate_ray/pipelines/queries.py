@@ -381,6 +381,19 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_rep_signals(sf_dir: str):
+    """Gopher-style repetition gate (dup-word / dup-2gram / top-2gram
+    fractions, functions/text_stats.rep_signals_batch)."""
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fts.rep_signals_batch, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_words", "dup_word_frac", "dup_2gram_frac",
+             "top_2gram_frac", "rep_ok"]
+        )
+    )
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic content-hash sampling (~25%): keep rows whose hex md5
     sorts below the 1/4 boundary — reproducible across runs, engines, and

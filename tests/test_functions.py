@@ -511,3 +511,37 @@ def test_frame_sampler_explodes_videos():
     match = [r for r in again.to_pylist()
              if r["media_id"] == one["media_id"] and r["frame_ts_ms"] == one["frame_ts_ms"]]
     assert match and match[0]["frame"] == one["frame"]
+
+
+def test_rep_signals_kernel():
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spam spam spam spam spam spam",          # pure repetition
+                "the quick brown fox jumps over a dog",   # all distinct
+                "",                                        # empty
+                "go go stop",                              # partial repeat
+            ],
+        }
+    )
+    out = ts.rep_signals_batch(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    # spam doc: 6 words 1 distinct; 5 2grams all identical
+    assert rows[0]["n_words"] == 6
+    assert rows[0]["dup_word_frac"] == 5 / 6
+    assert rows[0]["dup_2gram_frac"] == 4 / 5
+    assert rows[0]["top_2gram_frac"] == 1.0
+    assert not rows[0]["rep_ok"]
+    # distinct doc passes every gate
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[1]["top_2gram_frac"] == 1 / 7
+    # empty doc: all-zero signals, 0/0 guards -> passes frac gates except top
+    assert rows[2]["n_words"] == 0
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_2gram_frac"] == 0.0
+    # go go stop: 3 words 2 distinct; 2grams ('go go','go stop') distinct
+    assert rows[3]["dup_word_frac"] == 1 / 3
+    assert rows[3]["dup_2gram_frac"] == 0.0
+    assert rows[3]["top_2gram_frac"] == 1 / 2
