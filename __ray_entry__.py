@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q.q_url_dedup,
         "top_words": q.q_top_words,
         # similarity search
+        "cosine_pairs": q.q_cosine_pairs,
         "knn_topk": q.q_knn_topk,
         "knn_ivf": q.q_knn_ivf,
         # text analysis
@@ -298,6 +299,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
                 GROUP BY word))
             WHERE rank <= 50
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.40
         """,
         "knn_topk": """
             WITH q AS (

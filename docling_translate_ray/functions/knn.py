@@ -93,6 +93,57 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
     return _merge_topk(cand, k, id_column)
 
 
+def cosine_pairs(ds, threshold: float = 0.4, id_column: str = "vec_id",
+                 column: str = "embedding", max_rows: int = 200_000):
+    """EXACT all-pairs cosine-similar pairs at/above ``threshold`` — the
+    brute-force oracle :func:`..dedup.embedding_near_dup`'s recall is
+    judged against, and an operator in its own right for small/medium
+    embedding sets.
+
+    Shape: the normalized corpus matrix is broadcast ONCE (``ray.put``,
+    zero-copy numpy on read) and each batch multiplies its own rows
+    against it, emitting only the upper triangle (``id_a < id_b``) above
+    threshold — distributed O(n·B) per batch, driver sees pairs only.
+    O(n²) total work is inherent to the exact answer, so like
+    ``ngram_jaccard_pairs`` this is FENCED at ``max_rows``; at corpus
+    scale use the banded-LSH ``embedding_near_dup``.
+    """
+    import ray
+
+    from docling_translate_ray.util import collect_to_table
+
+    side = collect_to_table(ds.select_columns([id_column, column]))
+    if side.num_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs is an exact all-pairs tool fenced at {max_rows} "
+            f"rows (got {side.num_rows}); use embedding_near_dup at scale"
+        )
+    ids = np.asarray(side[id_column].to_pylist(), dtype=np.int64)
+    mat = _normalize(np.array(side[column].to_pylist(), dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        b_ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if b_ids.size == 0:
+            return empty
+        b_mat = _normalize(np.array(batch[column].to_pylist(), dtype=np.float64))
+        a_ids, a_mat = ray.get(ref)
+        sims = b_mat @ a_mat.T  # (B, n)
+        bi, aj = np.nonzero(
+            (sims >= threshold) & (b_ids[:, None] < a_ids[None, :])
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(b_ids[bi], pa.int64()),
+                "id_b": pa.array(a_ids[aj], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(emit_pairs, batch_format="pyarrow")
+
+
 def _empty_knn(id_column: str = "vec_id"):
     return pa.table(
         {

@@ -316,6 +316,13 @@ def _query_vectors(sf_dir: str, n: int = 2) -> np.ndarray:
     return np.array(t["embedding"].to_pylist(), dtype=np.float64)
 
 
+def q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine similarity at 0.40 over the embeddings table
+    (the brute-force oracle for embedding_near_dup; min |cos − 0.40|
+    margin on the sf corpora is ≥ 1e-4, far above kernel-order ulps)."""
+    return fknn.cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.40)
+
+
 def q_knn_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first two embedding rows.
 

@@ -545,3 +545,30 @@ def test_rep_signals_kernel():
     assert rows[3]["dup_word_frac"] == 1 / 3
     assert rows[3]["dup_2gram_frac"] == 0.0
     assert rows[3]["top_2gram_frac"] == 1 / 2
+
+
+def test_cosine_pairs_exact():
+    import ray.data
+
+    # planted geometry: v0≈v1 (cos≈0.995), v2 orthogonal, v3 = -v0
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.995, 0.0998, 0.0],
+        [0.0, 1.0, 0.0],
+        [-1.0, 0.0, 0.0],
+    ]
+    tbl = pa.table({"vec_id": [0, 1, 2, 3],
+                    "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    out = _to_table(knn_mod.cosine_pairs(ray.data.from_arrow(tbl), threshold=0.9))
+    assert sorted(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist())) == [(0, 1)]
+    # threshold below the orthogonal pair picks up nothing extra at 0.5
+    out2 = _to_table(knn_mod.cosine_pairs(ray.data.from_arrow(tbl), threshold=0.5))
+    assert sorted(zip(out2["id_a"].to_pylist(), out2["id_b"].to_pylist())) == [(0, 1)]
+    # partition invariance
+    out3 = _to_table(
+        knn_mod.cosine_pairs(ray.data.from_arrow(tbl).repartition(3), threshold=0.9)
+    )
+    assert sorted(out3.to_pylist(), key=str) == sorted(out.to_pylist(), key=str)
+    # the O(n^2) fence raises
+    with pytest.raises(ValueError):
+        knn_mod.cosine_pairs(ray.data.from_arrow(tbl), threshold=0.9, max_rows=2)
