@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q.q_quality,
         "gopher_quality": q.q_gopher_quality,
         "rep_signals": q.q_rep_signals,
+        "token_quantiles": q.q_token_quantiles,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
@@ -377,6 +378,21 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # exact distribution quantiles of the per-doc token count; the Ray
+        # side reproduces quantile_disc's discrete rule (value at 1-based
+        # index max(1, ceil(q*n))) over a histogram, no global sort
+        "token_quantiles": f"""
+            WITH t AS (SELECT {_NTOK_EXPR}::BIGINT AS n FROM documents)
+            SELECT 'p25' AS quantile, quantile_disc(n, 0.25)::BIGINT AS n_tokens FROM t
+            UNION ALL
+            SELECT 'p50', quantile_disc(n, 0.50)::BIGINT FROM t
+            UNION ALL
+            SELECT 'p75', quantile_disc(n, 0.75)::BIGINT FROM t
+            UNION ALL
+            SELECT 'p90', quantile_disc(n, 0.90)::BIGINT FROM t
+            UNION ALL
+            SELECT 'p99', quantile_disc(n, 0.99)::BIGINT FROM t
         """,
         # Gopher-style repetition signals; 2grams are adjacent \S+ token
         # pairs, fractions are int/int double divisions (bit-identical to

@@ -388,6 +388,13 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_token_quantiles(sf_dir: str):
+    """Exact token-count quantiles via histogram combiner (no global
+    sort); oracle = DuckDB quantile_disc, whose discrete index rule the
+    kernel reproduces exactly."""
+    return fts.token_quantiles(_read(sf_dir, "documents", ["text"]))
+
+
 def q_rep_signals(sf_dir: str):
     """Gopher-style repetition gate (dup-word / dup-2gram / top-2gram
     fractions, functions/text_stats.rep_signals_batch)."""

@@ -572,3 +572,29 @@ def test_cosine_pairs_exact():
     # the O(n^2) fence raises
     with pytest.raises(ValueError):
         knn_mod.cosine_pairs(ray.data.from_arrow(tbl), threshold=0.9, max_rows=2)
+
+
+def test_token_quantiles_matches_quantile_disc():
+    import ray.data
+
+    # adversarial multiset: heavy ties + a huge outlier + an empty doc
+    texts = (["a b c"] * 7 + ["a"] * 5 + ["x " * 100] * 3 + [""] * 2
+             + ["one two three four five six seven"])
+    tbl = pa.table({"text": texts})
+    got = ts.token_quantiles(ray.data.from_arrow(tbl).repartition(4))
+    want = duckdb.sql(
+        """
+        WITH t AS (SELECT CASE WHEN trim(text)='' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n
+                   FROM tbl)
+        SELECT 'p25' AS q, quantile_disc(n, 0.25) AS v FROM t
+        UNION ALL SELECT 'p50', quantile_disc(n, 0.50) FROM t
+        UNION ALL SELECT 'p75', quantile_disc(n, 0.75) FROM t
+        UNION ALL SELECT 'p90', quantile_disc(n, 0.90) FROM t
+        UNION ALL SELECT 'p99', quantile_disc(n, 0.99) FROM t
+        """
+    ).fetchall()
+    assert dict(zip(got["quantile"].to_pylist(), got["n_tokens"].to_pylist())) == dict(want)
+    # empty corpus -> null quantiles, no crash
+    empty = ts.token_quantiles(ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())})))
+    assert empty["n_tokens"].to_pylist() == [None] * 5
