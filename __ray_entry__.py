@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "rep_signals": q.q_rep_signals,
         "token_quantiles": q.q_token_quantiles,
+        "pack_sequences": q.q_pack_sequences,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
@@ -378,6 +379,24 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # sequence packing = exclusive prefix sum of token counts in
+        # doc_id order (distributed two-pass scan on the Ray side, one
+        # window cumsum here), then chunking at capacity 512
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, {_NTOK_EXPR}::BIGINT AS n_tokens FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS tok_offset
+              FROM t)
+            SELECT doc_id, n_tokens, tok_offset,
+                   (tok_offset // 512)::BIGINT AS seq_id,
+                   (tok_offset % 512)::BIGINT AS seq_offset
+            FROM o
         """,
         # exact distribution quantiles of the per-doc token count; the Ray
         # side reproduces quantile_disc's discrete rule (value at 1-based

@@ -1,0 +1,111 @@
+"""Sequence packing — the concatenate-then-chunk layout step of an LLM
+training-data pipeline: assign every document a global token offset in
+``id`` order, then ``seq_id = offset // capacity`` (the training sequence
+the doc STARTS in) and ``seq_offset = offset % capacity``.
+
+The core is a **distributed exclusive prefix sum** (a scan — the one
+classic data-parallel primitive a groupby cannot express):
+
+1. one narrow pass computes ``(id, n_tokens, range_bucket)`` per doc
+   (``bucket = id // bucket_width`` — ids need NOT be dense, buckets may
+   be ragged or empty);
+2. per-bucket token totals flow through one ``grouped_sum`` exchange; the
+   driver holds only ``n_buckets`` rows (≈ id_range / bucket_width; 10k
+   rows for 10⁹ docs at the default width) and cumsums them into
+   per-bucket base offsets, broadcast once via ``ray.put``;
+3. one hash-partition exchange keyed by bucket: each partition sorts its
+   buckets' rows by id, vectorized-cumsums within the bucket, and adds
+   the bucket base — every offset is globally exact.
+
+The narrow counts projection (2×int64/row) is materialized between the
+two passes so token counting runs once; at 10⁹ docs that is ~16 GB in the
+object store (spillable), the accepted cost of any two-pass scan.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_COUNTS_SCHEMA_COLS = ["n_tokens", "_bucket"]
+
+
+def pack_sequences(ds, capacity: int = 512, id_column: str = "doc_id",
+                   column: str = "text", bucket_width: int = 100_000,
+                   num_partitions: int = 32):
+    """Returns a Dataset (id, n_tokens, tok_offset, seq_id, seq_offset)
+    where ``tok_offset`` is the exclusive prefix sum of ``n_tokens`` in
+    ascending ``id_column`` order."""
+    import polars as pl
+    import ray
+
+    from docling_translate_ray.stages.shuffle import grouped_sum, hash_partition_apply
+    from docling_translate_ray.util import collect_to_table
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive (got {capacity})")
+
+    def counts_batch(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[column]).fill_null("")
+        ids = pl.from_arrow(batch[id_column]).cast(pl.Int64)
+        return (
+            pl.DataFrame(
+                {
+                    id_column: ids,
+                    "n_tokens": s.str.count_matches(r"\S+").cast(pl.Int64),
+                }
+            )
+            .with_columns((pl.col(id_column) // bucket_width).alias("_bucket"))
+            .to_arrow()
+        )
+
+    counts = ds.map_batches(counts_batch, batch_format="pyarrow").materialize()
+
+    bucket_sums = collect_to_table(
+        grouped_sum(
+            counts,
+            ["_bucket"],
+            [pl.col("n_tokens").sum().alias("_s")],
+            {"total": "_s"},
+            num_partitions=min(num_partitions, 16),
+        ),
+        empty_schema=pa.schema([("_bucket", pa.int64()), ("total", pa.int64())]),
+    )
+    sdf = pl.from_arrow(bucket_sums).sort("_bucket")
+    bases = sdf.select(
+        "_bucket", (pl.col("total").cum_sum() - pl.col("total")).alias("_base")
+    )
+    bases_ref = ray.put(bases.to_arrow())
+
+    def finalize(part: pa.Table) -> pa.Table:
+        b = pl.from_arrow(ray.get(bases_ref))
+        df = (
+            pl.from_arrow(part)
+            .sort(id_column)
+            .join(b, on="_bucket", how="left")
+            .with_columns(
+                (
+                    pl.col("n_tokens").cum_sum().over("_bucket")
+                    - pl.col("n_tokens")
+                    + pl.col("_base")
+                ).alias("tok_offset")
+            )
+            .with_columns(
+                (pl.col("tok_offset") // capacity).alias("seq_id"),
+                (pl.col("tok_offset") % capacity).alias("seq_offset"),
+            )
+        )
+        return df.select(
+            [id_column, "n_tokens", "tok_offset", "seq_id", "seq_offset"]
+        ).to_arrow().cast(
+            pa.schema(
+                [
+                    (id_column, pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("tok_offset", pa.int64()),
+                    ("seq_id", pa.int64()),
+                    ("seq_offset", pa.int64()),
+                ]
+            )
+        )
+
+    return hash_partition_apply(counts, ["_bucket"], finalize, num_partitions)

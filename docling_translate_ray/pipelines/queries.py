@@ -388,6 +388,18 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (concatenate-then-chunk at capacity 512) via the
+    distributed exclusive prefix sum in functions/packing.py; tiny
+    bucket_width so the multi-bucket path is exercised at sf scale."""
+    from docling_translate_ray.functions.packing import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        capacity=512, bucket_width=64,
+    )
+
+
 def q_token_quantiles(sf_dir: str):
     """Exact token-count quantiles via histogram combiner (no global
     sort); oracle = DuckDB quantile_disc, whose discrete index rule the

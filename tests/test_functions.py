@@ -598,3 +598,44 @@ def test_token_quantiles_matches_quantile_disc():
     # empty corpus -> null quantiles, no crash
     empty = ts.token_quantiles(ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())})))
     assert empty["n_tokens"].to_pylist() == [None] * 5
+
+
+def test_pack_sequences_prefix_sum():
+    import ray.data
+
+    from docling_translate_ray.functions.packing import pack_sequences
+
+    # sparse, NON-contiguous ids across several range buckets
+    ids = [3, 10, 251, 252, 700, 1200]
+    texts = ["a b c", "d e", "f g h i", "", "j", "k l m n o p"]
+    tbl = pa.table({"doc_id": ids, "text": texts})
+    out = _to_table(
+        pack_sequences(ray.data.from_arrow(tbl), capacity=5, bucket_width=250)
+    ).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    # hand-computed exclusive prefix in id order: 3,2,4,0,1,6 tokens
+    expect = {3: 0, 10: 3, 251: 5, 252: 9, 700: 9, 1200: 10}
+    assert {i: rows[i]["tok_offset"] for i in ids} == expect
+    assert rows[251]["seq_id"] == 1 and rows[251]["seq_offset"] == 0
+    assert rows[252]["seq_id"] == 1 and rows[252]["seq_offset"] == 4
+    assert rows[1200]["seq_id"] == 2 and rows[1200]["seq_offset"] == 0
+    # partition invariance (different input layout + partition counts)
+    out2 = _to_table(
+        pack_sequences(
+            ray.data.from_arrow(tbl).repartition(4), capacity=5,
+            bucket_width=250, num_partitions=7,
+        )
+    ).sort_by("doc_id")
+    assert out2.to_pylist() == out.to_pylist()
+    # empty input
+    empty = _to_table(
+        pack_sequences(
+            ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())})),
+            capacity=5,
+        )
+    )
+    assert empty.num_rows == 0
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_arrow(tbl), capacity=0)
