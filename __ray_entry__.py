@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_signals": q.q_rep_signals,
         "token_quantiles": q.q_token_quantiles,
         "pack_sequences": q.q_pack_sequences,
+        "decontaminate": q.q_decontaminate,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
@@ -379,6 +380,34 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # benchmark decontamination: train-split docs sharing any word
+        # 5-gram with the test split (splits = dataset_split's hash
+        # boundaries); docs under 5 words can never be flagged
+        "decontaminate": """
+            WITH split AS (
+              SELECT doc_id, text,
+                     CASE WHEN md5(text) < 'c8888888888888888888888888888888'
+                            THEN 'train'
+                          WHEN md5(text) < 'e1111111111111111111111111111111'
+                            THEN 'val'
+                          ELSE 'test' END AS s
+              FROM documents),
+            w AS (SELECT doc_id, s,
+                         regexp_extract_all(text, '@NONWS@') AS ws
+                  FROM split WHERE s IN ('train', 'test')),
+            g AS (SELECT doc_id, s,
+                         unnest(list_distinct(list_transform(
+                           range(1, len(ws) - 3),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+                  FROM w WHERE len(ws) >= 5),
+            eg AS (SELECT DISTINCT g FROM g WHERE s = 'test'),
+            cont AS (SELECT DISTINCT doc_id FROM g
+                     WHERE s = 'train' AND g IN (SELECT g FROM eg))
+            SELECT sp.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+            FROM split sp LEFT JOIN cont c ON sp.doc_id = c.doc_id
+            WHERE sp.s = 'train'
         """,
         # sequence packing = exclusive prefix sum of token counts in
         # doc_id order (distributed two-pass scan on the Ray side, one

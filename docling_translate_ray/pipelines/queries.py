@@ -388,6 +388,37 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+_SPLIT_TRAIN_BOUND = "c" + "8" * 31
+_SPLIT_VAL_BOUND = "e" + "1" * 31
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag train-split docs sharing any word
+    5-gram with the test split (n scaled down from the published 13-gram
+    rule because synthetic docs are short; 12/392 hit at sf0.01).
+    Splits reuse q_dataset_split's content-hash boundaries."""
+    import pyarrow.compute as pc
+
+    from docling_translate_ray.functions.decontam import decontaminate
+
+    def keep_split(lo: str | None, hi: str | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            md5 = fts.fingerprint_batch(batch)["fp_md5"]
+            mask = pc.greater_equal(md5, lo) if lo else pc.less(md5, hi)
+            return batch.filter(mask)
+
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    train = docs.map_batches(
+        keep_split(None, _SPLIT_TRAIN_BOUND), batch_format="pyarrow"
+    )
+    test = docs.map_batches(
+        keep_split(_SPLIT_VAL_BOUND, None), batch_format="pyarrow"
+    )
+    return decontaminate(train, test, n=5)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (concatenate-then-chunk at capacity 512) via the
     distributed exclusive prefix sum in functions/packing.py; tiny

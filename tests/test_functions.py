@@ -639,3 +639,50 @@ def test_pack_sequences_prefix_sum():
     assert empty.num_rows == 0
     with pytest.raises(ValueError):
         pack_sequences(ray.data.from_arrow(tbl), capacity=0)
+
+
+def test_decontaminate_strategies_agree():
+    import ray.data
+
+    from docling_translate_ray.functions.decontam import decontaminate
+
+    corpus = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",   # shares 5-gram w/ eval
+                "one two three four five six seven",     # clean
+                "short doc",                              # < n words, never flagged
+                "alpha beta gamma delta DIFFERENT tail", # only 4-gram overlap
+                "",                                       # empty
+            ],
+        }
+    )
+    eval_set = pa.table(
+        {"text": ["prefix alpha beta gamma delta epsilon end",
+                  "totally unrelated benchmark question here today"]}
+    )
+    expect = {0: True, 1: False, 2: False, 3: False, 4: False}
+    for strat in ("broadcast", "join"):
+        out = _to_table(
+            decontaminate(
+                ray.data.from_arrow(corpus), ray.data.from_arrow(eval_set),
+                n=5, strategy=strat, num_partitions=4,
+            )
+        )
+        got = {r["doc_id"]: r["contaminated"] for r in out.to_pylist()}
+        assert got == expect, (strat, got)
+    # empty eval set: nothing flagged, both paths
+    for strat in ("broadcast", "join"):
+        out = _to_table(
+            decontaminate(
+                ray.data.from_arrow(corpus),
+                ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())})),
+                n=5, strategy=strat,
+            )
+        )
+        assert not any(r["contaminated"] for r in out.to_pylist())
+        assert out.num_rows == 5
+    with pytest.raises(ValueError):
+        decontaminate(ray.data.from_arrow(corpus),
+                      ray.data.from_arrow(eval_set), strategy="nope")
