@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q.q_token_quantiles,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
+        "chunk_docs": q.q_chunk_docs,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
@@ -380,6 +381,22 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # overlapping fixed-token chunking: window 64, stride 48; DuckDB
+        # list slices are 1-based inclusive, hence the +1 bounds
+        "chunk_docs": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, i AS chunk_id,
+                     ws[i*48+1 : i*48+64] AS chunk
+              FROM w, unnest(range(0,
+                     CAST(ceil(len(ws) / 48.0) AS BIGINT))) AS t(i))
+            SELECT doc_id, chunk_id,
+                   len(chunk)::BIGINT AS n_chunk_tokens,
+                   array_to_string(chunk, ' ') AS chunk_text
+            FROM c
         """,
         # benchmark decontamination: train-split docs sharing any word
         # 5-gram with the test split (splits = dataset_split's hash

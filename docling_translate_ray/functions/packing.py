@@ -29,6 +29,55 @@ import pyarrow as pa
 _COUNTS_SCHEMA_COLS = ["n_tokens", "_bucket"]
 
 
+def chunk_docs_batch(batch: pa.Table, window: int = 64, stride: int = 48,
+                     id_column: str = "doc_id",
+                     column: str = "text") -> pa.Table:
+    """Overlapping fixed-token chunking (the RAG/embedding layout step):
+    explode each doc into windows of ``window`` tokens starting every
+    ``stride`` tokens (final window may be short; empty docs emit no
+    chunks).  Pure per-row explode — no shuffle, no state; scale is
+    block-parallel by construction.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    import polars as pl
+
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window (got {stride}, {window})")
+    s = pl.from_arrow(batch[column]).fill_null("")
+    ids = pl.from_arrow(batch[id_column]).cast(pl.Int64)
+    out = (
+        pl.DataFrame({id_column: ids, "t": s})
+        .with_columns(pl.col("t").str.extract_all(r"\S+").alias("ws"))
+        .with_columns(pl.col("ws").list.len().cast(pl.Int64).alias("_n"))
+        .with_columns(
+            pl.int_ranges(0, (pl.col("_n") + stride - 1) // stride).alias("chunk_id")
+        )
+        .explode("chunk_id")
+        .drop_nulls("chunk_id")  # 0-token docs explode to a null chunk row
+        .with_columns(
+            pl.col("ws")
+            .list.slice(pl.col("chunk_id") * stride, window)
+            .alias("_chunk")
+        )
+        .with_columns(
+            pl.col("_chunk").list.len().cast(pl.Int64).alias("n_chunk_tokens"),
+            pl.col("_chunk").list.join(" ").alias("chunk_text"),
+        )
+        .select([id_column, "chunk_id", "n_chunk_tokens", "chunk_text"])
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                (id_column, pa.int64()),
+                ("chunk_id", pa.int64()),
+                ("n_chunk_tokens", pa.int64()),
+                ("chunk_text", pa.string()),
+            ]
+        )
+    )
+
+
 def pack_sequences(ds, capacity: int = 512, id_column: str = "doc_id",
                    column: str = "text", bucket_width: int = 100_000,
                    num_partitions: int = 32):

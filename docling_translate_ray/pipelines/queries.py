@@ -388,6 +388,16 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping fixed-token chunking (window 64, stride 48) — the
+    RAG/embedding layout explode (functions/packing.chunk_docs_batch)."""
+    from docling_translate_ray.functions.packing import chunk_docs_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunk_docs_batch, batch_format="pyarrow"
+    )
+
+
 _SPLIT_TRAIN_BOUND = "c" + "8" * 31
 _SPLIT_VAL_BOUND = "e" + "1" * 31
 

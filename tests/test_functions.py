@@ -686,3 +686,32 @@ def test_decontaminate_strategies_agree():
     with pytest.raises(ValueError):
         decontaminate(ray.data.from_arrow(corpus),
                       ray.data.from_arrow(eval_set), strategy="nope")
+
+
+def test_chunk_docs_overlap_properties():
+    from docling_translate_ray.functions.packing import chunk_docs_batch
+
+    toks = [f"w{i}" for i in range(150)]
+    tbl = pa.table(
+        {"doc_id": [0, 1, 2], "text": [" ".join(toks), "a b c", ""]}
+    )
+    out = chunk_docs_batch(tbl, window=64, stride=48)
+    rows = [r for r in out.to_pylist() if r["doc_id"] == 0]
+    # 150 tokens, stride 48 -> chunks start at 0,48,96,144 (4 chunks)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in rows] == [64, 64, 54, 6]
+    # each chunk is the exact token window
+    for r in rows:
+        s = r["chunk_id"] * 48
+        assert r["chunk_text"] == " ".join(toks[s : s + 64])
+    # stride-prefix reconstruction: first `stride` tokens of each chunk
+    # (all of the last) tile the doc exactly
+    rebuilt = []
+    for r in rows:
+        rebuilt.extend(r["chunk_text"].split(" ")[:48])
+    assert rebuilt == toks
+    # short doc -> one chunk; empty doc -> none
+    assert [r["chunk_id"] for r in out.to_pylist() if r["doc_id"] == 1] == [0]
+    assert not [r for r in out.to_pylist() if r["doc_id"] == 2]
+    with pytest.raises(ValueError):
+        chunk_docs_batch(tbl, window=8, stride=9)
