@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "rep_signals": q.q_rep_signals,
         "token_quantiles": q.q_token_quantiles,
+        "lang_token_quantiles": q.q_lang_token_quantiles,
+        "stratified_sample": q.q_stratified_sample,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "chunk_docs": q.q_chunk_docs,
@@ -458,6 +460,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'p90', quantile_disc(n, 0.90)::BIGINT FROM t
             UNION ALL
             SELECT 'p99', quantile_disc(n, 0.99)::BIGINT FROM t
+        """,
+        # per-language quantiles: same discrete rule, grouped
+        "lang_token_quantiles": f"""
+            WITH t AS (
+              SELECT lang, {_NTOK_EXPR}::BIGINT AS n FROM documents)
+            SELECT lang, 'p25' AS quantile,
+                   quantile_disc(n, 0.25)::BIGINT AS n_tokens
+            FROM t GROUP BY lang
+            UNION ALL
+            SELECT lang, 'p50', quantile_disc(n, 0.50)::BIGINT FROM t GROUP BY lang
+            UNION ALL
+            SELECT lang, 'p75', quantile_disc(n, 0.75)::BIGINT FROM t GROUP BY lang
+            UNION ALL
+            SELECT lang, 'p90', quantile_disc(n, 0.90)::BIGINT FROM t GROUP BY lang
+            UNION ALL
+            SELECT lang, 'p99', quantile_disc(n, 0.99)::BIGINT FROM t GROUP BY lang
+        """,
+        # stratified deterministic sampling: md5 below a per-language hex
+        # boundary (en 1/2, ko 1/4, default 1/8)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5(text) < CASE lang
+              WHEN 'en' THEN '80000000000000000000000000000000'
+              WHEN 'ko' THEN '40000000000000000000000000000000'
+              ELSE '20000000000000000000000000000000' END
         """,
         # Gopher-style repetition signals; 2grams are adjacent \S+ token
         # pairs, fractions are int/int double divisions (bit-identical to

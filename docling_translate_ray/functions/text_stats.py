@@ -135,18 +135,20 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 
 def token_quantiles(ds, qs=((25, 0.25), (50, 0.50), (75, 0.75),
                             (90, 0.90), (99, 0.99)),
-                    column: str = "text") -> pa.Table:
-    """Exact corpus quantiles of the per-doc token count WITHOUT a global
-    sort: per-batch value-histogram combiner → one ``grouped_sum``
-    exchange keyed by the count VALUE (cardinality = number of distinct
-    doc lengths — thousands at most, independent of corpus size) → the
-    driver cumsums the tiny collected histogram and picks the value at
+                    column: str = "text",
+                    group_column: str | None = None) -> pa.Table:
+    """Exact (per-group) quantiles of the per-doc token count WITHOUT a
+    global sort: per-batch value-histogram combiner → one ``grouped_sum``
+    exchange keyed by (group?, count VALUE) — cardinality = groups ×
+    distinct doc lengths, independent of corpus size — → the driver
+    cumsums the tiny collected histogram(s) and picks the value at
     1-based index ``max(1, ceil(q·n))`` — DuckDB ``quantile_disc``'s
     exact discrete rule, verified against it on edge sizes.
 
-    Returns a 5-row Table (quantile:string, n_tokens:int64).  This is the
-    scale-safe pattern for ANY integer-valued percentile (lengths, scores,
-    degree distributions): the shuffle moves histograms, never rows.
+    Returns (group?, quantile:string, n_tokens:int64) — 5 rows per group
+    (one group when ``group_column`` is None).  This is the scale-safe
+    pattern for ANY integer-valued percentile (lengths, scores, degree
+    distributions): the shuffle moves histograms, never rows.
     """
     import math
 
@@ -155,42 +157,70 @@ def token_quantiles(ds, qs=((25, 0.25), (50, 0.50), (75, 0.75),
     from docling_translate_ray.stages.shuffle import grouped_sum
     from docling_translate_ray.util import collect_to_table
 
+    gcols = [group_column] if group_column else []
+
     def hist_partial(batch: pa.Table) -> pa.Table:
         s = pl.from_arrow(batch[column])
+        data = {"n_tokens": s.fill_null("").str.count_matches(r"\S+").cast(pl.Int64)}
+        for g in gcols:
+            data[g] = pl.from_arrow(batch[g])
         return (
-            pl.DataFrame(
-                {"n_tokens": s.fill_null("").str.count_matches(r"\S+").cast(pl.Int64)}
-            )
-            .group_by("n_tokens")
+            pl.DataFrame(data)
+            .group_by(gcols + ["n_tokens"])
             .agg(pl.len().cast(pl.Int64).alias("_n"))
             .to_arrow()
         )
 
+    empty_fields = [(g, pa.string()) for g in gcols]
     hist = collect_to_table(
         grouped_sum(
             ds.map_batches(hist_partial, batch_format="pyarrow"),
-            ["n_tokens"],
+            gcols + ["n_tokens"],
             [pl.col("_n").sum().alias("_n")],
             {"n_docs": "_n"},
             num_partitions=16,
         ),
-        empty_schema=pa.schema([("n_tokens", pa.int64()), ("n_docs", pa.int64())]),
+        empty_schema=pa.schema(
+            empty_fields + [("n_tokens", pa.int64()), ("n_docs", pa.int64())]
+        ),
     )
-    df = pl.from_arrow(hist).sort("n_tokens").with_columns(
-        pl.col("n_docs").cum_sum().alias("_cum")
-    )
-    total = int(df["n_docs"].sum()) if df.height else 0
-    values, cums = df["n_tokens"].to_list(), df["_cum"].to_list()
-    out_q, out_v = [], []
-    for label, q in qs:
-        idx = max(1, math.ceil(q * total))
-        v = next((val for val, c in zip(values, cums) if c >= idx), None)
-        out_q.append(f"p{label}")
-        out_v.append(v)
-    return pa.table(
-        {"quantile": pa.array(out_q, pa.string()),
-         "n_tokens": pa.array(out_v, pa.int64())}
-    )
+
+    def pick(values: list, cums: list, total: int):
+        for label, q in qs:
+            idx = max(1, math.ceil(q * total))
+            yield f"p{label}", next(
+                (val for val, c in zip(values, cums) if c >= idx), None
+            )
+
+    out_g, out_q, out_v = [], [], []
+    df = pl.from_arrow(hist)
+    if group_column:
+        groups = (
+            df.partition_by(gcols, maintain_order=False) if df.height else []
+        )
+        for grp in sorted(groups, key=lambda g: g[group_column][0]):
+            grp = grp.sort("n_tokens").with_columns(
+                pl.col("n_docs").cum_sum().alias("_cum")
+            )
+            for label, v in pick(
+                grp["n_tokens"].to_list(), grp["_cum"].to_list(),
+                int(grp["n_docs"].sum()),
+            ):
+                out_g.append(grp[group_column][0])
+                out_q.append(label)
+                out_v.append(v)
+    else:
+        df = df.sort("n_tokens").with_columns(pl.col("n_docs").cum_sum().alias("_cum"))
+        total = int(df["n_docs"].sum()) if df.height else 0
+        for label, v in pick(df["n_tokens"].to_list(), df["_cum"].to_list(), total):
+            out_q.append(label)
+            out_v.append(v)
+    cols = {}
+    if group_column:
+        cols[group_column] = pa.array(out_g, pa.string())
+    cols["quantile"] = pa.array(out_q, pa.string())
+    cols["n_tokens"] = pa.array(out_v, pa.int64())
+    return pa.table(cols)
 
 
 def rep_signals_batch(batch: pa.Table, column: str = "text") -> pa.Table:

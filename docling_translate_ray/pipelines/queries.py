@@ -448,6 +448,49 @@ def q_token_quantiles(sf_dir: str):
     return fts.token_quantiles(_read(sf_dir, "documents", ["text"]))
 
 
+def q_lang_token_quantiles(sf_dir: str):
+    """Per-language token-count quantiles (grouped histogram combiner —
+    same scan, 5 rows per lang)."""
+    return fts.token_quantiles(
+        _read(sf_dir, "documents", ["text", "lang"]), group_column="lang"
+    )
+
+
+_STRATA_BOUNDS = [
+    ("en", "80000000" + "0" * 24),  # keep 1/2
+    ("ko", "40000000" + "0" * 24),  # keep 1/4
+]
+_STRATA_DEFAULT = "20000000" + "0" * 24  # keep 1/8
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic hash sampling at different rates
+    (en 1/2, ko 1/4, others 1/8): keep rows whose hex md5 sorts below the
+    language's boundary — layout/engine-independent like q_sample_docs,
+    the standard way to rebalance a multilingual corpus."""
+    import polars as pl
+
+    bound_map = dict(_STRATA_BOUNDS)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        md5 = fts.fingerprint_batch(batch)["fp_md5"]
+        bounds = (
+            pl.from_arrow(batch["lang"])
+            .replace_strict(bound_map, default=_STRATA_DEFAULT)
+            .to_arrow()
+            .cast(pa.string())
+        )
+        return batch.filter(pc.less(md5, bounds))
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(keep, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang"])
+    )
+
+
 def q_rep_signals(sf_dir: str):
     """Gopher-style repetition gate (dup-word / dup-2gram / top-2gram
     fractions, functions/text_stats.rep_signals_batch)."""

@@ -715,3 +715,31 @@ def test_chunk_docs_overlap_properties():
     assert not [r for r in out.to_pylist() if r["doc_id"] == 2]
     with pytest.raises(ValueError):
         chunk_docs_batch(tbl, window=8, stride=9)
+
+
+def test_token_quantiles_grouped():
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "text": ["a"] * 3 + ["a b c d"] * 5 + ["x y"] * 4,
+            "lang": ["en"] * 3 + ["en"] * 5 + ["ko"] * 4,
+        }
+    )
+    got = ts.token_quantiles(
+        ray.data.from_arrow(tbl).repartition(3), group_column="lang"
+    )
+    want = duckdb.sql(
+        """
+        WITH t AS (SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM tbl)
+        SELECT lang, 'p25' AS q, quantile_disc(n, 0.25) AS v FROM t GROUP BY lang
+        UNION ALL SELECT lang, 'p50', quantile_disc(n, 0.50) FROM t GROUP BY lang
+        UNION ALL SELECT lang, 'p75', quantile_disc(n, 0.75) FROM t GROUP BY lang
+        UNION ALL SELECT lang, 'p90', quantile_disc(n, 0.90) FROM t GROUP BY lang
+        UNION ALL SELECT lang, 'p99', quantile_disc(n, 0.99) FROM t GROUP BY lang
+        """
+    ).fetchall()
+    got_set = set(zip(got["lang"].to_pylist(), got["quantile"].to_pylist(),
+                      got["n_tokens"].to_pylist()))
+    assert got_set == set(want)
+    assert got.num_rows == 10  # 2 langs x 5 quantiles
