@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "chunk_docs": q.q_chunk_docs,
+        "inverted_index": q.q_inverted_index,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
@@ -383,6 +384,18 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # inverted-index lookup: build writes term-hash-partitioned
+        # postings, the query reads only the probed partitions; the oracle
+        # recomputes the same postings relationally
+        "inverted_index": """
+            SELECT term, doc_id, tf FROM (
+              SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '@NONWS@')) AS word
+                FROM documents)
+              GROUP BY doc_id, word)
+            WHERE term IN ('data', 'hash', 'table', 'the', 'zzz-absent')
         """,
         # overlapping fixed-token chunking: window 64, stride 48; DuckDB
         # list slices are 1-based inclusive, hence the +1 bounds

@@ -388,6 +388,25 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+_INDEX_LOOKUP_TERMS = ["data", "hash", "table", "the", "zzz-absent"]
+
+
+def q_inverted_index(sf_dir: str):
+    """Build a term-hash-partitioned inverted index (functions/index.py)
+    under /tmp, then answer a fixed term lookup through the PRUNED
+    partition read — the IVF pattern applied to text search."""
+    import hashlib
+
+    from docling_translate_ray.functions import index as fidx
+
+    idx_dir = "/tmp/dtr_inv_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fidx.build_inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]), idx_dir,
+        num_partitions=16,
+    )
+    return fidx.lookup_postings(idx_dir, _INDEX_LOOKUP_TERMS)
+
+
 def q_chunk_docs(sf_dir: str):
     """Overlapping fixed-token chunking (window 64, stride 48) — the
     RAG/embedding layout explode (functions/packing.chunk_docs_batch)."""

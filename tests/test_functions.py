@@ -743,3 +743,48 @@ def test_token_quantiles_grouped():
                       got["n_tokens"].to_pylist()))
     assert got_set == set(want)
     assert got.num_rows == 10  # 2 langs x 5 quantiles
+
+
+def test_inverted_index_pruned_lookup(tmp_path):
+    import shutil
+
+    import ray.data
+
+    from docling_translate_ray.functions import index as fidx
+
+    filler = " ".join(f"filler{i}" for i in range(40))  # spread partitions
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [f"apple banana apple {filler}", "banana cherry",
+                     "apple date"],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    fidx.build_inverted_index(ray.data.from_arrow(docs), idx, num_partitions=8)
+    got = _to_table(fidx.lookup_postings(idx, ["apple", "cherry", "nope"]))
+    rows = sorted((r["term"], r["doc_id"], r["tf"]) for r in got.to_pylist())
+    assert rows == [("apple", 1, 2), ("apple", 3, 1), ("cherry", 2, 1)]
+    # PRUNED-READ PROOF: delete every partition dir the probe set does not
+    # touch — the answer must be unchanged (those dirs are never read)
+    import os
+
+    probed = {int(p) for p in fidx._term_partitions(
+        ["apple", "cherry", "nope"], 8)}
+    pdir = os.path.join(idx, "postings")
+    removed = 0
+    for d in os.listdir(pdir):
+        part = int(d.split("=")[1])
+        if part not in probed:
+            shutil.rmtree(os.path.join(pdir, d))
+            removed += 1
+    assert removed > 0  # the probe really is a subset
+    again = _to_table(fidx.lookup_postings(idx, ["apple", "cherry", "nope"]))
+    assert sorted((r["term"], r["doc_id"], r["tf"]) for r in again.to_pylist()) == rows
+    # rebuild wipes stale generations
+    fidx.build_inverted_index(ray.data.from_arrow(docs), idx, num_partitions=8)
+    rebuilt = _to_table(fidx.lookup_postings(idx, ["apple"]))
+    assert sorted(r["doc_id"] for r in rebuilt.to_pylist()) == [1, 3]
+    # miss-only lookup: empty but schema'd
+    none = _to_table(fidx.lookup_postings(idx, ["zzz"]))
+    assert none.num_rows == 0
