@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_signals": q.q_rep_signals,
         "token_quantiles": q.q_token_quantiles,
         "lang_token_quantiles": q.q_lang_token_quantiles,
+        "approx_distinct": q.q_approx_distinct,
         "stratified_sample": q.q_stratified_sample,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -820,8 +821,11 @@ def oracle_sql() -> dict[str, str]:
         # cos≥0.9 pair — max pairwise cosine is 0.51 — so 0 rows is the
         # true answer, pinned by the planted-pair recall pytest), knn_ivf
         # (approximate; recall pinned by pytest), media_features /
-        # video_frames (video codec stubbed).  minhash/simhash near-dup,
-        # langid and the curate composite ARE oracle-backed above.
+        # video_frames (video codec stubbed), approx_distinct (HLL —
+        # DuckDB's approx_count_distinct is a different sketch; accuracy
+        # + merge idempotence pinned by pytest).  minhash/simhash
+        # near-dup, langid and the curate composite ARE oracle-backed
+        # above.
     }
     return {k: v.replace("@NONWS@", _NONWS).replace("@WSCLASS@", _WS_CLASS)
             for k, v in raw.items()}

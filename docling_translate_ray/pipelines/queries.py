@@ -467,6 +467,16 @@ def q_token_quantiles(sf_dir: str):
     return fts.token_quantiles(_read(sf_dir, "documents", ["text"]))
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-text estimate (functions/sketch.py) — the
+    mergeable-sketch reduce; rows-only (DuckDB's approx_count_distinct is
+    a different sketch), accuracy pinned in pytest at several
+    cardinalities."""
+    from docling_translate_ray.functions.sketch import approx_distinct
+
+    return approx_distinct(_read(sf_dir, "documents", ["text"]), "text")
+
+
 def q_lang_token_quantiles(sf_dir: str):
     """Per-language token-count quantiles (grouped histogram combiner —
     same scan, 5 rows per lang)."""

@@ -788,3 +788,37 @@ def test_inverted_index_pruned_lookup(tmp_path):
     # miss-only lookup: empty but schema'd
     none = _to_table(fidx.lookup_postings(idx, ["zzz"]))
     assert none.num_rows == 0
+
+
+def test_hll_approx_distinct_accuracy_and_invariance():
+    import polars as pl
+    import ray.data
+
+    from docling_translate_ray.functions import sketch as sk
+
+    # accuracy across cardinalities (rel err ~1.04/sqrt(4096) ~ 1.6%)
+    for n in (100, 5_000, 60_000):
+        vals = pl.Series([f"item-{i}" for i in range(n)])
+        regs = sk.hll_register_batch(vals, 12)
+        est = sk.hll_estimate(regs)
+        assert abs(est - n) / n < 0.05, (n, est)
+    # merge = elementwise max: sketch(union) == max(sketch(a), sketch(b)),
+    # including overlap (idempotence)
+    a = pl.Series([f"x{i}" for i in range(3000)])
+    b = pl.Series([f"x{i}" for i in range(1500, 4500)])
+    ra, rb = sk.hll_register_batch(a, 12), sk.hll_register_batch(b, 12)
+    ru = sk.hll_register_batch(pl.concat([a, b]), 12)
+    assert (np.maximum(ra, rb) == ru).all()
+    # Dataset path: layout-independent
+    tbl = pa.table({"v": [f"k{i % 2500}" for i in range(10_000)]})
+    e1 = sk.approx_distinct(ray.data.from_arrow(tbl), "v")
+    e2 = sk.approx_distinct(ray.data.from_arrow(tbl).repartition(7), "v")
+    assert e1["n_distinct_est"].to_pylist() == e2["n_distinct_est"].to_pylist()
+    assert abs(e1["n_distinct_est"][0].as_py() - 2500) / 2500 < 0.05
+    # empty dataset -> estimate 0
+    e0 = sk.approx_distinct(
+        ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())})), "v"
+    )
+    assert e0["n_distinct_est"].to_pylist() == [0]
+    with pytest.raises(ValueError):
+        sk.approx_distinct(ray.data.from_arrow(tbl), "v", precision=8)
