@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q.q_token_quantiles,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "approx_distinct": q.q_approx_distinct,
+        "pii_scrub": q.q_pii_scrub,
         "stratified_sample": q.q_stratified_sample,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -385,6 +386,33 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # PII scrub over planted contact lines (doc_id % 3 selects the
+        # variant; patterns identical to text_stats.PII_EMAIL_RE/PHONE_RE)
+        "pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE doc_id % 3
+                       WHEN 0 THEN text || ' Contact user' || doc_id
+                                   || '@mail.example.com now'
+                       WHEN 1 THEN text || ' Call +1-555-'
+                                   || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                           4, '0') || ' today'
+                       ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z][A-Za-z]+',
+                     '<EMAIL>', 'g'),
+                     '\\+[0-9][0-9]?[0-9]?-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
+                     '<PHONE>', 'g') AS text_redacted,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z][A-Za-z]+'
+                     ))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                     '\\+[0-9][0-9]?[0-9]?-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]'
+                     ))::BIGINT AS n_phones
+            FROM planted
         """,
         # inverted-index lookup: build writes term-hash-partitioned
         # postings, the query reads only the probed partitions; the oracle

@@ -223,6 +223,38 @@ def token_quantiles(ds, qs=((25, 0.25), (50, 0.50), (75, 0.75),
     return pa.table(cols)
 
 
+# PII patterns kept RE2-compatible (no lookaround, no \s shorthand) so the
+# DuckDB oracle runs the IDENTICAL regexes; rust-regex and RE2 agree on
+# every construct used here
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = r"\+[0-9][0-9]?[0-9]?-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def pii_scrub_batch(batch: pa.Table, column: str = "text",
+                    out_column: str = "text_redacted") -> pa.Table:
+    """C4-style PII scrub: replace emails with ``<EMAIL>`` and
+    international-format phone numbers with ``<PHONE>``, counting each.
+    Vectorized (two compiled-regex passes per batch); appends
+    (out_column, n_emails, n_phones)."""
+    import polars as pl
+
+    s = pl.from_arrow(batch[column]).fill_null("")
+    df = pl.DataFrame({"t": s}).with_columns(
+        pl.col("t").str.count_matches(PII_EMAIL_RE).cast(pl.Int64).alias("n_emails"),
+        pl.col("t").str.count_matches(PII_PHONE_RE).cast(pl.Int64).alias("n_phones"),
+        pl.col("t")
+        .str.replace_all(PII_EMAIL_RE, "<EMAIL>")
+        .str.replace_all(PII_PHONE_RE, "<PHONE>")
+        .alias(out_column),
+    )
+    res = batch
+    for name in [out_column, "n_emails", "n_phones"]:
+        if name in res.column_names:
+            res = res.drop_columns([name])
+        res = res.append_column(name, df[name].to_arrow())
+    return res
+
+
 def rep_signals_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Gopher-style repetition signals per doc, fully vectorized and
     SQL-expressible (shared oracle formula over ``\\S+`` tokens):

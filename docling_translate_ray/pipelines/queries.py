@@ -467,6 +467,48 @@ def q_token_quantiles(sf_dir: str):
     return fts.token_quantiles(_read(sf_dir, "documents", ["text"]))
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over deterministically planted contact lines (the
+    testdata corpus contains no real PII, so every third doc gets a
+    synthesized email and/or phone appended — the oracle builds the SAME
+    strings — then functions/text_stats.pii_scrub_batch redacts them)."""
+    import polars as pl
+
+    def plant_and_scrub(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(batch["doc_id"]).cast(pl.Int64),
+                "t": pl.from_arrow(batch["text"]).fill_null(""),
+            }
+        ).with_columns(
+            (pl.col("doc_id") % 3).alias("_v"),
+            (pl.col("doc_id") % 10000).cast(pl.String).str.zfill(4).alias("_p4"),
+        ).with_columns(
+            pl.when(pl.col("_v") == 0)
+            .then(
+                pl.col("t") + " Contact user" + pl.col("doc_id").cast(pl.String)
+                + "@mail.example.com now"
+            )
+            .when(pl.col("_v") == 1)
+            .then(pl.col("t") + " Call +1-555-" + pl.col("_p4") + " today")
+            .otherwise(pl.col("t"))
+            .alias("text")
+        )
+        planted = pa.table(
+            {
+                "doc_id": df["doc_id"].to_arrow().cast(pa.int64()),
+                "text": df["text"].to_arrow().cast(pa.string()),
+            }
+        )
+        return fts.pii_scrub_batch(planted)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(plant_and_scrub, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_redacted", "n_emails", "n_phones"])
+    )
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-text estimate (functions/sketch.py) — the
     mergeable-sketch reduce; rows-only (DuckDB's approx_count_distinct is

@@ -822,3 +822,25 @@ def test_hll_approx_distinct_accuracy_and_invariance():
     assert e0["n_distinct_est"].to_pylist() == [0]
     with pytest.raises(ValueError):
         sk.approx_distinct(ray.data.from_arrow(tbl), "v", precision=8)
+
+
+def test_pii_scrub_kernel():
+    t = pa.table(
+        {
+            "text": [
+                "mail me at john.doe+spam@sub.example.co.uk or call +1-555-0199 ok",
+                "two mails a@b.io c.d@e.org and +44-123-4567",
+                "no pii here",
+                "",
+            ]
+        }
+    )
+    out = ts.pii_scrub_batch(t)
+    rows = out.to_pylist()
+    assert rows[0]["text_redacted"] == "mail me at <EMAIL> or call <PHONE> ok"
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert rows[1]["text_redacted"] == "two mails <EMAIL> <EMAIL> and <PHONE>"
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    assert rows[2]["text_redacted"] == "no pii here"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[3]["text_redacted"] == ""
