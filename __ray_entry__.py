@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "approx_distinct": q.q_approx_distinct,
         "pii_scrub": q.q_pii_scrub,
+        "cooccurrence": q.q_cooccurrence,
         "stratified_sample": q.q_stratified_sample,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -386,6 +387,38 @@ def oracle_sql() -> dict[str, str]:
                     AND nb / n_lines <= 0.9
                     AND has_stopword) AS gopher_ok
             FROM g
+        """,
+        # top-k bigram collocations by lift = c_xy*N/(c1*c2) (monotone
+        # PMI); all operands are exact int64 counts widened to double in
+        # the same operation order on both sides, so the float hashes
+        # compare exactly; ties break on (w1, w2)
+        "cooccurrence": """
+            WITH tok AS (
+              SELECT regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            uni AS (
+              SELECT w, count(*)::BIGINT AS c FROM (
+                SELECT unnest(ws) AS w FROM tok) GROUP BY w),
+            n AS (SELECT sum(c)::BIGINT AS n FROM uni),
+            big AS (
+              SELECT w1, w2, count(*)::BIGINT AS c_xy FROM (
+                SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM tok, unnest(range(1, len(ws))) AS t(i))
+              GROUP BY w1, w2),
+            l AS (
+              SELECT b.w1, b.w2, b.c_xy,
+                     (b.c_xy::DOUBLE * n.n::DOUBLE)
+                       / (u1.c::DOUBLE * u2.c::DOUBLE) AS lift
+              FROM big b
+              JOIN uni u1 ON b.w1 = u1.w
+              JOIN uni u2 ON b.w2 = u2.w
+              CROSS JOIN n
+              WHERE b.c_xy >= 5)
+            SELECT w1, w2, c_xy, lift, rank FROM (
+              SELECT *, row_number() OVER (
+                       ORDER BY lift DESC, w1, w2) AS rank
+              FROM l)
+            WHERE rank <= 50
         """,
         # PII scrub over planted contact lines (doc_id % 3 selects the
         # variant; patterns identical to text_stats.PII_EMAIL_RE/PHONE_RE)

@@ -223,6 +223,140 @@ def token_quantiles(ds, qs=((25, 0.25), (50, 0.50), (75, 0.75),
     return pa.table(cols)
 
 
+def cooccurrence_lift(ds, k: int = 50, min_count: int = 5,
+                      column: str = "text", num_partitions: int = 32):
+    """Top-k adjacent-bigram collocations by LIFT — the PMI-family
+    "what phrases matter in my corpus" op:
+
+        lift(w1, w2) = (c_xy · N) / (c_1 · c_2)
+
+    (PMI = log lift; the log is monotone, so ranking by lift IS ranking
+    by PMI while staying in arithmetic both engines reproduce
+    bit-identically: every operand is an exact int64 count widened to
+    float64 in the SAME operation order as the SQL oracle.)
+
+    Scale shape: per-batch combiners for bigram and unigram counts (the
+    exchanges carry one row per (batch, gram)); unigram counts attach to
+    the bigram table through two co-partition joins (no broadcast —
+    real vocabularies don't fit one); N is the sum of the unigram table
+    (a per-batch partial-sum collect, vocab-sized not corpus-sized);
+    top-k is per-partition local + tiny driver merge, never a global
+    sort.  Returns (w1, w2, c_xy, lift, rank), rank ties broken on
+    (w1, w2).
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import grouped_sum, partition_join
+    from docling_translate_ray.util import collect_to_table
+
+    def gram_partials(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = pl.from_arrow(batch[column]).fill_null("")
+            long = (
+                pl.DataFrame({"t": s})
+                .with_row_index("_r")
+                .select("_r", pl.col("t").str.extract_all(r"\S+").alias("w"))
+                .explode("w")
+                .drop_nulls("w")
+            )
+            if which == "uni":
+                out = long.group_by("w").agg(
+                    pl.len().cast(pl.Int64).alias("_n")
+                )
+            else:
+                out = (
+                    long.with_columns(
+                        pl.col("w").shift(-1).over("_r").alias("w2")
+                    )
+                    .drop_nulls("w2")
+                    .rename({"w": "w1"})
+                    .group_by(["w1", "w2"])
+                    .agg(pl.len().cast(pl.Int64).alias("_n"))
+                )
+            return out.to_arrow()
+
+        return fn
+
+    unigrams = grouped_sum(
+        ds.map_batches(gram_partials("uni"), batch_format="pyarrow"),
+        ["w"], [pl.col("_n").sum().alias("_n")], {"c": "_n"},
+        num_partitions=num_partitions,
+    ).materialize()  # consumed three times (N, join ×2); vocab-sized
+    bigrams = grouped_sum(
+        ds.map_batches(gram_partials("bi"), batch_format="pyarrow"),
+        ["w1", "w2"], [pl.col("_n").sum().alias("_n")], {"c_xy": "_n"},
+        num_partitions=num_partitions,
+    )
+
+    def partial_sum(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"_s": pa.array(
+            [pc.sum(batch["c"]).as_py() or 0], pa.int64())})
+
+    n_total = sum(
+        collect_to_table(
+            unigrams.map_batches(partial_sum, batch_format="pyarrow"),
+            empty_schema=pa.schema([("_s", pa.int64())]),
+        )["_s"].to_pylist()
+    )
+
+    def rename_uni(new_key: str, new_c: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [new_key if c == "w" else new_c if c == "c" else c
+                 for c in batch.column_names]
+            )
+
+        return fn
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["c_xy"], min_count))
+
+    filtered = bigrams.map_batches(keep_frequent, batch_format="pyarrow")
+    joined = partition_join(
+        partition_join(
+            filtered,
+            unigrams.map_batches(rename_uni("w1", "c1"), batch_format="pyarrow"),
+            on=["w1"], how="inner", num_partitions=num_partitions,
+        ),
+        unigrams.map_batches(rename_uni("w2", "c2"), batch_format="pyarrow"),
+        on=["w2"], how="inner", num_partitions=num_partitions,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            (
+                (pl.col("c_xy").cast(pl.Float64) * float(n_total))
+                / (pl.col("c1").cast(pl.Float64) * pl.col("c2").cast(pl.Float64))
+            ).alias("lift")
+        )
+        return (
+            df.sort(["lift", "w1", "w2"], descending=[True, False, False])
+            .head(k)
+            .select(["w1", "w2", "c_xy", "lift"])
+            .to_arrow()
+        )
+
+    cand = collect_to_table(
+        joined.map_batches(local_topk, batch_format="pyarrow"),
+        empty_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("c_xy", pa.int64()), ("lift", pa.float64())]),
+    )
+    top = (
+        pl.from_arrow(cand)
+        .sort(["lift", "w1", "w2"], descending=[True, False, False])
+        .head(k)
+        .to_arrow()
+    )
+    from docling_translate_ray.state.checkpoint import normalize_arrow_types
+
+    top = normalize_arrow_types(top)
+    return top.append_column("rank", pa.array(range(1, top.num_rows + 1), pa.int64()))
+
+
 # PII patterns kept RE2-compatible (no lookaround, no \s shorthand) so the
 # DuckDB oracle runs the IDENTICAL regexes; rust-regex and RE2 agree on
 # every construct used here

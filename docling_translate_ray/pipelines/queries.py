@@ -467,6 +467,14 @@ def q_token_quantiles(sf_dir: str):
     return fts.token_quantiles(_read(sf_dir, "documents", ["text"]))
 
 
+def q_cooccurrence(sf_dir: str):
+    """Top-50 bigram collocations by lift (monotone PMI) —
+    functions/text_stats.cooccurrence_lift."""
+    return fts.cooccurrence_lift(
+        _read(sf_dir, "documents", ["text"]), k=50, min_count=5
+    )
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction over deterministically planted contact lines (the
     testdata corpus contains no real PII, so every third doc gets a

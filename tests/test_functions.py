@@ -844,3 +844,43 @@ def test_pii_scrub_kernel():
     assert rows[2]["text_redacted"] == "no pii here"
     assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
     assert rows[3]["text_redacted"] == ""
+
+
+def test_cooccurrence_lift_ranking():
+    import ray.data
+
+    # "new york" always adjacent (high lift); "the cat/dog" spread over a
+    # frequent unigram "the" (low lift)
+    rows = (["new york is big and the cat sat on the mat today ok"] * 6
+            + ["the dog sat by the door while new york slept deeply"] * 6)
+    tbl = pa.table({"text": rows})
+    got = ts.cooccurrence_lift(
+        ray.data.from_arrow(tbl).repartition(3), k=10, min_count=5
+    )
+    want = duckdb.sql(
+        """
+        WITH tok AS (SELECT regexp_extract_all(text, '[^ ]+') AS ws FROM tbl),
+        uni AS (SELECT w, count(*)::BIGINT AS c FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY w),
+        n AS (SELECT sum(c)::BIGINT AS n FROM uni),
+        big AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM (
+            SELECT ws[i] AS w1, ws[i+1] AS w2 FROM tok, unnest(range(1, len(ws))) AS t(i))
+          GROUP BY w1, w2),
+        l AS (SELECT b.w1, b.w2, b.c_xy,
+                (b.c_xy::DOUBLE * n.n::DOUBLE) / (u1.c::DOUBLE * u2.c::DOUBLE) AS lift
+              FROM big b JOIN uni u1 ON b.w1=u1.w JOIN uni u2 ON b.w2=u2.w CROSS JOIN n
+              WHERE b.c_xy >= 5)
+        SELECT w1, w2, c_xy, lift,
+               row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+        FROM l QUALIFY rank <= 10
+        """
+    ).arrow()
+    assert got.num_rows == want.num_rows
+    for col in ("w1", "w2", "c_xy", "lift", "rank"):
+        assert got[col].to_pylist() == want[col].to_pylist(), col
+    # always-adjacent "new york" outranks every pair diluted by the
+    # frequent unigram "the"
+    pairs = list(zip(got["w1"].to_pylist(), got["w2"].to_pylist()))
+    ny = pairs.index(("new", "york"))
+    for p in (("the", "cat"), ("the", "dog"), ("the", "mat"), ("the", "door")):
+        if p in pairs:
+            assert pairs.index(p) > ny, p
