@@ -293,7 +293,8 @@ def oracle_sql() -> dict[str, str]:
             s5 AS (SELECT doc_id,
                           regexp_replace(u, '^(https?://)www\.', '\1') AS u
                    FROM s4),
-            canon AS (SELECT doc_id, regexp_replace(u, '/$', '') AS u FROM s5)
+            canon AS (SELECT doc_id,
+                             regexp_replace(u, '([^/])/$', '\1') AS u FROM s5)
             SELECT u AS canonical_url, min(doc_id)::BIGINT AS first_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM canon GROUP BY u

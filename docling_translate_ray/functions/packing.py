@@ -44,17 +44,37 @@ def chunk_docs_batch(batch: pa.Table, window: int = 64, stride: int = 48,
 
     if not (0 < stride <= window):
         raise ValueError(f"need 0 < stride <= window (got {stride}, {window})")
+    out_schema = pa.schema(
+        [
+            (id_column, pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("n_chunk_tokens", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
     s = pl.from_arrow(batch[column]).fill_null("")
     ids = pl.from_arrow(batch[id_column]).cast(pl.Int64)
-    out = (
+    exploded = (
         pl.DataFrame({id_column: ids, "t": s})
-        .with_columns(pl.col("t").str.extract_all(r"\S+").alias("ws"))
+        .with_columns(
+            # explicit inner dtype: a batch of all-empty texts otherwise
+            # degrades ws to list[null] and list.join fails
+            pl.col("t").str.extract_all(r"\S+").cast(pl.List(pl.String)).alias("ws")
+        )
         .with_columns(pl.col("ws").list.len().cast(pl.Int64).alias("_n"))
         .with_columns(
             pl.int_ranges(0, (pl.col("_n") + stride - 1) // stride).alias("chunk_id")
         )
         .explode("chunk_id")
         .drop_nulls("chunk_id")  # 0-token docs explode to a null chunk row
+    )
+    if exploded.height == 0:
+        # polars quirk: expression-offset list.slice on a 0-row frame
+        # degrades to List(Null) even under an explicit cast, so
+        # short-circuit all-empty batches with the declared schema
+        return out_schema.empty_table()
+    out = (
+        exploded
         .with_columns(
             pl.col("ws")
             .list.slice(pl.col("chunk_id") * stride, window)
@@ -66,16 +86,7 @@ def chunk_docs_batch(batch: pa.Table, window: int = 64, stride: int = 48,
         )
         .select([id_column, "chunk_id", "n_chunk_tokens", "chunk_text"])
     )
-    return out.to_arrow().cast(
-        pa.schema(
-            [
-                (id_column, pa.int64()),
-                ("chunk_id", pa.int64()),
-                ("n_chunk_tokens", pa.int64()),
-                ("chunk_text", pa.string()),
-            ]
-        )
-    )
+    return out.to_arrow().cast(out_schema)
 
 
 def pack_sequences(ds, capacity: int = 512, id_column: str = "doc_id",

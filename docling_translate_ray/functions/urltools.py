@@ -11,7 +11,9 @@ agree on every construct used here, no lookaround, no ``\\s``):
 3. lowercase scheme+authority   (the path keeps its case)
 4. drop default ports           (``:443`` on https, ``:80`` on http)
 5. drop a leading ``www.`` host label
-6. drop a single trailing ``/``
+6. drop a single trailing ``/`` when it follows a non-slash character
+   (the guard makes the whole chain IDEMPOTENT — found by the hypothesis
+   fuzz: bare ``//`` must not collapse one slash per pass)
 
 All vectorized (polars string kernels — one pass per rule over the whole
 batch); the dedup is a partial-combiner → single hash-partition exchange,
@@ -44,7 +46,7 @@ def canonicalize_urls(s):
     u = u.str.replace(r"^(https://[^/:]+):443(/|$)", "${1}${2}")  # 4. default ports
     u = u.str.replace(r"^(http://[^/:]+):80(/|$)", "${1}${2}")
     u = u.str.replace(r"^(https?://)www\.", "${1}")  # 5. www. label
-    u = u.str.replace(r"/$", "")  # 6. trailing slash
+    u = u.str.replace(r"([^/])/$", "${1}")  # 6. trailing slash (idempotent)
     return u
 
 

@@ -103,3 +103,85 @@ def test_fast_mode_never_raises_and_drops_structure(content):
                    for _, _, _, kind, _, _ in fast)
     # fast never invents spans beyond the accurate parse's block count
     assert len(fast) <= len(acc)
+
+
+# ---------------------------------------------------------------- round-2 ops
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(
+    list("abcXYZ09:/?#.@%wW-+=~_ ")), max_size=60), max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_url_canonicalize_idempotent_fuzz(urls):
+    import polars as pl
+
+    from docling_translate_ray.functions.urltools import canonicalize_urls
+
+    once = canonicalize_urls(pl.Series(urls, dtype=pl.String))
+    twice = canonicalize_urls(once)
+    assert once.to_list() == twice.to_list()
+    # canonical form never contains a fragment or query remnant
+    for c in once.to_list():
+        assert "#" not in c
+        assert "?" not in c
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_rep_signals_bounds_fuzz(text):
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.text_stats import rep_signals_batch
+
+    out = rep_signals_batch(pa.table({"text": [text]})).to_pylist()[0]
+    for k in ("dup_word_frac", "dup_2gram_frac", "top_2gram_frac"):
+        assert 0.0 <= out[k] <= 1.0, (k, out)
+    assert out["n_words"] >= 0
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(list("abc ")), max_size=80),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=10),
+       st.integers(min_value=1, max_value=10))
+@settings(max_examples=100, deadline=None)
+def test_chunk_docs_tiling_fuzz(texts, stride, extra):
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.packing import chunk_docs_batch
+
+    window = stride + extra  # always stride <= window
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = chunk_docs_batch(tbl, window=window, stride=stride)
+    by_doc: dict[int, list] = {}
+    for r in out.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        toks = text.split()
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert not chunks
+            continue
+        # stride-prefix tiling reconstructs the token stream exactly
+        rebuilt = []
+        for r in chunks:
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(ctoks) == r["n_chunk_tokens"]
+            assert len(ctoks) <= window
+            rebuilt.extend(ctoks[:stride])
+        assert rebuilt == toks
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_pii_scrub_no_residual_fuzz(text):
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.text_stats import (
+        PII_EMAIL_RE,
+        pii_scrub_batch,
+    )
+
+    out = pii_scrub_batch(pa.table({"text": [text]})).to_pylist()[0]
+    # no email pattern survives redaction
+    import re
+
+    assert not re.search(PII_EMAIL_RE, out["text_redacted"].replace("<EMAIL>", ""))

@@ -42,8 +42,10 @@ def test_canonicalize_rules():
     # www. only stripped as the leading host label of http(s)
     assert _canon("https://www.example.com/a") == "https://example.com/a"
     assert _canon("https://notwww.example.com/a") == "https://notwww.example.com/a"
-    # only ONE trailing slash is dropped
-    assert _canon("https://example.com/a//") == "https://example.com/a/"
+    # trailing slash only dropped after a non-slash char (idempotence
+    # guard): a double slash is left alone
+    assert _canon("https://example.com/a//") == "https://example.com/a//"
+    assert _canon("//") == "//"
     # schemeless: rules 1/2/6 only
     assert _canon("no-scheme/path/?x=1#y") == "no-scheme/path"
     # non-http scheme: authority still lowercased, ports kept
