@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.q_embedding_near_dup,
         "line_dedup": q.q_line_dedup,
         "url_dedup": q.q_url_dedup,
+        "domain_cap": q.q_domain_cap,
         "top_words": q.q_top_words,
         # similarity search
         "cosine_pairs": q.q_cosine_pairs,
@@ -298,6 +299,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS canonical_url, min(doc_id)::BIGINT AS first_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM canon GROUP BY u
+        """,
+        # per-domain cap over the same synthesized crawl variants; host
+        # extraction mirrors functions/urltools.extract_hosts rule for
+        # rule (authority → drop userinfo → drop port → lower → drop www.)
+        "domain_cap": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'https://site' || ((doc_id // 4) % 97)
+                                   || '.example.com/Docs/page-' || (doc_id // 4)
+                       WHEN 1 THEN 'HTTPS://WWW.SITE' || ((doc_id // 4) % 97)
+                                   || '.EXAMPLE.COM/Docs/page-' || (doc_id // 4)
+                                   || '?utm_source=feed'
+                       WHEN 2 THEN 'https://site' || ((doc_id // 4) % 97)
+                                   || '.example.com:443/Docs/page-'
+                                   || (doc_id // 4) || '#section-2'
+                       ELSE 'https://www.site' || ((doc_id // 4) % 97)
+                            || '.example.com/Docs/page-' || (doc_id // 4) || '/'
+                     END AS u
+              FROM documents),
+            h0 AS (SELECT doc_id,
+                          coalesce(regexp_extract(
+                              u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                              '') AS h
+                   FROM raw),
+            h1 AS (SELECT doc_id, regexp_replace(h, '^[^@]*@', '') AS h FROM h0),
+            h2 AS (SELECT doc_id, regexp_replace(h, ':[0-9]*$', '') AS h FROM h1),
+            h3 AS (SELECT doc_id,
+                          regexp_replace(lower(h), '^www\.', '') AS h FROM h2),
+            ranked AS (
+              SELECT h AS host, doc_id,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id)
+                         ::BIGINT AS host_rank
+              FROM h3)
+            SELECT host, doc_id, host_rank FROM ranked WHERE host_rank <= 3
         """,
         "top_words": """
             SELECT word, n_occurrences, rank FROM (

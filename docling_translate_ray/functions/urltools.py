@@ -60,6 +60,73 @@ def canonicalize_batch(batch: pa.Table, url_column: str = "url") -> pa.Table:
     )
 
 
+def extract_hosts(s):
+    """Vectorized host of a polars String Series of URLs: the authority
+    of a ``scheme://`` URL, lowercased, with userinfo (``user@``), a
+    ``:port`` suffix and a leading ``www.`` label dropped.  Rows without
+    a scheme have no authority and yield "" (the caller groups them
+    under the empty host).  Regex-construct subset shared with the
+    DuckDB oracle (RE2 ∩ rust-regex, same as canonicalize_urls).
+    """
+    host = s.fill_null("").str.extract("(" + _AUTH_RE + ")", 1)
+    host = host.fill_null("").str.replace(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = host.str.replace(r"^[^@]*@", "")  # userinfo
+    host = host.str.replace(r":[0-9]*$", "")  # port
+    host = host.str.to_lowercase()
+    host = host.str.replace(r"^www\.", "")
+    return host
+
+
+def domain_cap(ds, k: int = 10, url_column: str = "url",
+               id_column: str = "doc_id", num_partitions: int = 32):
+    """Per-domain document cap (the Common-Crawl curation rule "keep at
+    most k pages per host, deterministically"): rank each host's docs by
+    ascending id and keep ``host_rank <= k``.
+
+    Scale shape: the exchange is keyed by host and carries ONLY
+    (host, id) — two narrow columns, never text — so even a
+    whole-corpus cap moves ~16 bytes/doc; ranking inside a partition is
+    one vectorized sort + window cum-count.  Hot hosts skew the key but
+    a partition holds just their id list (a giant 10⁷-page host is
+    80 MB), which is why the payload column diet matters.  Returns
+    (host, id, host_rank) for the kept rows.
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([url_column, id_column]))
+        return (
+            pl.DataFrame({"host": extract_hosts(df[url_column]),
+                          id_column: df[id_column].cast(pl.Int64)})
+            .to_arrow()
+            .cast(pa.schema([("host", pa.string()), (id_column, pa.int64())]))
+        )
+
+    def rank_and_cap(part: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(part)
+            .sort(id_column)
+            .with_columns(
+                (pl.col(id_column).cum_count().over("host"))
+                .cast(pl.Int64).alias("host_rank")
+            )
+            .filter(pl.col("host_rank") <= k)
+            .to_arrow()
+            .cast(pa.schema([("host", pa.string()), (id_column, pa.int64()),
+                             ("host_rank", pa.int64())]))
+        )
+
+    return hash_partition_apply(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        ["host"], rank_and_cap, num_partitions=num_partitions,
+    )
+
+
 def url_dedup(ds, url_column: str = "url", id_column: str = "doc_id",
               num_partitions: int = 32):
     """Canonical-URL dedup: one row per canonical url with the winning

@@ -245,6 +245,18 @@ def q_url_dedup(sf_dir: str):
     return urltools.url_dedup(pages, url_column="url", id_column="doc_id")
 
 
+def q_domain_cap(sf_dir: str, k: int = 3):
+    """Per-domain document cap (CC curation rule "≤k pages per host"):
+    extract the host from each crawl-variant URL, rank the host's docs by
+    ascending doc_id, keep rank ≤ k.  One narrow (host, id) exchange."""
+    from docling_translate_ray.functions import urltools
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_url_variants_batch, batch_format="pyarrow"
+    )
+    return urltools.domain_cap(pages, k=k, url_column="url", id_column="doc_id")
+
+
 def q_top_words(sf_dir: str, k: int = 50):
     """Corpus vocabulary top-k (token distribution — the training-data
     "what's in my corpus" op): global word counts via per-batch combiner →

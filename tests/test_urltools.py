@@ -16,6 +16,8 @@ import ray.data
 from docling_translate_ray.functions.urltools import (
     canonicalize_batch,
     canonicalize_urls,
+    domain_cap,
+    extract_hosts,
     url_dedup,
 )
 
@@ -92,6 +94,54 @@ def test_url_dedup_groups_variants():
     assert by_url["https://site.com/p"]["first_doc_id"] == 3
     assert by_url["https://site.com/p"]["n_dups"] == 3
     assert by_url["https://other.com/q"]["n_dups"] == 1
+
+
+def test_extract_hosts_rules():
+    def _host(u):
+        return extract_hosts(pl.Series([u])).to_list()[0]
+
+    assert _host("https://WWW.Site.COM:443/a?q#f") == "site.com"
+    assert _host("http://user:pw@Example.com:8080/x") == "example.com"
+    assert _host("https://host.com") == "host.com"
+    # schemeless → no authority → empty host
+    assert _host("relative/path") == ""
+    assert _host("") == ""
+    # www only as a leading label
+    assert _host("https://notwww.example.com/a") == "notwww.example.com"
+
+
+def test_domain_cap_keeps_k_lowest_ids_per_host():
+    t = pa.table(
+        {
+            # host a: ids 5,1,9,3 → keep 1,3 at k=2; host b: ids 2,8 → both
+            "url": [
+                "https://a.com/1", "https://WWW.A.com/2",
+                "https://a.com:443/3", "https://a.com/4",
+                "https://b.com/1", "https://b.com/2",
+            ],
+            "doc_id": [5, 1, 9, 3, 2, 8],
+        }
+    )
+    out = domain_cap(ray.data.from_arrow(t), k=2, num_partitions=4).take_all()
+    kept = sorted((r["host"], r["doc_id"], r["host_rank"]) for r in out)
+    assert kept == [("a.com", 1, 1), ("a.com", 3, 2),
+                    ("b.com", 2, 1), ("b.com", 8, 2)]
+
+
+def test_domain_cap_partition_invariant():
+    t = pa.table(
+        {
+            "url": [f"https://h{i % 7}.com/p{i}" for i in range(300)],
+            "doc_id": list(range(300)),
+        }
+    )
+    a = domain_cap(ray.data.from_arrow(t), k=5, num_partitions=2).take_all()
+    b = domain_cap(
+        ray.data.from_arrow(t).repartition(11), k=5, num_partitions=16
+    ).take_all()
+    key = lambda r: (r["host"], r["host_rank"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len(a) == 7 * 5
 
 
 def test_url_dedup_partition_invariant():
