@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
+        "word_commonness": q.q_word_commonness,
         "dataset_split": q.q_dataset_split,
         "sample_docs": q.q_sample_docs,
         # aggregates / sort / window (A1-A6, O2)
@@ -750,6 +751,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY salience DESC, term) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        # unigram corpus-frequency fluency score: integer-exact analog of the
+        # CCNet/KenLM perplexity filter (commonness_sum = Σ tf·corpus_count;
+        # the float mean is one division of identical int64s on both sides)
+        "word_commonness": """
+            WITH tf AS (
+              SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '@NONWS@')) AS word
+                FROM documents)
+              GROUP BY doc_id, word),
+            corpus AS (
+              SELECT term, sum(tf)::BIGINT AS corpus_n FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   sum(tf.tf)::BIGINT AS n_tokens,
+                   sum(tf.tf * corpus.corpus_n)::BIGINT AS commonness_sum,
+                   (sum(tf.tf * corpus.corpus_n)::DOUBLE
+                    / sum(tf.tf)) AS mean_commonness
+            FROM tf JOIN corpus USING (term)
+            GROUP BY tf.doc_id
         """,
         # deterministic 80/10/10 split by content-hash range
         "dataset_split": """

@@ -624,6 +624,100 @@ def doc_salient_terms(ds, k: int = 5, column: str = "text",
                                 num_partitions=num_partitions)
 
 
+def word_commonness(ds, column: str = "text", id_column: str = "doc_id",
+                    num_partitions: int = 32):
+    """Unigram corpus-frequency fluency score — the integer-exact analog
+    of the CCNet/KenLM perplexity filter: a doc whose words are globally
+    frequent scores high (fluent/common prose), a doc of rare junk tokens
+    scores low.  Per doc: ``commonness_sum = Σ_w tf(w) · corpus_count(w)``
+    and ``mean_commonness = commonness_sum / n_tokens``.  All ranking
+    happens in int64 (the float mean is one final division both engines
+    compute from the same integers, so the oracle hash-compares exactly;
+    a float ``log p(w)`` sum would differ in the last ulp between libms).
+
+    Scale shape (self-join of the corpus with its own vocabulary —
+    bounded everywhere): explode (doc, word) with per-batch tf pre-count
+    → ``grouped_sum`` to exact per-doc tf → corpus counts = one more
+    ``grouped_sum`` of tf by word (vocabulary-sized, ~10⁷ rows at web
+    scale, never the corpus) → ``partition_join`` on word attaches the
+    count → per-doc totals via a final ``grouped_sum`` keyed by the doc
+    id.  Docs with zero tokens have no (doc, word) rows and are absent
+    from the output (the oracle mirrors this).
+    Output: (id, n_tokens, commonness_sum, mean_commonness).
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import grouped_sum, partition_join
+
+    ds = ds.select_columns([id_column, column])
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).rename(
+            {id_column: "_id", column: "t"}
+        ).with_columns(
+            pl.col("_id").cast(pl.Int64), pl.col("t").fill_null("")
+        )
+        return (
+            df.select(pl.col("_id"), pl.col("t").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .group_by(["_id", "w"])
+            .agg(pl.len().cast(pl.Int64).alias("_tf"))
+            .rename({"_id": id_column, "w": "term"})
+            .to_arrow()
+            .cast(pa.schema([(id_column, pa.int64()), ("term", pa.string()),
+                             ("_tf", pa.int64())]))
+        )
+
+    tf = grouped_sum(
+        ds.map_batches(explode_tf, batch_format="pyarrow"),
+        [id_column, "term"],
+        [pl.col("_tf").sum().alias("_tf")], {"tf": "_tf"},
+        num_partitions=num_partitions,
+    )
+    # corpus count per word = sum of tf over docs (tf keys are globally
+    # unique post-grouped_sum, so this is exact)
+    corpus = grouped_sum(
+        tf.select_columns(["term", "tf"]).map_batches(
+            lambda b: b.rename_columns(["term", "_c"]), batch_format="pyarrow"
+        ),
+        ["term"],
+        [pl.col("_c").sum().alias("_c")], {"corpus_n": "_c"},
+        num_partitions=num_partitions,
+    )
+    joined = partition_join(tf, corpus, on=["term"], how="inner",
+                            num_partitions=num_partitions)
+
+    def weight(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col(id_column),
+            pl.col("tf").alias("_nt"),
+            (pl.col("tf") * pl.col("corpus_n")).alias("_cs"),
+        ).to_arrow()
+
+    totals = grouped_sum(
+        joined.map_batches(weight, batch_format="pyarrow"),
+        [id_column],
+        [pl.col("_nt").sum().alias("_nt"), pl.col("_cs").sum().alias("_cs")],
+        {"n_tokens": "_nt", "commonness_sum": "_cs"},
+        num_partitions=num_partitions,
+    )
+
+    def add_mean(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.with_columns(
+            (pl.col("commonness_sum").cast(pl.Float64)
+             / pl.col("n_tokens")).alias("mean_commonness")
+        ).to_arrow().cast(
+            pa.schema([(id_column, pa.int64()), ("n_tokens", pa.int64()),
+                       ("commonness_sum", pa.int64()),
+                       ("mean_commonness", pa.float64())])
+        )
+
+    return totals.map_batches(add_mean, batch_format="pyarrow")
+
+
 # language-ID heuristic: unicode-script ranges for CJK/Hangul, stopword hit
 # rates for latin languages.  Deterministic; rows-only oracle.
 _STOPWORDS = {

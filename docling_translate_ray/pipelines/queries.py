@@ -623,6 +623,12 @@ def q_doc_terms(sf_dir: str):
     )
 
 
+def q_word_commonness(sf_dir: str):
+    """Unigram corpus-frequency fluency score, integer-exact CCNet/KenLM
+    perplexity-filter analog (functions/text_stats.word_commonness)."""
+    return fts.word_commonness(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val/test split assignment + per-split stats —
     the standard corpus-partitioning op: split = content-hash range

@@ -620,6 +620,30 @@ def test_doc_salient_terms_handmade():
     assert rows[(3, 2)]["term"] == "shared" and rows[(3, 2)]["salience"] == 0
 
 
+def test_word_commonness_handmade():
+    import ray.data
+
+    from docling_translate_ray.functions.text_stats import word_commonness
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "a a b",   # corpus counts: a=3 (2 here + 1 in doc2), b=1, c=1
+            "a c",
+            "   ",     # zero tokens → absent from output
+        ],
+    })
+    out = _to_table(word_commonness(ray.data.from_arrow(docs)))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["commonness_sum"] == 2 * 3 + 1 * 1
+    assert rows[1]["mean_commonness"] == pytest.approx(7 / 3)
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["commonness_sum"] == 1 * 3 + 1 * 1
+    assert rows[2]["mean_commonness"] == pytest.approx(2.0)
+
+
 def test_tokenizing_oracles_survive_unicode_whitespace(tmp_path):
     """Adversarial op-vs-oracle parity on text the synthetic corpus never
     produces: leading/trailing tabs/newlines (regexp_split would emit empty
@@ -655,7 +679,7 @@ def test_tokenizing_oracles_survive_unicode_whitespace(tmp_path):
         )
 
     for name in ["token_count", "quality", "gopher_quality", "top_words",
-                 "doc_terms", "minhash_near_dup", "langid"]:
+                 "doc_terms", "word_commonness", "minhash_near_dup", "langid"]:
         res = qs[name](sf)
         got = canon(res if isinstance(res, pa.Table) else _to_table(res))
         want = canon(con.execute(osql[name]).arrow())
