@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q.q_lang_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
+        "events_hopping": q.q_events_hopping,
         "windowed_watermark": q.q_windowed_watermark,
         "windowed_watermark_disorder": q.q_windowed_watermark_disorder,
         "top_users": q.q_top_users,
@@ -814,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_value_cents
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        # hopping 1h/15m windows: event joins the 4 hop-aligned windows
+        # covering it (window_start = 15-min bucket minus k hops)
+        "events_hopping": """
+            SELECT event_type, window_start, count(*)::BIGINT AS n_events
+            FROM (
+              SELECT event_type,
+                     time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS window_start
+              FROM events, range(4) k(k))
+            GROUP BY event_type, window_start
         """,
         "windowed_watermark": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

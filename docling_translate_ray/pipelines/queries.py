@@ -1169,3 +1169,15 @@ def q_video_frames(sf_dir: str):
         batch_format="pyarrow", batch_size=64, concurrency=auto_pool_size(),
     )
     return frames.select_columns(["media_id", "frame_ts_ms"])
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping 1h/15m sliding-window counts per event type
+    (stages/window.hopping_window_counts): constant 4-way vectorized
+    explode + combiner-first grouped_sum."""
+    from docling_translate_ray.stages.window import hopping_window_counts
+
+    return hopping_window_counts(
+        _read(sf_dir, "events", ["ts", "event_type"]),
+        key="event_type", ts_col="ts", size_minutes=60, hop_minutes=15,
+    )

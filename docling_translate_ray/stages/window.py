@@ -69,3 +69,61 @@ def windowed_counts_with_watermark(
         return pl.concat([on_time, late]).to_arrow()
 
     return hash_partition_apply(ds, [key], block, num_partitions=num_partitions)
+
+
+def hopping_window_counts(
+    ds,
+    key: str,
+    ts_col: str,
+    size_minutes: int = 60,
+    hop_minutes: int = 15,
+    num_partitions: int = 32,
+):
+    """Hopping (sliding) window counts per key — the overlapping-window
+    companion to the tumbling/watermark operators (SURVEY.md §2.6 O5).
+    An event at time t belongs to every window whose hop-aligned start s
+    satisfies ``s <= t < s + size`` (``size/hop`` windows per event).
+
+    Scale shape: the explode is a constant fan-out of ``size/hop`` small
+    ``(key, window_start)`` rows per event, built fully vectorized in
+    polars (one truncate + k constant duration-shifts, no per-row work);
+    ``grouped_sum``'s per-batch combiner then collapses the fan-out to one
+    partial row per (batch, key, window) BEFORE the shuffle, so the
+    exchange volume is bounded by distinct windows per batch — not by
+    events × fan-out.
+
+    Output: ``(key, window_start:timestamp, n_events)``.
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+
+    if size_minutes % hop_minutes:
+        raise ValueError("size_minutes must be a multiple of hop_minutes")
+    n_windows = size_minutes // hop_minutes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col(ts_col).dt.truncate(f"{hop_minutes}m").alias("_b")
+        )
+        parts = [
+            df.select(
+                pl.col(key),
+                (pl.col("_b") - pl.duration(minutes=k * hop_minutes))
+                .alias("window_start"),
+            )
+            for k in range(n_windows)
+        ]
+        return pl.concat(parts).with_columns(
+            pl.lit(1, dtype=pl.Int64).alias("_n")
+        ).to_arrow()
+
+    return grouped_sum(
+        ds.select_columns([key, ts_col]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        [key, "window_start"],
+        [pl.col("_n").sum().alias("_n")],
+        {"n_events": "_n"},
+        num_partitions=num_partitions,
+    )

@@ -68,3 +68,33 @@ def test_ordered_stream_has_no_lates():
     res = _run(rows)
     assert ("x", None) not in res
     assert res[("x", _t(9, 0))] == 30
+
+
+def test_hopping_windows_fanout_and_counts():
+    from docling_translate_ray.stages.window import hopping_window_counts
+
+    # one event at 10:17 with size=60m hop=15m belongs to windows starting
+    # 09:30, 09:45, 10:00, 10:15 (each covers [s, s+60m))
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "ts": pa.array([_t(10, 17), _t(10, 40), _t(10, 17)], pa.timestamp("us")),
+    })
+    out = hopping_window_counts(
+        ray.data.from_arrow(tbl).repartition(2),
+        key="k", ts_col="ts", size_minutes=60, hop_minutes=15,
+        num_partitions=4,
+    )
+    res = {(r["k"], r["window_start"]): r["n_events"] for r in out.take_all()}
+    assert res[("a", _t(9, 30))] == 1             # only 10:17 (ends 10:30)
+    assert res[("a", _t(9, 45))] == 2             # [09:45,10:45) covers both
+    assert res[("a", _t(10, 0))] == 2
+    assert res[("a", _t(10, 15))] == 2
+    assert res[("a", _t(10, 30))] == 1            # only the 10:40 event
+    assert res[("b", _t(10, 15))] == 1
+    assert ("b", _t(10, 30)) not in res
+    # every event lands in exactly size/hop windows
+    assert sum(v for (k, _), v in res.items() if k == "a") == 2 * 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple"):
+        hopping_window_counts(ray.data.from_arrow(tbl), key="k", ts_col="ts",
+                              size_minutes=50, hop_minutes=15)
