@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
         "word_commonness": q.q_word_commonness,
+        "pagerank": q.q_pagerank,
         "dataset_split": q.q_dataset_split,
         "sample_docs": q.q_sample_docs,
         # aggregates / sort / window (A1-A6, O2)
@@ -772,6 +773,42 @@ def oracle_sql() -> dict[str, str]:
                     / sum(tf.tf)) AS mean_commonness
             FROM tf JOIN corpus USING (term)
             GROUP BY tf.doc_id
+        """,
+        # 3-iteration integer-exact PageRank over the affine link graph
+        # (node i → (i*m+a) % n for (m,a) in (7,1),(13,5),(31,11)); same
+        # scaled-integer floor arithmetic as functions/graph.pagerank_int
+        "pagerank": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            r0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes),
+            c1 AS (
+              SELECT dst AS node, sum(c)::BIGINT AS s FROM (
+                SELECT (node*7+1) % nn.n AS dst, pr // 3 AS c FROM r0, nn
+                UNION ALL SELECT (node*13+5) % nn.n, pr // 3 FROM r0, nn
+                UNION ALL SELECT (node*31+11) % nn.n, pr // 3 FROM r0, nn)
+              GROUP BY dst),
+            r1 AS (SELECT nodes.node,
+                          (150000 + 85 * coalesce(c1.s, 0) // 100)::BIGINT AS pr
+                   FROM nodes LEFT JOIN c1 USING (node)),
+            c2 AS (
+              SELECT dst AS node, sum(c)::BIGINT AS s FROM (
+                SELECT (node*7+1) % nn.n AS dst, pr // 3 AS c FROM r1, nn
+                UNION ALL SELECT (node*13+5) % nn.n, pr // 3 FROM r1, nn
+                UNION ALL SELECT (node*31+11) % nn.n, pr // 3 FROM r1, nn)
+              GROUP BY dst),
+            r2 AS (SELECT nodes.node,
+                          (150000 + 85 * coalesce(c2.s, 0) // 100)::BIGINT AS pr
+                   FROM nodes LEFT JOIN c2 USING (node)),
+            c3 AS (
+              SELECT dst AS node, sum(c)::BIGINT AS s FROM (
+                SELECT (node*7+1) % nn.n AS dst, pr // 3 AS c FROM r2, nn
+                UNION ALL SELECT (node*13+5) % nn.n, pr // 3 FROM r2, nn
+                UNION ALL SELECT (node*31+11) % nn.n, pr // 3 FROM r2, nn)
+              GROUP BY dst),
+            r3 AS (SELECT nodes.node,
+                          (150000 + 85 * coalesce(c3.s, 0) // 100)::BIGINT AS pr
+                   FROM nodes LEFT JOIN c3 USING (node))
+            SELECT node AS doc_id, pr FROM r3
         """,
         # deterministic 80/10/10 split by content-hash range
         "dataset_split": """

@@ -1181,3 +1181,11 @@ def q_events_hopping(sf_dir: str):
         _read(sf_dir, "events", ["ts", "event_type"]),
         key="event_type", ts_col="ts", size_minutes=60, hop_minutes=15,
     )
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative link-graph centrality (functions/graph.pagerank_int):
+    3 rounds of integer-exact PageRank over the affine out-edge rule."""
+    from docling_translate_ray.functions.graph import pagerank_int
+
+    return pagerank_int(_read(sf_dir, "documents", ["doc_id"]))
