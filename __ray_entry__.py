@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customers": q.q_nation_customers,
         "user_sessions": q.q_user_sessions,
         "last_view_before_purchase": q.q_last_view_before_purchase,
+        "purchase_attribution": q.q_purchase_attribution,
         "lang_map": q.q_lang_map,
         # composite curation pipeline
         "curate": q.q_curate,
@@ -951,6 +952,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END)::BIGINT AS n_sessions
             FROM o GROUP BY user_id
+        """,
+        # range join: views in [purchase.ts - 30min, purchase.ts) per user
+        "purchase_attribution": """
+            WITH p AS (SELECT user_id, event_id AS purchase_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+            SELECT p.user_id, p.purchase_id, p.ts,
+                   count(v.ts)::BIGINT AS n_views
+            FROM p LEFT JOIN v
+              ON v.user_id = p.user_id
+             AND v.ts >= p.ts - INTERVAL '30 minutes'
+             AND v.ts < p.ts
+            GROUP BY p.user_id, p.purchase_id, p.ts
         """,
         "last_view_before_purchase": """
             SELECT p.user_id, p.event_id, p.ts,

@@ -94,3 +94,118 @@ def asof_join(
         return out.to_arrow()
 
     return hash_partition_apply(both, [by], block, num_partitions=num_partitions)
+
+
+def range_join_count(
+    left_ds,
+    right_ds,
+    by: str,
+    left_on: str,
+    right_on: str,
+    lower,
+    upper,
+    left_cols: list[str],
+    out_name: str = "n_matches",
+    num_partitions: int = 32,
+):
+    """Range (interval) join with count semantics — the second join
+    operator Ray Data lacks natively (with :func:`asof_join`): for every
+    left row, the number of right rows of the same ``by`` key whose
+    ``right_on`` falls in ``[left_on + lower, left_on + upper)``
+    (``lower``/``upper`` are :class:`datetime.timedelta`, may be
+    negative).  Left rows with no matches are kept with count 0.
+
+    Kernel: hash-co-partition both sides by ``by`` (ONE shuffle), then a
+    **merge-count** per partition — each left row becomes two boundary
+    queries (window start/end), queries and right rows are sorted
+    together on ``(by, t, side)`` and one cumulative sum of the right
+    indicator yields ``count(right_on < X)`` for every boundary; the
+    window count is the difference of its two boundaries.  O((n+2m)
+    log(n+2m)) per partition, never materializes matched pairs — a
+    join_where/IEJoin would build every (purchase, view) pair before
+    counting.
+
+    Partitioning assumption (shared with every keyed op here): one
+    ``by`` key's rows fit in one partition.
+    """
+    lschema = left_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    on_type = ltypes[left_on]
+
+    def to_unified(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict[str, pa.Array] = {}
+            for c in left_cols:
+                if side == 0:
+                    a = batch[c]
+                    cols[c] = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                elif c == by:
+                    a = batch[by]
+                    cols[c] = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                else:
+                    cols[c] = pa.nulls(n, ltypes[c])
+            cols[_RV] = (
+                pa.nulls(n, on_type) if side == 0
+                else batch[right_on].cast(on_type)
+            )
+            cols[_SIDE] = pa.array([side] * n, pa.int8())
+            return pa.table(cols)
+
+        return fn
+
+    left_t = left_ds.select_columns(left_cols).map_batches(
+        to_unified(0), batch_format="pyarrow"
+    )
+    right_t = right_ds.select_columns(
+        list(dict.fromkeys([by, right_on]))
+    ).map_batches(to_unified(1), batch_format="pyarrow")
+    both = left_t.union(right_t)
+
+    def block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lo = pl.duration(microseconds=int(lower.total_seconds() * 1_000_000))
+        hi = pl.duration(microseconds=int(upper.total_seconds() * 1_000_000))
+        df = pl.from_arrow(part)
+        left = (
+            df.filter(pl.col(_SIDE) == 0).select(left_cols)
+            .with_row_index("_qid")
+        )
+        right = df.filter(pl.col(_SIDE) == 1).select([by, _RV])
+        bounds = pl.concat([
+            left.select(
+                pl.col(by), (pl.col(left_on) + lo).alias("_t"),
+                pl.col("_qid"), pl.lit(-1, dtype=pl.Int64).alias("_sign"),
+                pl.lit(0, dtype=pl.Int8).alias("_isr"),
+            ),
+            left.select(
+                pl.col(by), (pl.col(left_on) + hi).alias("_t"),
+                pl.col("_qid"), pl.lit(1, dtype=pl.Int64).alias("_sign"),
+                pl.lit(0, dtype=pl.Int8).alias("_isr"),
+            ),
+            right.select(
+                pl.col(by), pl.col(_RV).alias("_t"),
+                pl.lit(None, dtype=pl.UInt32).alias("_qid"),
+                pl.lit(0, dtype=pl.Int64).alias("_sign"),
+                pl.lit(1, dtype=pl.Int8).alias("_isr"),
+            ),
+        ])
+        # at tie timestamps queries sort BEFORE right rows, so the running
+        # right-count at a query row is exactly count(right_on < X)
+        merged = bounds.sort([by, "_t", "_isr"]).with_columns(
+            pl.col("_isr").cum_sum().over(by).cast(pl.Int64).alias("_cum")
+        )
+        counts = (
+            merged.filter(pl.col("_isr") == 0)
+            .group_by("_qid")
+            .agg((pl.col("_cum") * pl.col("_sign")).sum().alias(out_name))
+        )
+        return (
+            left.join(counts, on="_qid", how="left")
+            .with_columns(pl.col(out_name).fill_null(0))
+            .select(left_cols + [out_name])
+            .to_arrow()
+        )
+
+    return hash_partition_apply(both, [by], block, num_partitions=num_partitions)

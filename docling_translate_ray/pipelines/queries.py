@@ -1189,3 +1189,25 @@ def q_pagerank(sf_dir: str):
     from docling_translate_ray.functions.graph import pagerank_int
 
     return pagerank_int(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def q_purchase_attribution(sf_dir: str):
+    """Range (interval) join: per purchase, count the same user's view
+    events in the 30 minutes before it (functions/asof.range_join_count:
+    merge-count kernel, one co-partition shuffle, no pair blowup)."""
+    import datetime as dt
+
+    from docling_translate_ray.functions.asof import range_join_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda b: b.select(["user_id", "event_id", "ts"]).rename_columns(
+            ["user_id", "purchase_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    views = ev.filter(expr="event_type == 'view'")
+    return range_join_count(
+        purchases, views, by="user_id", left_on="ts", right_on="ts",
+        lower=dt.timedelta(minutes=-30), upper=dt.timedelta(0),
+        left_cols=["user_id", "purchase_id", "ts"], out_name="n_views",
+    )
