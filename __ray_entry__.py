@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q.q_line_dedup,
         "url_dedup": q.q_url_dedup,
         "domain_cap": q.q_domain_cap,
+        "blocklist_filter": q.q_blocklist_filter,
         "top_words": q.q_top_words,
         # similarity search
         "cosine_pairs": q.q_cosine_pairs,
@@ -338,6 +339,36 @@ def oracle_sql() -> dict[str, str]:
                          ::BIGINT AS host_rank
               FROM h3)
             SELECT host, doc_id, host_rank FROM ranked WHERE host_rank <= 3
+        """,
+        # bloom prefilter + exact confirm == plain host anti-join
+        "blocklist_filter": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'https://site' || ((doc_id // 4) % 97)
+                                   || '.example.com/Docs/page-' || (doc_id // 4)
+                       WHEN 1 THEN 'HTTPS://WWW.SITE' || ((doc_id // 4) % 97)
+                                   || '.EXAMPLE.COM/Docs/page-' || (doc_id // 4)
+                                   || '?utm_source=feed'
+                       WHEN 2 THEN 'https://site' || ((doc_id // 4) % 97)
+                                   || '.example.com:443/Docs/page-'
+                                   || (doc_id // 4) || '#section-2'
+                       ELSE 'https://www.site' || ((doc_id // 4) % 97)
+                            || '.example.com/Docs/page-' || (doc_id // 4) || '/'
+                     END AS u
+              FROM documents),
+            h0 AS (SELECT doc_id,
+                          coalesce(regexp_extract(
+                              u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                              '') AS h
+                   FROM raw),
+            h1 AS (SELECT doc_id, regexp_replace(h, '^[^@]*@', '') AS h FROM h0),
+            h2 AS (SELECT doc_id, regexp_replace(h, ':[0-9]*$', '') AS h FROM h1),
+            h3 AS (SELECT doc_id,
+                          regexp_replace(lower(h), '^www\.', '') AS h FROM h2)
+            SELECT doc_id, h AS host FROM h3
+            WHERE h NOT IN (SELECT 'site' || j || '.example.com'
+                            FROM range(0, 97, 11) t(j))
         """,
         "top_words": """
             SELECT word, n_occurrences, rank FROM (

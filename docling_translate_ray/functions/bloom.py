@@ -1,0 +1,155 @@
+"""Bloom-filter blocklist filtering — broadcast prefilter + exact confirm.
+
+The curation primitive "drop every page whose host/url is on a blocklist"
+is an anti-join, but at 100 TB shuffling the whole corpus against a
+blocklist is wasteful when almost every row misses.  The classic fix is a
+two-phase plan whose OUTPUT IS STILL EXACT:
+
+* **build** — fold the blocklist into a fixed-size Bloom bitset with a
+  distributed OR-reduce: each batch contributes one ``m_bits/8``-byte
+  partial (associative/commutative/idempotent merge, like
+  :mod:`~docling_translate_ray.functions.sketch`), so payload is
+  independent of blocklist cardinality;
+* **probe** — broadcast the bitset once (``ray.put``; workers take a
+  zero-copy plasma view, the bytes never re-ship per batch) and split
+  the corpus: Bloom says
+  "definitely absent" for negatives (no false negatives — they pass
+  straight through with ZERO shuffle), only the tiny bloom-positive
+  stream (true hits + ~fp_rate of the corpus) enters the exact
+  :func:`~docling_translate_ray.stages.shuffle.partition_join` anti-join
+  that removes false positives.
+
+With a 1 % fp rate the exchange shrinks ~100× vs a full anti-join while
+the result stays byte-identical to SQL ``NOT IN`` — which is the oracle.
+
+Hashing: double hashing ``idx_j = (h1 + j*h2) mod m_bits`` over two
+process-stable polars ``hash_rows`` seeds; k index sets are derived from
+two hashes (Kirsch-Mitzenmacher), all numpy-vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SEED1, _SEED2 = 7, 13
+
+
+def _hash_pair(values) -> tuple[np.ndarray, np.ndarray]:
+    import polars as pl
+
+    df = pl.DataFrame({"v": values})
+    h1 = df.hash_rows(seed=_SEED1).to_numpy()
+    h2 = df.hash_rows(seed=_SEED2).to_numpy()
+    return h1, h2
+
+
+def bloom_fold_batch(values, m_bits: int, k: int) -> np.ndarray:
+    """Fold a polars Series into a fresh uint64-word Bloom bitset."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    if len(values) == 0:
+        return words
+    h1, h2 = _hash_pair(values)
+    for j in range(k):
+        idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            words, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    return words
+
+
+def bloom_probe_mask(values, words: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Boolean mask: True where ALL k bits are set (possibly present)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _hash_pair(values)
+    mask = np.ones(len(h1), dtype=bool)
+    for j in range(k):
+        idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+        bit = words[(idx >> np.uint64(6)).astype(np.int64)] & (
+            np.uint64(1) << (idx & np.uint64(63))
+        )
+        mask &= bit != 0
+    return mask
+
+
+def build_bloom(ds, column: str, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Distributed Bloom build: OR-reduce of per-batch partial bitsets."""
+    import polars as pl
+
+    from docling_translate_ray.util import collect_to_table
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        words = bloom_fold_batch(pl.from_arrow(batch[column]), m_bits, k)
+        return pa.table({"_words": pa.array([words.tobytes()], pa.binary())})
+
+    partials = collect_to_table(
+        ds.map_batches(fold, batch_format="pyarrow"),
+        empty_schema=pa.schema([("_words", pa.binary())]),
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for buf in partials["_words"].to_pylist():
+        words |= np.frombuffer(buf, dtype=np.uint64)
+    return words
+
+
+def _bloom_split_fn(words_ref, column: str, m_bits: int, k: int,
+                    keep_positive: bool):
+    """Stateless probe closure over the broadcast bitset ref.
+
+    A plain task (not an actor pool) on purpose: the filter holds no
+    per-actor state worth pinning — ``ray.get`` of a plasma object
+    already on the node is a zero-copy view (µs), and two actor pools
+    (negative + positive branch) would hold ``2×concurrency`` CPU slots
+    and can starve the upstream read on a small cluster.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        import ray
+
+        words = np.frombuffer(ray.get(words_ref), dtype=np.uint64)
+        mask = bloom_probe_mask(pl.from_arrow(batch[column]), words, m_bits, k)
+        keep = mask if keep_positive else ~mask
+        return batch.filter(pa.array(keep))
+
+    return fn
+
+
+def blocklist_filter(
+    docs_ds,
+    block_ds,
+    column: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    num_partitions: int = 32,
+):
+    """EXACT blocklist anti-filter with a Bloom prefilter.
+
+    Returns the rows of ``docs_ds`` whose ``column`` value is NOT in
+    ``block_ds[column]`` — identical to a plain anti-join; the Bloom
+    split only keeps the bloom-negative majority out of the shuffle.
+    """
+    import ray
+
+    from docling_translate_ray.stages.shuffle import partition_join
+
+    words_ref = ray.put(build_bloom(block_ds, column, m_bits, k).tobytes())
+    negatives = docs_ds.map_batches(
+        _bloom_split_fn(words_ref, column, m_bits, k, False),
+        batch_format="pyarrow",
+    )
+    positives = docs_ds.map_batches(
+        _bloom_split_fn(words_ref, column, m_bits, k, True),
+        batch_format="pyarrow",
+    )
+    confirmed = partition_join(
+        positives, block_ds.select_columns([column]), on=[column],
+        how="anti", num_partitions=num_partitions,
+    )
+    return negatives.union(confirmed)

@@ -1211,3 +1211,30 @@ def q_purchase_attribution(sf_dir: str):
         lower=dt.timedelta(minutes=-30), upper=dt.timedelta(0),
         left_cols=["user_id", "purchase_id", "ts"], out_name="n_views",
     )
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Host-blocklist anti-filter with a Bloom prefilter + exact confirm
+    (functions/bloom.blocklist_filter): bloom-negative rows never enter
+    the shuffle; the output equals the plain anti-join (the oracle)."""
+    import ray.data
+
+    from docling_translate_ray.functions import urltools
+    from docling_translate_ray.functions.bloom import blocklist_filter
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hosts = urltools.extract_hosts(pl.from_arrow(batch["url"]))
+        return batch.append_column(
+            "host", hosts.to_arrow().cast(pa.string())
+        ).select(["doc_id", "host"])
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_url_variants_batch, batch_format="pyarrow"
+    ).map_batches(add_host, batch_format="pyarrow")
+    block = ray.data.from_arrow(pa.table({
+        "host": pa.array([f"site{j}.example.com" for j in range(0, 97, 11)],
+                         pa.string()),
+    }))
+    return blocklist_filter(docs, block, column="host")
