@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q.q_domain_cap,
         "blocklist_filter": q.q_blocklist_filter,
         "top_words": q.q_top_words,
+        "heavy_hitters": q.q_heavy_hitters,
         # similarity search
         "cosine_pairs": q.q_cosine_pairs,
         "knn_topk": q.q_knn_topk,
@@ -369,6 +370,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h AS host FROM h3
             WHERE h NOT IN (SELECT 'site' || j || '.example.com'
                             FROM range(0, 97, 11) t(j))
+        """,
+        # exact heavy hitters: tokens with >= 300 bp of all tokens
+        "heavy_hitters": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(text, '@NONWS@')) AS word
+              FROM documents),
+            n AS (SELECT count(*)::BIGINT AS n FROM w)
+            SELECT word, count(*)::BIGINT AS n_occurrences
+            FROM w, n
+            GROUP BY word, n.n
+            HAVING 10000 * count(*) >= 300 * n.n
         """,
         "top_words": """
             SELECT word, n_occurrences, rank FROM (

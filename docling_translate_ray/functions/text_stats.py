@@ -818,3 +818,102 @@ class LangId:
         return batch.append_column(
             "lang_pred", pa.array(out.tolist(), pa.string())
         )
+
+
+def heavy_hitters(ds, column: str = "text", theta_bp: int = 300,
+                  num_partitions: int = 32) -> pa.Table:
+    """EXACT frequent-token mining (heavy hitters) without counting the
+    whole vocabulary: candidate generation + exact recount.
+
+    A token whose global share is ≥ ``theta_bp`` basis points must have a
+    local share ≥ ``theta_bp`` in at least one batch (averaging argument
+    over ``Σc_b / Σn_b`` — all-integer comparison ``10000·c ≥ θ·n`` on
+    both levels, so the guarantee is exact, not approximate).  So:
+
+    * pass 1: per batch, count tokens and keep those with local share ≥ θ
+      — at most ``10000/θ`` candidates per batch, a tiny driver collect;
+    * pass 2: recount ONLY the broadcast candidate set exactly (per-batch
+      combiner → one narrow grouped_sum), with the per-batch token total
+      riding along as a null-word row, and apply the global threshold.
+
+    Output equals SQL ``HAVING 10000*count >= θ*total`` exactly — the
+    vocabulary-sized shuffle of a full ``top_words`` never happens.
+    Returns a pyarrow Table (word, n_occurrences).
+    """
+    import polars as pl
+
+    import ray
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+    from docling_translate_ray.util import collect_to_table
+
+    tok_schema = pa.schema([("word", pa.string())])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        w = (
+            pl.from_arrow(batch)
+            .select(pl.col(column).fill_null("").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+        )
+        nb = w.height
+        if nb == 0:
+            return tok_schema.empty_table()
+        return (
+            w.group_by("w").agg(pl.len().cast(pl.Int64).alias("c"))
+            .filter(10000 * pl.col("c") >= theta_bp * nb)
+            .select(pl.col("w").alias("word"))
+            .to_arrow().cast(tok_schema)
+        )
+
+    cand = collect_to_table(
+        ds.map_batches(candidates, batch_format="pyarrow"),
+        empty_schema=tok_schema,
+    )
+    cand_ref = ray.put(
+        pa.table({"word": pa.array(sorted(set(cand["word"].to_pylist())),
+                                   pa.string())})
+    )
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cands = pl.from_arrow(ray.get(cand_ref))["word"]
+        w = (
+            pl.from_arrow(batch)
+            .select(pl.col(column).fill_null("").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+        )
+        counts = (
+            w.filter(pl.col("w").is_in(cands))
+            .group_by("w").agg(pl.len().cast(pl.Int64).alias("_c"))
+            .rename({"w": "word"})
+        )
+        total = pl.DataFrame({
+            "word": pl.Series([None], dtype=pl.String),
+            "_c": pl.Series([w.height], dtype=pl.Int64),
+        })
+        return pl.concat([counts, total]).to_arrow().cast(
+            pa.schema([("word", pa.string()), ("_c", pa.int64())])
+        )
+
+    out = collect_to_table(
+        grouped_sum(
+            ds.map_batches(recount, batch_format="pyarrow"),
+            ["word"],
+            [pl.col("_c").sum().alias("_c")],
+            {"n_occurrences": "_c"},
+            num_partitions=num_partitions,
+        ),
+        empty_schema=pa.schema([("word", pa.string()),
+                                ("n_occurrences", pa.int64())]),
+    )
+    df = pl.from_arrow(out)
+    n_total = int(df.filter(pl.col("word").is_null())["n_occurrences"].sum())
+    return (
+        df.filter(
+            pl.col("word").is_not_null()
+            & (10000 * pl.col("n_occurrences") >= theta_bp * n_total)
+        )
+        .to_arrow()
+        .cast(pa.schema([("word", pa.string()), ("n_occurrences", pa.int64())]))
+    )

@@ -1238,3 +1238,10 @@ def q_blocklist_filter(sf_dir: str):
                          pa.string()),
     }))
     return blocklist_filter(docs, block, column="host")
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy-hitter tokens (global share >= 3%) via candidate
+    generation + recount (functions/text_stats.heavy_hitters) — no
+    vocabulary-sized shuffle."""
+    return fts.heavy_hitters(_read(sf_dir, "documents", ["text"]))

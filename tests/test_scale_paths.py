@@ -684,3 +684,21 @@ def test_tokenizing_oracles_survive_unicode_whitespace(tmp_path):
         got = canon(res if isinstance(res, pa.Table) else _to_table(res))
         want = canon(con.execute(osql[name]).arrow())
         assert got == want, f"{name}: oracle diverges on adversarial text"
+
+
+def test_heavy_hitters_exact_on_skewed_corpus():
+    import ray.data
+
+    from docling_translate_ray.functions.text_stats import heavy_hitters
+
+    # 'hot' = 30/130 tokens (2308bp), 'warm' = 20/130 (1538bp),
+    # everything else unique (77bp each) — threshold 1000bp keeps hot+warm
+    texts = (["hot hot hot"] * 10 + ["warm warm"] * 10
+             + [f"cold{i}" for i in range(30)])
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(5)
+    out = heavy_hitters(ds, theta_bp=1000, num_partitions=4)
+    got = {r["word"]: r["n_occurrences"] for r in out.to_pylist()}
+    assert got == {"hot": 30, "warm": 20}
+    # empty corpus → empty result, no crash
+    empty = ray.data.from_items([{"text": ""}])
+    assert heavy_hitters(empty, theta_bp=1000).num_rows == 0
