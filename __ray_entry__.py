@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "embedding_near_dup": q.q_embedding_near_dup,
         "line_dedup": q.q_line_dedup,
+        "dup_span_mask": q.q_dup_span_mask,
         "url_dedup": q.q_url_dedup,
         "domain_cap": q.q_domain_cap,
         "blocklist_filter": q.q_blocklist_filter,
@@ -370,6 +371,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h AS host FROM h3
             WHERE h NOT IN (SELECT 'site' || j || '.example.com'
                             FROM range(0, 97, 11) t(j))
+        """,
+        # substring-level dedup: mask tokens covered by any 5-gram that
+        # appears in >= 2 distinct docs; output is the token-rejoined text
+        "dup_span_mask": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+                     unnest(ws) AS tok
+              FROM w),
+            g AS (
+              SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos,
+                     unnest(list_transform(
+                       range(1, len(ws) - 3),
+                       i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2]
+                                  || chr(31) || ws[i+3] || chr(31) || ws[i+4]
+                     )) AS gram
+              FROM w),
+            dup AS (
+              SELECT gram FROM g
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id,
+                       unnest([pos, pos+1, pos+2, pos+3, pos+4]) AS pos
+                FROM g JOIN dup USING (gram))),
+            kept AS (
+              SELECT tok.doc_id, tok.pos, tok.tok
+              FROM tok ANTI JOIN cov USING (doc_id, pos)),
+            agg_kept AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id),
+            agg_cov AS (
+              SELECT doc_id, count(*)::BIGINT AS n_dropped
+              FROM cov GROUP BY doc_id)
+            SELECT w.doc_id,
+                   coalesce(agg_kept.cleaned_text, '') AS cleaned_text,
+                   coalesce(agg_kept.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(agg_cov.n_dropped, 0)::BIGINT AS n_dropped
+            FROM w
+            LEFT JOIN agg_kept USING (doc_id)
+            LEFT JOIN agg_cov USING (doc_id)
+            WHERE len(ws) > 0
         """,
         # exact heavy hitters: tokens with >= 300 bp of all tokens
         "heavy_hitters": """

@@ -1,0 +1,171 @@
+"""Duplicated n-gram span masking — substring-level exact dedup.
+
+The C4/RefinedWeb-family rule "remove any token span that is part of an
+n-gram occurring in more than one document" (the substring analog of
+exact doc dedup; cf. Lee et al., *Deduplicating Training Data Makes
+Language Models Better*, which does this over suffix arrays).  Here the
+n-gram granularity makes every stage a bounded relational step:
+
+1. **gram build** — per batch, sliding n-grams with positions, fully
+   vectorized (token explode + ``shift(-k).over(doc)``; each document is
+   one input row, so a batch always holds whole documents);
+2. **dup detection** — distinct ``(gram, doc)`` (combiner-first
+   :func:`~docling_translate_ray.stages.shuffle.distinct`) → one
+   ``grouped_sum`` by gram → grams with ``n_docs ≥ min_docs``;
+3. **coverage** — semi-join occurrences against dup grams (co-partition
+   by gram), then a constant n-way explode to covered token positions;
+4. **rebuild** — ONE exchange co-partitioning token rows and covered
+   positions by ``doc_id``; per partition an anti-join + ordered
+   ``str.join`` reconstructs the cleaned token stream.
+
+Output text is the TOKEN-REJOINED document (single spaces), which both
+engines construct identically; docs with zero tokens are absent (they
+have nothing to mask).  The exchange in stage 2 carries gram STRINGS to
+stay value-lockstep with the SQL oracle; the 100 TB variant hashes grams
+to 64/128-bit keys first (same plan shape, ~5× narrower shuffle).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from docling_translate_ray.stages.shuffle import (
+    distinct,
+    grouped_sum,
+    hash_partition_apply,
+    partition_join,
+)
+
+_SEP = "\x1f"
+_SIDE = "_sd_side"
+
+
+def _token_rows(batch: pa.Table, id_column: str, column: str):
+    import polars as pl
+
+    return (
+        pl.from_arrow(batch)
+        .select(
+            pl.col(id_column),
+            pl.col(column).fill_null("").str.extract_all(r"\S+").alias("tok"),
+        )
+        .explode("tok")
+        .drop_nulls("tok")
+        .with_columns(
+            (pl.int_range(pl.len()).over(id_column) + 1).alias("pos")
+        )
+    )
+
+
+def dup_span_mask(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    num_partitions: int = 32,
+):
+    """Mask every token covered by an ``n``-gram present in ≥ ``min_docs``
+    distinct docs.  Output: ``(id, cleaned_text, n_kept, n_dropped)``.
+    """
+    import polars as pl
+
+    narrow = ds.select_columns([id_column, column])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = _token_rows(batch, id_column, column)
+        expr = pl.col("tok")
+        for k in range(1, n):
+            expr = expr + _SEP + pl.col("tok").shift(-k).over(id_column)
+        return (
+            toks.with_columns(expr.alias("gram"))
+            .drop_nulls("gram")  # shifted tails fall off the doc end
+            .select([id_column, "pos", "gram"])
+            .to_arrow()
+        )
+
+    gram_ds = narrow.map_batches(grams, batch_format="pyarrow")
+
+    dup = grouped_sum(
+        distinct(gram_ds.select_columns(["gram", id_column]),
+                 ["gram", id_column], num_partitions=num_partitions)
+        .map_batches(
+            lambda b: b.select(["gram"]).append_column(
+                "_one", pa.array([1] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        ["gram"],
+        [pl.col("_one").sum().alias("_one")],
+        {"n_docs": "_one"},
+        num_partitions=num_partitions,
+    ).filter(expr=f"n_docs >= {min_docs}").select_columns(["gram"])
+
+    hits = partition_join(
+        gram_ds, dup, on=["gram"], how="semi", num_partitions=num_partitions
+    )
+
+    def cover(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        parts = [
+            df.select(pl.col(id_column), (pl.col("pos") + k).alias("pos"))
+            for k in range(n)
+        ]
+        return pl.concat(parts).unique(keep="any").to_arrow()
+
+    covered = hits.map_batches(cover, batch_format="pyarrow")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {
+                id_column: batch[id_column],
+                "pos": batch["pos"],
+                "tok": batch["tok"] if side == 0
+                else pa.nulls(batch.num_rows, pa.string()),
+                _SIDE: pa.array([side] * batch.num_rows, pa.int8()),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    tok_tagged = narrow.map_batches(
+        lambda b: _token_rows(b, id_column, column).to_arrow(),
+        batch_format="pyarrow",
+    ).map_batches(tag(0), batch_format="pyarrow")
+    cov_tagged = covered.map_batches(
+        lambda b: b.append_column("tok", pa.nulls(b.num_rows, pa.string())),
+        batch_format="pyarrow",
+    ).map_batches(tag(1), batch_format="pyarrow")
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        toks = df.filter(pl.col(_SIDE) == 0).select([id_column, "pos", "tok"])
+        cov = df.filter(pl.col(_SIDE) == 1).select([id_column, "pos"]).unique()
+        kept = toks.join(cov, on=[id_column, "pos"], how="anti")
+        agg = (
+            kept.sort([id_column, "pos"])
+            .group_by(id_column, maintain_order=True)
+            .agg(
+                pl.col("tok").str.join(" ").alias("cleaned_text"),
+                pl.len().cast(pl.Int64).alias("n_kept"),
+            )
+        )
+        drops = cov.group_by(id_column).agg(
+            pl.len().cast(pl.Int64).alias("n_dropped")
+        )
+        all_docs = toks.select(id_column).unique()
+        return (
+            all_docs.join(agg, on=id_column, how="left")
+            .join(drops, on=id_column, how="left")
+            .with_columns(
+                pl.col("cleaned_text").fill_null(""),
+                pl.col("n_kept").fill_null(0),
+                pl.col("n_dropped").fill_null(0),
+            )
+            .to_arrow()
+        )
+
+    return hash_partition_apply(
+        tok_tagged.union(cov_tagged), [id_column], rebuild,
+        num_partitions=num_partitions,
+    )

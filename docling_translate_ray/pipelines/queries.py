@@ -1245,3 +1245,11 @@ def q_heavy_hitters(sf_dir: str):
     generation + recount (functions/text_stats.heavy_hitters) — no
     vocabulary-sized shuffle."""
     return fts.heavy_hitters(_read(sf_dir, "documents", ["text"]))
+
+
+def q_dup_span_mask(sf_dir: str):
+    """Substring-level exact dedup: mask token spans covered by a 5-gram
+    appearing in >=2 distinct docs (functions/ngram_spans.dup_span_mask)."""
+    from docling_translate_ray.functions.ngram_spans import dup_span_mask
+
+    return dup_span_mask(_read(sf_dir, "documents", ["doc_id", "text"]))
