@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": q.q_cosine_pairs,
         "knn_topk": q.q_knn_topk,
         "knn_ivf": q.q_knn_ivf,
+        "kmeans": q.q_kmeans,
         # text analysis
         "token_count": q.q_token_count,
         "token_count_bpe": q.q_token_count_bpe,
@@ -864,6 +865,47 @@ def oracle_sql() -> dict[str, str]:
                     / sum(tf.tf)) AS mean_commonness
             FROM tf JOIN corpus USING (term)
             GROUP BY tf.doc_id
+        """,
+        # integer-exact Lloyd k-means: k=4, seeds = vec_id<4, two update
+        # rounds then a final assignment; all-int arithmetic with a
+        # positive offset so // floors identically in both engines
+        "kmeans": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                              + 10000000) AS e
+              FROM embeddings),
+            vd AS (SELECT vec_id, unnest(range(1, 65)) AS d,
+                          unnest(e) AS val FROM v),
+            c0 AS (SELECT vec_id AS cid, d, val AS cval
+                   FROM vd WHERE vec_id < 4),
+            d1 AS (SELECT vd.vec_id, c.cid,
+                          sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+                   FROM vd JOIN c0 c USING (d) GROUP BY vd.vec_id, c.cid),
+            a1 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) rn
+                     FROM d1) WHERE rn = 1),
+            c1 AS (SELECT a.cid, vd.d, sum(vd.val) // count(*) AS cval
+                   FROM vd JOIN a1 a USING (vec_id) GROUP BY a.cid, vd.d),
+            d2 AS (SELECT vd.vec_id, c.cid,
+                          sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+                   FROM vd JOIN c1 c USING (d) GROUP BY vd.vec_id, c.cid),
+            a2 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) rn
+                     FROM d2) WHERE rn = 1),
+            c2 AS (SELECT a.cid, vd.d, sum(vd.val) // count(*) AS cval
+                   FROM vd JOIN a2 a USING (vec_id) GROUP BY a.cid, vd.d),
+            d3 AS (SELECT vd.vec_id, c.cid,
+                          sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+                   FROM vd JOIN c2 c USING (d) GROUP BY vd.vec_id, c.cid),
+            a3 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) rn
+                     FROM d3) WHERE rn = 1)
+            SELECT vec_id, cid::BIGINT AS cluster_id FROM a3
         """,
         # 3-iteration integer-exact PageRank over the affine link graph
         # (node i → (i*m+a) % n for (m,a) in (7,1),(13,5),(31,11)); same

@@ -382,3 +382,117 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
                              id_column=id_column, column=column)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- k-means
+# integer-exact Lloyd iterations (the oracle-backed companion to the IVF
+# trainer's float spherical k-means): vectors are scaled to int64
+# millionths with a positive offset so BOTH engines' integer floor
+# division agree (DuckDB // truncates toward zero on negatives, polars /
+# python floor — nonnegative operands make them identical), distances are
+# offset-invariant, and every argmin tie breaks on the lowest centroid id.
+
+_KM_SCALE = 1_000_000
+_KM_OFFSET = 10_000_000
+
+
+def _to_int_matrix(batch: pa.Table, column: str) -> np.ndarray:
+    col = batch[column].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(col), -1)
+    return np.floor(mat * _KM_SCALE + 0.5).astype(np.int64) + _KM_OFFSET
+
+
+def kmeans_int(ds, k: int = 4, iterations: int = 2,
+               id_column: str = "vec_id", column: str = "embedding"):
+    """Distributed Lloyd k-means with integer-exact arithmetic.
+
+    * init: centroids = the vectors with ``id < k`` (deterministic);
+    * assign: broadcast the (k, dim) int64 centroid matrix (``ray.put``
+      once per round), per batch a numpy ``(V-C)²`` argmin with ties to
+      the lowest centroid id;
+    * update: per-batch partial ``(cid, count, per-dim sums)`` rows — the
+      combiner — merged on the driver (``k × dim`` ints per batch, the
+      standard model-state-on-driver shape every distributed k-means
+      uses); new centroid = per-dim ``sum // count`` (floor); clusters
+      emptied by a round simply vanish (later rounds assign over the
+      survivors), mirroring the SQL oracle's inner join.
+
+    Returns a Dataset of ``(id_column, cluster_id:int64)`` after the
+    final assignment pass.
+    """
+    import ray
+
+    from docling_translate_ray.util import collect_to_table
+
+    narrow = ds.select_columns([id_column, column])
+    seed_rows = narrow.filter(expr=f"{id_column} < {k}").take_all()
+    seed_rows.sort(key=lambda r: r[id_column])
+    seed = pa.table({
+        id_column: pa.array([r[id_column] for r in seed_rows], pa.int64()),
+        column: pa.array([list(r[column]) for r in seed_rows]),
+    })
+    cids = np.asarray(seed[id_column].to_pylist(), dtype=np.int64)
+    cmat = _to_int_matrix(seed, column)
+
+    def assign(mat: np.ndarray, cids_now: np.ndarray, cmat_now: np.ndarray):
+        # (B, K) squared L2 distances in int64; offset cancels out
+        d = mat[:, None, :] - cmat_now[None, :, :]
+        dist = np.einsum("bkd,bkd->bk", d, d)
+        best = np.argmin(dist, axis=1)  # first minimum = lowest index;
+        # cids_now is sorted ascending, so ties break on lowest cid
+        return cids_now[best]
+
+    partial_schema = pa.schema([
+        ("cid", pa.int64()), ("cnt", pa.int64()),
+        ("sums", pa.list_(pa.int64())),
+    ])
+
+    for _ in range(iterations):
+        ref = ray.put((cids, cmat))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cn, cm = ray.get(ref)
+            if batch.num_rows == 0:
+                return partial_schema.empty_table()
+            mat = _to_int_matrix(batch, column)
+            a = assign(mat, cn, cm)
+            rows_c, rows_n, rows_s = [], [], []
+            for cid in np.unique(a):
+                sel = mat[a == cid]
+                rows_c.append(int(cid))
+                rows_n.append(int(sel.shape[0]))
+                rows_s.append(sel.sum(axis=0).tolist())
+            return pa.table({
+                "cid": pa.array(rows_c, pa.int64()),
+                "cnt": pa.array(rows_n, pa.int64()),
+                "sums": pa.array(rows_s, pa.list_(pa.int64())),
+            })
+
+        part = collect_to_table(
+            narrow.map_batches(partials, batch_format="pyarrow"),
+            empty_schema=partial_schema,
+        )
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for cid, cnt, sums in zip(part["cid"].to_pylist(),
+                                  part["cnt"].to_pylist(),
+                                  part["sums"].to_pylist()):
+            n0, s0 = agg.get(cid, (0, 0))
+            agg[cid] = (n0 + cnt, s0 + np.asarray(sums, dtype=np.int64))
+        cids = np.array(sorted(agg), dtype=np.int64)
+        cmat = np.stack([agg[c][1] // agg[c][0] for c in cids])
+
+    final_ref = ray.put((cids, cmat))
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        cn, cm = ray.get(final_ref)
+        if batch.num_rows == 0:
+            return pa.schema([(id_column, pa.int64()),
+                              ("cluster_id", pa.int64())]).empty_table()
+        mat = _to_int_matrix(batch, column)
+        return pa.table({
+            id_column: batch[id_column].combine_chunks().cast(pa.int64()),
+            "cluster_id": pa.array(assign(mat, cn, cm), pa.int64()),
+        })
+
+    return narrow.map_batches(final_assign, batch_format="pyarrow")

@@ -1253,3 +1253,13 @@ def q_dup_span_mask(sf_dir: str):
     from docling_translate_ray.functions.ngram_spans import dup_span_mask
 
     return dup_span_mask(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed integer-exact Lloyd k-means (k=4, 2 update rounds) over
+    the embeddings table (functions/knn.kmeans_int); output is the final
+    cluster assignment per vector."""
+    from docling_translate_ray.functions.knn import kmeans_int
+
+    return kmeans_int(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      k=4, iterations=2)

@@ -702,3 +702,34 @@ def test_heavy_hitters_exact_on_skewed_corpus():
     # empty corpus → empty result, no crash
     empty = ray.data.from_items([{"text": ""}])
     assert heavy_hitters(empty, theta_bp=1000).num_rows == 0
+
+
+def test_kmeans_int_recovers_planted_clusters():
+    import ray.data
+
+    from docling_translate_ray.functions.knn import kmeans_int
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    vecs, labels = [], []
+    # ids 0..2 are one point from each planted cluster (the k seeds)
+    for i in range(240):
+        c = i % 3
+        vecs.append(centers[c] + 0.1 * rng.randn(8))
+        labels.append(c)
+    tbl = pa.table({
+        "vec_id": pa.array(range(240), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = _to_table(kmeans_int(
+        ray.data.from_arrow(tbl).repartition(4), k=3, iterations=2))
+    got = dict(zip(out["vec_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert len(got) == 240
+    # every vector lands with its planted seed (seeds are ids 0/1/2)
+    assert all(got[i] == labels[i] for i in range(240))
+    # block layout must not change the answer
+    out2 = _to_table(kmeans_int(
+        ray.data.from_arrow(tbl).repartition(9), k=3, iterations=2))
+    got2 = dict(zip(out2["vec_id"].to_pylist(), out2["cluster_id"].to_pylist()))
+    assert got == got2
