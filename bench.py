@@ -56,6 +56,23 @@ def headline_queries(sf_dir: str) -> dict:
     }
 
 
+def extra_queries(sf_dir: str) -> dict:
+    """Round-2 additions, timed under ``queries_extra`` and EXCLUDED from
+    the headline total so ``value`` stays comparable to BASELINE/round 1."""
+    from docling_translate_ray.pipelines import queries as q
+
+    return {
+        "dup_span_mask": lambda: _consume(q.q_dup_span_mask(sf_dir)),
+        "pagerank": lambda: _consume(q.q_pagerank(sf_dir)),
+        "heavy_hitters": lambda: q.q_heavy_hitters(sf_dir).num_rows,
+        "range_join": lambda: _consume(q.q_purchase_attribution(sf_dir)),
+        "hopping_windows": lambda: _consume(q.q_events_hopping(sf_dir)),
+        "kmeans": lambda: _consume(q.q_kmeans(sf_dir)),
+        "word_commonness": lambda: _consume(q.q_word_commonness(sf_dir)),
+        "blocklist_filter": lambda: _consume(q.q_blocklist_filter(sf_dir)),
+    }
+
+
 def _gen_shard(args) -> None:
     import pyarrow.parquet as pq
 
@@ -281,9 +298,15 @@ def main() -> None:
         fn()
         times[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(times.values()), 3)
+    times_extra: dict[str, float] = {}
+    for name, fn in extra_queries(SF_DIR).items():
+        t0 = time.perf_counter()
+        fn()
+        times_extra[name] = round(time.perf_counter() - t0, 3)
     out = {
         "metric": "headline pipelines total wall time",
         "value": total, "unit": "sec", "queries": times,
+        "queries_extra": times_extra,
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
     }
     scaling_file = os.path.join(
