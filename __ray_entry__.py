@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "chunk_docs": q.q_chunk_docs,
         "inverted_index": q.q_inverted_index,
+        "search_rank": q.q_search_rank,
         "fingerprint": q.q_fingerprint,
         "langid": q.q_langid,
         "doc_terms": q.q_doc_terms,
@@ -590,6 +591,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
               GROUP BY doc_id, word)
             WHERE term IN ('data', 'hash', 'table', 'the', 'zzz-absent')
+        """,
+        # ranked retrieval: integer tf-idf analog over the query terms;
+        # df is per-term distinct docs, score = Σ tf·(N−df)
+        "search_rank": """
+            WITH tf AS (
+              SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '@NONWS@')) AS word
+                FROM documents)
+              WHERE word IN ('data', 'hash', 'table', 'the', 'zzz-absent')
+              GROUP BY doc_id, word),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df
+                      FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   sum(tf.tf * (n.n - dfreq.df))::BIGINT AS score,
+                   count(*)::BIGINT AS n_terms_matched
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            GROUP BY tf.doc_id
         """,
         # overlapping fixed-token chunking: window 64, stride 48; DuckDB
         # list slices are 1-based inclusive, hence the +1 bounds

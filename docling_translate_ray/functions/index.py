@@ -119,3 +119,58 @@ def lookup_postings(index_dir: str, terms: list[str]):
     return ray.data.read_parquet(
         paths, columns=["term", id_column, "tf"]
     ).map_batches(keep_terms, batch_format="pyarrow")
+
+
+def search_rank(index_dir: str, terms: list[str], n_docs: int):
+    """Ranked retrieval over the index: every doc matching ≥1 query term,
+    scored by the integer-exact tf-idf analog ``Σ tf · (n_docs − df)``
+    (same salience as ``text_stats.doc_salient_terms`` — a float idf
+    would drift between engines).
+
+    Scale shape: postings arrive via the PRUNED partition read
+    (:func:`lookup_postings` — cost scales with |query terms| ×
+    partition size, never the corpus); per-term document frequencies are
+    a tiny ``grouped_sum`` (≤ |terms| rows) joined back as a broadcast;
+    per-doc scores are one more combiner-first ``grouped_sum`` keyed by
+    doc.  Returns a Dataset ``(doc_id, score, n_terms_matched)``.
+    """
+    import polars as pl
+
+    import ray
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+    from docling_translate_ray.util import collect_to_table
+
+    postings = lookup_postings(index_dir, terms)
+    id_column = [c for c in postings.schema().names if c not in ("term", "tf")][0]
+
+    dfreq = collect_to_table(
+        grouped_sum(
+            postings.map_batches(
+                lambda b: b.select(["term"]).append_column(
+                    "_one", pa.array([1] * b.num_rows, pa.int64())),
+                batch_format="pyarrow",
+            ),
+            ["term"],
+            [pl.col("_one").sum().alias("_one")],
+            {"df": "_one"},
+        ),
+        empty_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+    df_ref = ray.put(dfreq)
+
+    def weight(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(ray.get(df_ref))
+        df = pl.from_arrow(batch).join(d, on="term", how="inner")
+        return df.select(
+            pl.col(id_column),
+            (pl.col("tf") * (n_docs - pl.col("df"))).alias("_s"),
+            pl.lit(1, dtype=pl.Int64).alias("_m"),
+        ).to_arrow()
+
+    return grouped_sum(
+        postings.map_batches(weight, batch_format="pyarrow"),
+        [id_column],
+        [pl.col("_s").sum().alias("_s"), pl.col("_m").sum().alias("_m")],
+        {"score": "_s", "n_terms_matched": "_m"},
+    )

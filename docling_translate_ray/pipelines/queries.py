@@ -1263,3 +1263,18 @@ def q_kmeans(sf_dir: str):
 
     return kmeans_int(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                       k=4, iterations=2)
+
+
+def q_search_rank(sf_dir: str):
+    """Ranked retrieval through the inverted index's pruned partition
+    reads (functions/index.search_rank): integer-exact tf·(N−df) scores
+    for every doc matching the fixed query terms."""
+    import hashlib
+
+    from docling_translate_ray.functions import index as fidx
+
+    idx_dir = "/tmp/dtr_inv_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    fidx.build_inverted_index(docs, idx_dir, num_partitions=16)
+    return fidx.search_rank(idx_dir, [t for t in _INDEX_LOOKUP_TERMS],
+                            n_docs=docs.count())

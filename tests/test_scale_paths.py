@@ -733,3 +733,26 @@ def test_kmeans_int_recovers_planted_clusters():
         ray.data.from_arrow(tbl).repartition(9), k=3, iterations=2))
     got2 = dict(zip(out2["vec_id"].to_pylist(), out2["cluster_id"].to_pylist()))
     assert got == got2
+
+
+def test_search_rank_scores_and_misses(tmp_path):
+    import ray.data
+
+    from docling_translate_ray.functions import index as fidx
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "apple apple banana",   # apple tf=2 (df=1), banana tf=1 (df=2)
+            "banana cherry",
+            "unrelated words only",
+        ],
+    })
+    idx = str(tmp_path / "idx")
+    fidx.build_inverted_index(ray.data.from_arrow(docs), idx, num_partitions=4)
+    out = fidx.search_rank(idx, ["apple", "banana", "absent"], n_docs=3)
+    rows = {r["doc_id"]: (r["score"], r["n_terms_matched"])
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+    # apple: 2*(3-1)=4; banana df=2: 1*(3-2)=1
+    assert rows == {1: (4 + 1, 2), 2: (1, 1)}
