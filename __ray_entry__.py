@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": q.q_media_features,
         "video_frames": q.q_video_frames,
+        "image_near_dup": q.q_image_near_dup,
     }
 
 
@@ -1155,7 +1156,9 @@ def oracle_sql() -> dict[str, str]:
         # cos≥0.9 pair — max pairwise cosine is 0.51 — so 0 rows is the
         # true answer, pinned by the planted-pair recall pytest), knn_ivf
         # (approximate; recall pinned by pytest), media_features /
-        # video_frames (video codec stubbed), approx_distinct (HLL —
+        # video_frames (video codec stubbed), image_near_dup (BMP decode +
+        # aHash; value-pinned by the brute-force pytest oracle),
+        # approx_distinct (HLL —
         # DuckDB's approx_count_distinct is a different sketch; accuracy
         # + merge idempotence pinned by pytest).  minhash/simhash
         # near-dup, langid and the curate composite ARE oracle-backed

@@ -928,6 +928,22 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
     Hamming ≤ 3", which is what the DuckDB oracle computes) → within-bucket
     Hamming verify → pair ``distinct`` → :func:`connected_components`.
     Returns (doc_id, canonical_id) with per-cluster canonical ids."""
+    if concurrency is None:
+        from docling_translate_ray.util import auto_pool_size
+
+        concurrency = auto_pool_size()
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+    return hamming64_near_dup(sigs, id_column=id_column,
+                              sig_column="simhash", max_hamming=max_hamming)
+
+
+def hamming64_near_dup(sigs, id_column: str = "doc_id",
+                       sig_column: str = "simhash", max_hamming: int = 3):
+    """Cluster precomputed 64-bit signatures by Hamming distance ≤
+    ``max_hamming`` — the bucketing core shared by text SimHash and image
+    perceptual-hash dedup (multimodal.image_near_dup).  Same shuffle
+    shape: only ``(chunk_key, id, 8-byte sig)`` rows cross the exchange.
+    Returns (id, canonical_id)."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} > 3 breaks the 4-chunk pigeonhole "
@@ -935,15 +951,10 @@ def simhash_near_dup(ds, id_column: str = "doc_id", max_hamming: int = 3,
             "16-bit chunk and would be silently missed); increase the chunk "
             "count instead"
         )
-    if concurrency is None:
-        from docling_translate_ray.util import auto_pool_size
-
-        concurrency = auto_pool_size()
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_pylist()
-        hs = np.array(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        hs = np.array(batch[sig_column].to_pylist(), dtype=np.int64).view(np.uint64)
         o_c, o_k, o_id, o_h = [], [], [], []
         for did, h in zip(ids, hs):
             for c in range(4):

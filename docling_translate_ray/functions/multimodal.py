@@ -334,3 +334,116 @@ class FrameSampler:
                 "frame": pa.array(o_frame, pa.binary()),
             }
         )
+
+# ------------------------------------------------------- perceptual dedup
+
+def ahash64(img: np.ndarray) -> int:
+    """Average-hash (aHash) of an (h, w, 3) uint8 RGB image: grayscale →
+    8×8 nearest-neighbor downsample → mean threshold → 64-bit row-major
+    signature.  The standard public perceptual hash — robust to re-encode,
+    mild noise and rescale, which is exactly the near-dup class a web
+    image corpus carries."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows = (np.arange(8) * h // 8).clip(0, h - 1)
+    cols = (np.arange(8) * w // 8).clip(0, w - 1)
+    small = gray[rows][:, cols]
+    bits = (small > small.mean()).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class AHasher:
+    """Actor-pool stage: image rows → ``(media_id, ahash:int64)``; rows of
+    other kinds are dropped (hash a video by hashing its sampled frames
+    through the same stage instead).  The 64-bit signature rides the
+    Hamming-bucket shuffle at 8 bytes/row — payload bytes never leave the
+    hashing stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            ids.append(mid)
+            sigs.append(ahash64(decode_bmp(payload or b"")))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "ahash": pa.array(
+                    np.array(sigs, dtype=np.uint64).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def image_near_dup(ds, max_hamming: int = 3, concurrency: int | None = None):
+    """Image near-duplicate clustering: aHash per image (actor pool, payload
+    stays local) → shared 64-bit Hamming core (dedup.hamming64_near_dup:
+    4×16-bit pigeonhole buckets, pair verify, distributed closure).
+    Returns ``(media_id, canonical_id)``; the reference's per-document image
+    sink (utils.py:25-77) has no dedup — this is the corpus-scale extension
+    SURVEY.md §8 calls for."""
+    from docling_translate_ray.functions.dedup import hamming64_near_dup
+    from docling_translate_ray.util import auto_pool_size
+
+    if concurrency is None:
+        concurrency = auto_pool_size()
+    sigs = ds.map_batches(AHasher, batch_format="pyarrow", concurrency=concurrency)
+    return hamming64_near_dup(sigs, id_column="media_id",
+                              sig_column="ahash", max_hamming=max_hamming)
+
+
+def gen_image_corpus(n_base: int, n_dup: int, seed: int = 42) -> pa.Table:
+    """Deterministic image corpus with PLANTED near-duplicates (ground truth
+    recoverable by brute force in tests).
+
+    Each base image is an 8×8 two-level block pattern (values 32/224)
+    upscaled by a per-image factor with ±8 i.i.d. pixel noise — the aHash
+    sampling grid hits one block per bit and the 96-level threshold margin
+    dwarfs the noise, so the hash equals the pattern exactly.  Each dup row
+    reuses an earlier base pattern with 0–3 blocks flipped, a different
+    scale and fresh noise: Hamming(base, dup) = #flipped ≤ 3, while two
+    independent random patterns differ in ~32 bits.  All rows are
+    MEDIA_SCHEMA images; dup ids continue after the base ids."""
+    rng = np.random.RandomState(seed % (1 << 31))
+    patterns = []
+    rows_id, rows_url, rows_payload, rows_meta = [], [], [], []
+
+    def emit(i: int, pattern: np.ndarray) -> None:
+        k = int(rng.randint(2, 7))
+        img = np.repeat(np.repeat(pattern, k, axis=0), k, axis=1)
+        img = img[:, :, None].repeat(3, axis=2).astype(np.int16)
+        img = np.clip(img + rng.randint(-8, 9, size=img.shape), 0, 255)
+        rows_id.append(i)
+        rows_url.append(f"https://media.example/image/{i}")
+        rows_payload.append(encode_bmp(img.astype(np.uint8)))
+        rows_meta.append({"width": 8 * k, "height": 8 * k, "duration_ms": 0})
+
+    for i in range(n_base):
+        # 16..48 high cells so the mean threshold never degenerates
+        n_high = int(rng.randint(16, 49))
+        flat = np.full(64, 32, dtype=np.uint8)
+        flat[rng.choice(64, size=n_high, replace=False)] = 224
+        pattern = flat.reshape(8, 8)
+        patterns.append(pattern)
+        emit(i, pattern)
+    for j in range(n_dup):
+        base = patterns[int(rng.randint(0, n_base))].copy()
+        for cell in rng.choice(64, size=int(rng.randint(0, 4)), replace=False):
+            r, c = divmod(int(cell), 8)
+            base[r, c] = 224 if base[r, c] == 32 else 32
+        emit(n_base + j, base)
+
+    n = len(rows_id)
+    return pa.table(
+        {
+            "media_id": pa.array(rows_id, pa.int64()),
+            "url": pa.array(rows_url, pa.string()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(rows_payload, pa.binary()),
+            "meta": pa.array(rows_meta, MEDIA_SCHEMA.field("meta").type),
+        }
+    )

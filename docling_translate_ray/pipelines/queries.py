@@ -1171,6 +1171,19 @@ def q_video_frames(sf_dir: str):
     return frames.select_columns(["media_id", "frame_ts_ms"])
 
 
+def q_image_near_dup(sf_dir: str):
+    """Perceptual-hash (aHash) image near-dup clustering over a synthetic
+    corpus with planted perturbed duplicates: decode BMP -> 8x8 average
+    hash per actor -> shared 64-bit Hamming core (4x16-bit pigeonhole
+    buckets + distributed closure).  Rows-only for the driver (BMP decode
+    is not SQL-expressible); value-pinned by the brute-force oracle in
+    tests/test_functions.py::test_image_near_dup_matches_bruteforce."""
+    import ray.data
+
+    ds = ray.data.from_arrow(fmm.gen_image_corpus(240, 60, seed=7))
+    return fmm.image_near_dup(ds).sort("media_id")
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping 1h/15m sliding-window counts per event type
     (stages/window.hopping_window_counts): constant 4-way vectorized

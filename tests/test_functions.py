@@ -884,3 +884,75 @@ def test_cooccurrence_lift_ranking():
     for p in (("the", "cat"), ("the", "dog"), ("the", "mat"), ("the", "door")):
         if p in pairs:
             assert pairs.index(p) > ny, p
+
+
+# ---------------------------------------------------------- image near-dup
+
+
+def test_ahash_scale_and_noise_invariant():
+    rng = np.random.RandomState(0)
+    flat = np.full(64, 32, dtype=np.uint8)
+    flat[rng.choice(64, size=24, replace=False)] = 224
+    pattern = flat.reshape(8, 8)
+
+    def render(scale: int, noise_seed: int) -> int:
+        img = np.repeat(np.repeat(pattern, scale, 0), scale, 1)
+        img = img[:, :, None].repeat(3, axis=2).astype(np.int16)
+        nrng = np.random.RandomState(noise_seed)
+        img = np.clip(img + nrng.randint(-8, 9, size=img.shape), 0, 255)
+        return mm.ahash64(mm.decode_bmp(mm.encode_bmp(img.astype(np.uint8))))
+
+    # same pattern at different scales / noise draws → identical hash
+    assert render(2, 1) == render(5, 2) == render(3, 3)
+    # an independent random pattern → far beyond any near-dup radius
+    flat2 = np.full(64, 32, dtype=np.uint8)
+    flat2[rng.choice(64, size=30, replace=False)] = 224
+    img2 = np.repeat(np.repeat(flat2.reshape(8, 8), 3, 0), 3, 1)
+    other = mm.ahash64(img2[:, :, None].repeat(3, 2).astype(np.uint8))
+    assert bin(render(2, 1) ^ other).count("1") > 10
+
+
+def _bruteforce_clusters(ids, sigs, max_hamming):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(sigs[i] ^ sigs[j])).count("1") <= max_hamming:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for i in ids:
+        r = find(i)
+        if r != i or any(find(j) == i for j in ids if j != i):
+            out[i] = r
+    return out  # only members of non-singleton clusters, like the op
+
+
+def test_image_near_dup_matches_bruteforce():
+    import ray.data
+
+    tbl = mm.gen_image_corpus(40, 12, seed=7)
+    got = _to_table(mm.image_near_dup(ray.data.from_arrow(tbl), concurrency=2))
+    labels = {r["media_id"]: r["canonical_id"] for r in got.to_pylist()}
+
+    sigs = np.array(
+        [mm.ahash64(mm.decode_bmp(p.as_py())) for p in tbl["payload"]],
+        dtype=np.uint64,
+    )
+    expect = _bruteforce_clusters(tbl["media_id"].to_pylist(), sigs, 3)
+    assert labels == expect
+    assert len(expect) >= 12  # every planted dup is in a cluster
+
+
+def test_ahasher_drops_non_images():
+    tbl = mm.gen_media(12, seed=42)  # mixed image/audio/video
+    out = mm.AHasher()(tbl)
+    assert out.num_rows == sum(1 for k in tbl["kind"].to_pylist() if k == "image")
+    assert out.column_names == ["media_id", "ahash"]
