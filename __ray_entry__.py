@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "video_frames": q.q_video_frames,
         "image_near_dup": q.q_image_near_dup,
+        "audio_near_dup": q.q_audio_near_dup,
     }
 
 
@@ -1156,8 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         # cos≥0.9 pair — max pairwise cosine is 0.51 — so 0 rows is the
         # true answer, pinned by the planted-pair recall pytest), knn_ivf
         # (approximate; recall pinned by pytest), media_features /
-        # video_frames (video codec stubbed), image_near_dup (BMP decode +
-        # aHash; value-pinned by the brute-force pytest oracle),
+        # video_frames (video codec stubbed), image_near_dup / audio_near_dup (BMP/WAV decode +
+        # perceptual fingerprints; value-pinned by brute-force pytest oracles),
         # approx_distinct (HLL —
         # DuckDB's approx_count_distinct is a different sketch; accuracy
         # + merge idempotence pinned by pytest).  minhash/simhash

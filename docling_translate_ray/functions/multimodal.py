@@ -447,3 +447,109 @@ def gen_image_corpus(n_base: int, n_dup: int, seed: int = 42) -> pa.Table:
             "meta": pa.array(rows_meta, MEDIA_SCHEMA.field("meta").type),
         }
     )
+
+
+def audio_hash64(samples: np.ndarray) -> int:
+    """64-bit energy-envelope fingerprint of mono PCM samples: split into
+    64 equal frames, per-frame RMS, bit = RMS > mean RMS.  The audio
+    sibling of :func:`ahash64` — amplitude-scale invariant (uniform gain
+    scales every frame and the mean together) and robust to fresh noise
+    draws when the loud/quiet envelope margin is decisive."""
+    x = samples.astype(np.float64)
+    if len(x) < 64:
+        x = np.pad(x, (0, 64 - len(x)))
+    frames = x[: len(x) - len(x) % 64].reshape(64, -1)
+    rms = np.sqrt((frames**2).mean(axis=1))
+    bits = rms > rms.mean()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class AudioHasher:
+    """Actor-pool stage: audio rows → ``(media_id, audio_hash:int64)``;
+    rows of other kinds are dropped.  8 bytes/row cross the Hamming-bucket
+    shuffle; WAV payloads never leave the hashing stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            samples, _ = decode_wav(payload or b"")
+            ids.append(mid)
+            sigs.append(audio_hash64(samples))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "audio_hash": pa.array(
+                    np.array(sigs, dtype=np.uint64).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def audio_near_dup(ds, max_hamming: int = 3, concurrency: int | None = None):
+    """Audio near-duplicate clustering: energy-envelope fingerprint per
+    clip (actor pool) → the same shared 64-bit Hamming core as SimHash and
+    image aHash (dedup.hamming64_near_dup).  Returns
+    ``(media_id, canonical_id)``."""
+    from docling_translate_ray.functions.dedup import hamming64_near_dup
+    from docling_translate_ray.util import auto_pool_size
+
+    if concurrency is None:
+        concurrency = auto_pool_size()
+    sigs = ds.map_batches(AudioHasher, batch_format="pyarrow",
+                          concurrency=concurrency)
+    return hamming64_near_dup(sigs, id_column="media_id",
+                              sig_column="audio_hash", max_hamming=max_hamming)
+
+
+def gen_audio_corpus(n_base: int, n_dup: int, seed: int = 42) -> pa.Table:
+    """Deterministic audio corpus with PLANTED near-duplicate clips.
+
+    Each base clip is a 64-frame loud/quiet envelope (per-frame Gaussian
+    noise at σ 3000 vs 300 — a 10× RMS margin against the mean threshold,
+    dwarfing the ~6%/frame RMS estimation noise).  A dup reuses an earlier
+    envelope with 0–3 frames flipped, a fresh noise draw and a different
+    gain: Hamming(base, dup) = #flipped ≤ 3; independent envelopes differ
+    in ~32 bits.  All rows are MEDIA_SCHEMA audio; dup ids follow base."""
+    rng = np.random.RandomState(seed % (1 << 31))
+    envelopes = []
+    rows_id, rows_url, rows_payload, rows_meta = [], [], [], []
+
+    def emit(i: int, env: np.ndarray) -> None:
+        n_per = int(rng.randint(100, 200))  # samples per frame
+        gain = float(rng.uniform(0.3, 2.5))
+        sigma = np.where(env, 3000.0, 300.0).repeat(n_per)
+        samples = np.clip(rng.randn(64 * n_per) * sigma * gain,
+                          -32000, 32000).astype(np.int16)
+        dur_ms = int(64 * n_per * 1000 / _AUDIO_RATE)
+        rows_id.append(i)
+        rows_url.append(f"https://media.example/audio/{i}")
+        rows_payload.append(encode_wav(samples))
+        rows_meta.append({"width": 0, "height": 0, "duration_ms": dur_ms})
+
+    for i in range(n_base):
+        n_high = int(rng.randint(16, 49))
+        env = np.zeros(64, dtype=bool)
+        env[rng.choice(64, size=n_high, replace=False)] = True
+        envelopes.append(env)
+        emit(i, env)
+    for j in range(n_dup):
+        env = envelopes[int(rng.randint(0, n_base))].copy()
+        for f in rng.choice(64, size=int(rng.randint(0, 4)), replace=False):
+            env[f] = ~env[f]
+        emit(n_base + j, env)
+
+    n = len(rows_id)
+    return pa.table(
+        {
+            "media_id": pa.array(rows_id, pa.int64()),
+            "url": pa.array(rows_url, pa.string()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(rows_payload, pa.binary()),
+            "meta": pa.array(rows_meta, MEDIA_SCHEMA.field("meta").type),
+        }
+    )

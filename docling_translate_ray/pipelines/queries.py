@@ -1184,6 +1184,18 @@ def q_image_near_dup(sf_dir: str):
     return fmm.image_near_dup(ds).sort("media_id")
 
 
+def q_audio_near_dup(sf_dir: str):
+    """Audio near-dup clustering over a synthetic corpus with planted
+    re-gained/re-noised duplicate clips: WAV decode -> 64-frame energy
+    envelope fingerprint -> shared 64-bit Hamming core.  Rows-only for
+    the driver (WAV decode is not SQL-expressible); value-pinned by
+    tests/test_functions.py::test_audio_near_dup_matches_bruteforce."""
+    import ray.data
+
+    ds = ray.data.from_arrow(fmm.gen_audio_corpus(240, 60, seed=11))
+    return fmm.audio_near_dup(ds).sort("media_id")
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping 1h/15m sliding-window counts per event type
     (stages/window.hopping_window_counts): constant 4-way vectorized

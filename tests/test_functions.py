@@ -956,3 +956,48 @@ def test_ahasher_drops_non_images():
     out = mm.AHasher()(tbl)
     assert out.num_rows == sum(1 for k in tbl["kind"].to_pylist() if k == "image")
     assert out.column_names == ["media_id", "ahash"]
+
+
+def test_audio_hash_gain_and_noise_invariant():
+    rng = np.random.RandomState(5)
+    env = np.zeros(64, dtype=bool)
+    env[rng.choice(64, size=24, replace=False)] = True
+
+    def render(gain: float, noise_seed: int) -> int:
+        nrng = np.random.RandomState(noise_seed)
+        sigma = np.where(env, 3000.0, 300.0).repeat(125)
+        samples = np.clip(nrng.randn(64 * 125) * sigma * gain,
+                          -32000, 32000).astype(np.int16)
+        return mm.audio_hash64(mm.decode_wav(mm.encode_wav(samples))[0])
+
+    assert render(1.0, 1) == render(0.4, 2) == render(2.0, 3)
+    # an independent envelope is far beyond the near-dup radius
+    env2 = np.zeros(64, dtype=bool)
+    env2[rng.choice(64, size=30, replace=False)] = True
+    sigma2 = np.where(env2, 3000.0, 300.0).repeat(125)
+    other = mm.audio_hash64(
+        (np.random.RandomState(9).randn(64 * 125) * sigma2).astype(np.int16))
+    assert bin(render(1.0, 1) ^ other).count("1") > 10
+
+
+def test_audio_near_dup_matches_bruteforce():
+    import ray.data
+
+    tbl = mm.gen_audio_corpus(40, 12, seed=7)
+    got = _to_table(mm.audio_near_dup(ray.data.from_arrow(tbl), concurrency=2))
+    labels = {r["media_id"]: r["canonical_id"] for r in got.to_pylist()}
+
+    sigs = np.array(
+        [mm.audio_hash64(mm.decode_wav(p.as_py())[0]) for p in tbl["payload"]],
+        dtype=np.uint64,
+    )
+    expect = _bruteforce_clusters(tbl["media_id"].to_pylist(), sigs, 3)
+    assert labels == expect
+    assert len(expect) >= 12
+
+
+def test_audio_hasher_drops_non_audio():
+    tbl = mm.gen_media(12, seed=42)
+    out = mm.AudioHasher()(tbl)
+    assert out.num_rows == sum(1 for k in tbl["kind"].to_pylist() if k == "audio")
+    assert out.column_names == ["media_id", "audio_hash"]
