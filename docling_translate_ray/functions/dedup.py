@@ -953,21 +953,18 @@ def hamming64_near_dup(sigs, id_column: str = "doc_id",
         )
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column].to_pylist()
-        hs = np.array(batch[sig_column].to_pylist(), dtype=np.int64).view(np.uint64)
-        o_c, o_k, o_id, o_h = [], [], [], []
-        for did, h in zip(ids, hs):
-            for c in range(4):
-                o_c.append(c)
-                o_k.append(int((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
-                o_id.append(did)
-                o_h.append(int(h))
+        # vectorized 1→4 explode: doc-major row order (doc0 chunks 0-3, …)
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        hs = np.asarray(batch[sig_column].to_pylist(), dtype=np.int64).view(np.uint64)
+        n = len(ids)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        keys = ((hs[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "chunk_id": pa.array(o_c, pa.int32()),
-                "chunk_key": pa.array(o_k, pa.int64()),
-                id_column: pa.array(o_id, pa.int64()),
-                "_sim": pa.array(np.array(o_h, dtype=np.uint64).view(np.int64), pa.int64()),
+                "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "chunk_key": pa.array(keys.ravel(), pa.int64()),
+                id_column: pa.array(np.repeat(ids, 4), pa.int64()),
+                "_sim": pa.array(np.repeat(hs.view(np.int64), 4), pa.int64()),
             }
         )
 
