@@ -108,6 +108,8 @@ ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
          logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
+import logging
+logging.getLogger("ray.data").setLevel(logging.ERROR)
 from docling_translate_ray.pipelines.extract import run_extract_job
 from docling_translate_ray.pipelines.queries import q_extract_pages
 pages, out = sys.argv[2], sys.argv[3]
@@ -284,6 +286,11 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    # silence Ray Data's driver-side INFO/WARNING chatter (incl. the benign
+    # empty-schema RefBundle warnings Ray's sort/groupby emits internally)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     # untimed warmup: spin up the worker pool and import the library in every
     # worker so the first timed pipeline doesn't pay ~30s of process-start +
