@@ -31,25 +31,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _merge_topk(cand_ds, k: int, id_column: str) -> pa.Table:
     """Tiny global merge of per-batch candidates (k per query per batch):
-    the only driver-side data in any knn path."""
-    rows = cand_ds.take_all()
-    by_q: dict[int, list] = {}
-    for r in rows:
-        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r[id_column]))
-    out_q, out_id, out_cos, out_rank = [], [], [], []
-    for qi in sorted(by_q):
-        top = sorted(by_q[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for rank, (cos, vid) in enumerate(top):
-            out_q.append(qi)
-            out_id.append(vid)
-            out_cos.append(cos)
-            out_rank.append(rank + 1)
+    the only driver-side data in any knn path.  Fully vectorized — one
+    polars sort + per-query head(k), no Python row loop (the round-2
+    version iterated k × n_batches candidate rows in a dict loop)."""
+    import polars as pl
+
+    from docling_translate_ray.util import collect_to_table
+
+    cand = collect_to_table(cand_ds, empty_schema=_empty_knn(id_column).schema)
+    out = (
+        pl.from_arrow(cand)
+        .sort(["query_idx", "cosine", id_column], descending=[False, True, False])
+        .with_columns(
+            (pl.int_range(pl.len()).over("query_idx") + 1)
+            .cast(pl.Int64)
+            .alias("rank")
+        )
+        .filter(pl.col("rank") <= k)
+        .to_arrow()
+    )
     return pa.table(
         {
-            "query_idx": pa.array(out_q, pa.int64()),
-            id_column: pa.array(out_id, pa.int64()),
-            "cosine": pa.array(out_cos, pa.float64()),
-            "rank": pa.array(out_rank, pa.int64()),
+            "query_idx": out["query_idx"].cast(pa.int64()),
+            id_column: out[id_column].cast(pa.int64()),
+            "cosine": out["cosine"].cast(pa.float64()),
+            "rank": out["rank"].cast(pa.int64()),
         }
     )
 

@@ -55,17 +55,34 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
     os.makedirs(work_dir, exist_ok=True)
 
-    stats: dict[str, int] = {"n_input": ds.count()}
-
-    def quality_filter(batch: pa.Table) -> pa.Table:
+    def quality_flagged(batch: pa.Table) -> pa.Table:
         out = fts.quality_batch(batch, column)
-        return out.filter(out["quality_ok"])
+        # int partition key named WITHOUT a leading underscore (dataset
+        # discovery ignores `_`-prefixed path segments) — hive also spells
+        # booleans inconsistently across writers.  Rejected rows are
+        # WRITTEN too (the audit trail every C4-style pipeline keeps), so
+        # n_input needs no dedicated count pass over the raw corpus
+        return out.append_column(
+            "qok", out["quality_ok"].combine_chunks().cast(pa.int32())
+        )
 
     q_dir = os.path.join(work_dir, "quality")
     shutil.rmtree(q_dir, ignore_errors=True)
-    ds.map_batches(quality_filter, batch_format="pyarrow").write_parquet(q_dir)
-    quality = ray.data.read_parquet(q_dir)
-    stats["n_quality_ok"] = quality.count()  # parquet metadata, no scan
+    ds.map_batches(quality_flagged, batch_format="pyarrow").write_parquet(
+        q_dir, partition_cols=["qok"]
+    )
+    stats: dict[str, int] = {
+        # both counts are parquet-metadata reads of what the ONE quality
+        # pass wrote: whole dir = input, qok=1 partition = survivors
+        "n_input": ray.data.read_parquet(q_dir).count(),
+    }
+    ok_dir = os.path.join(q_dir, "qok=1")
+    if os.path.isdir(ok_dir):
+        quality = ray.data.read_parquet(ok_dir)
+        stats["n_quality_ok"] = quality.count()
+    else:  # every row failed the gate
+        quality = ray.data.read_parquet(q_dir).filter(expr="quality_ok")
+        stats["n_quality_ok"] = 0
 
     # exact dedup winners (content_md5 → min id), then a distributed SEMI
     # join recovers the survivor rows (both sides re-read from parquet —

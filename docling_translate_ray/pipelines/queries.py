@@ -311,10 +311,42 @@ def q_top_words(sf_dir: str, k: int = 50):
     return top.append_column("rank", pa.array(range(1, top.num_rows + 1), pa.int64()))
 
 
+_PLANT_OFFSET = 10_000_000
+
+
+def plant_embedding_twins_batch(batch: pa.Table) -> pa.Table:
+    """Self-union with perturbed near-dup twins: every ``vec_id % 10 == 0``
+    row gains a twin at ``vec_id + _PLANT_OFFSET`` whose first coordinate
+    is scaled 1.3× (cos(v, v') ≥ 0.999 on the sf corpora, vs ≤ 0.52 for
+    any unplanted pair) — the ground-truth clusters are exactly the
+    planted pairs, and the perturbation is SQL-expressible so the DuckDB
+    oracle rebuilds the identical view (same float64 ops).  Pattern:
+    multimodal.gen_image_corpus's planted perceptual dups."""
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    if ids.size == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "embedding": pa.array([], pa.list_(pa.float64()))})
+    mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    sel = ids % 10 == 0
+    twins = mat[sel].copy()
+    twins[:, 0] *= 1.3
+    return pa.table({
+        "vec_id": pa.array(
+            np.concatenate([ids, ids[sel] + _PLANT_OFFSET]), pa.int64()),
+        "embedding": pa.array(
+            mat.tolist() + twins.tolist(), pa.list_(pa.float64())),
+    })
+
+
 def q_embedding_near_dup(sf_dir: str):
-    return fdedup.embedding_near_dup(
-        _read(sf_dir, "embeddings"), threshold=0.9, num_planes=6
+    """Hyperplane-LSH embedding near-dup over the planted-twin view (the
+    raw sf embeddings hold no cos ≥ 0.9 pair, which made the round-2
+    driver row vacuous at 0 rows).  Oracle: exact all-pairs cosine ≥ 0.9
+    on the same view + transitive closure (the cosine_pairs model)."""
+    planted = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant_embedding_twins_batch, batch_format="pyarrow"
     )
+    return fdedup.embedding_near_dup(planted, threshold=0.9, num_planes=6)
 
 
 # ------------------------------------------------------------------ knn
@@ -346,8 +378,14 @@ def q_knn_topk(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF ANN at FULL probe (n_probe == n_centroids): exercises the whole
+    physical path — centroid training, partitioned index build, pruned
+    per-partition top-k, merge — while being exact by construction, so the
+    brute-force SQL (the knn_topk oracle at 1 query) is a true oracle.
+    The n_probe < n_centroids pruning/recall behaviour stays pinned by
+    tests/test_functions.py (deleting un-probed partitions keeps answers)."""
     q = _query_vectors(sf_dir, 1)
-    out = fknn.knn_ivf(_read(sf_dir, "embeddings"), q, k=10, n_centroids=8, n_probe=6)
+    out = fknn.knn_ivf(_read(sf_dir, "embeddings"), q, k=10, n_centroids=8, n_probe=8)
     return out.select(["query_idx", "vec_id", "rank"])
 
 

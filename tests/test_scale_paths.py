@@ -670,7 +670,8 @@ def test_tokenizing_oracles_survive_unicode_whitespace(tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
     )
-    qs, osql = E.queries(), E.oracle_sql()
+    qs = {**E.queries(), **E.queries_legacy()}
+    osql = E.oracle_sql()
 
     def canon(t: pa.Table):
         cols = sorted(t.column_names)

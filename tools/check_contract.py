@@ -66,7 +66,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    n_primary = len(qs)
+    # legacy entries: merged out of the 50-entry driver window (round 3)
+    # but still contract-checked here so the retired paths never rot
+    qs.update(entrymod.queries_legacy())
+    print(f"checking {n_primary} driver entries + "
+          f"{len(qs) - n_primary} legacy entries")
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
