@@ -72,6 +72,32 @@ def _token_rows(batch: pa.Table, id_column: str, column: str):
     )
 
 
+_GRAM_HASH_SEED = 17
+
+
+def make_gram_batch_fn(column: str, id_column: str, n: int, key_mode: str):
+    """The gram-build ``map_batches`` fn — exposed so tests can pin the
+    exchange payload schema: in ``hash64`` mode the ``gram`` column the
+    dup-detection shuffle is keyed on is **int64**, never a string."""
+    import polars as pl
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = _token_rows(batch, id_column, column)
+        expr = pl.col("tok")
+        for k in range(1, n):
+            expr = expr + _SEP + pl.col("tok").shift(-k).over(id_column)
+        out = toks.with_columns(expr.alias("gram")).drop_nulls("gram")
+        # shifted tails fall off the doc end ^
+        if key_mode == "hash64":
+            out = out.with_columns(
+                pl.col("gram").hash(_GRAM_HASH_SEED).reinterpret(signed=True)
+                .alias("gram")
+            )
+        return out.select([id_column, "pos", "gram"]).to_arrow()
+
+    return grams
+
+
 def dup_span_mask(
     ds,
     column: str = "text",
@@ -79,25 +105,19 @@ def dup_span_mask(
     n: int = 5,
     min_docs: int = 2,
     num_partitions: int = 32,
+    key_mode: str = "hash64",
 ):
     """Mask every token covered by an ``n``-gram present in ≥ ``min_docs``
     distinct docs.  Output: ``(id, cleaned_text, n_kept, n_dropped)``.
+    ``key_mode`` picks the dup-detection exchange key — see module
+    docstring (``hash64`` = the scale path, default).
     """
     import polars as pl
 
+    if key_mode not in ("hash64", "string"):
+        raise ValueError(f"unknown key_mode {key_mode!r}")
     narrow = ds.select_columns([id_column, column])
-
-    def grams(batch: pa.Table) -> pa.Table:
-        toks = _token_rows(batch, id_column, column)
-        expr = pl.col("tok")
-        for k in range(1, n):
-            expr = expr + _SEP + pl.col("tok").shift(-k).over(id_column)
-        return (
-            toks.with_columns(expr.alias("gram"))
-            .drop_nulls("gram")  # shifted tails fall off the doc end
-            .select([id_column, "pos", "gram"])
-            .to_arrow()
-        )
+    grams = make_gram_batch_fn(column, id_column, n, key_mode)
 
     gram_ds = narrow.map_batches(grams, batch_format="pyarrow")
 
