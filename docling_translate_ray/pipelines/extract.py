@@ -209,6 +209,7 @@ def run_extract_job(
     layout: str = "bucket",
     span_text: bool = True,
     speed_mode: str = "accurate",
+    stats_sink: dict | None = None,
 ) -> dict:
     """End-to-end job: extract → docs+lineage; optionally score → scored.
 
@@ -249,7 +250,7 @@ def run_extract_job(
         ckpt.write_job_meta(out_dir, "shard", None, speed_mode)
         return _run_shard_job(input_path, out_dir, run_id, resume, engine,
                               miss_policy, strategy, source_kind, span_text,
-                              speed_mode)
+                              speed_mode, stats_sink)
 
     ckpt.check_job_meta(out_dir, "bucket", n_buckets, speed_mode)
     ckpt.write_job_meta(out_dir, "bucket", n_buckets, speed_mode)
@@ -335,8 +336,12 @@ def _list_input_files(input_path: str) -> list[str]:
 def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
                    engine: str | None, miss_policy: str, strategy: str,
                    source_kind: str, span_text: bool = True,
-                   speed_mode: str = "accurate") -> dict:
-    """Shard-layout body of :func:`run_extract_job` (no data shuffle)."""
+                   speed_mode: str = "accurate",
+                   stats_sink: dict | None = None) -> dict:
+    """Shard-layout body of :func:`run_extract_job` (no data shuffle).
+    ``stats_sink`` (bench-only): receives the executed pipeline's
+    ``Dataset.stats()`` string under ``"stats"`` — the per-task timing
+    evidence bench.py --scaling uses to attribute scaling losses."""
     import shutil
 
     import ray.data
@@ -376,6 +381,8 @@ def _run_shard_job(input_path: str, out_dir: str, run_id: str, resume: bool,
         )
         if lineage_new.num_rows:
             ckpt.write_shard_lineage(out_dir, lineage_new, run_id)
+        if stats_sink is not None:
+            stats_sink["stats"] = partials.stats()
 
     lineage = ckpt.load_shard_lineage(out_dir)
     result = {

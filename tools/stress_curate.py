@@ -1,0 +1,163 @@
+"""Corpus-scale composite stress: extract 960k pages, then run the full
+curation chain (quality gate → exact dedup → MinHash near-dedup → C4 line
+dedup) end-to-end, recording wall time and PEAK object-store usage.
+
+The round-2 verdict's ask #8: the 960k-page stress covered extraction
+only; this drives the curate composite at the same scale and confirms
+zero driver-side materialization (every stage is parquet→parquet; the
+driver sees lineage rows and counts only).
+
+Usage: python tools/stress_curate.py [n_pages] [num_cpus]
+Owns its Ray session. Results go to stdout as one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import threading
+import time
+
+
+def _gen_shard(args) -> None:
+    import pyarrow.parquet as pq
+
+    from docling_translate_ray.corpus import gen_pages
+
+    cache, i, n = args
+    t = gen_pages(n, seed=5000 + i)
+    pq.write_table(t, os.path.join(cache, f"pages_{i:06d}.parquet"))
+
+
+def ensure_corpus(n_pages: int) -> str:
+    import multiprocessing as mp
+
+    cache = f"/tmp/dtr_stress_pages_{n_pages}"
+    marker = os.path.join(cache, "_DONE")
+    if os.path.exists(marker):
+        return cache
+    os.makedirs(cache, exist_ok=True)
+    shard = 4000
+    jobs = [(cache, i, min(shard, n_pages - i)) for i in range(0, n_pages, shard)]
+    with mp.Pool(min(16, len(jobs))) as pool:
+        pool.map(_gen_shard, jobs)
+    open(marker, "w").write("ok")
+    return cache
+
+
+class PlasmaPeak(threading.Thread):
+    """Polls the cluster memory summary for peak plasma usage (MiB)."""
+
+    def __init__(self) -> None:
+        super().__init__(daemon=True)
+        self.peak_mib = 0.0
+        self._stop = threading.Event()
+
+    def run(self) -> None:
+        from ray._private.internal_api import memory_summary
+
+        while not self._stop.is_set():
+            try:
+                s = memory_summary(stats_only=True)
+                m = re.search(r"Plasma memory usage (\d+) MiB", s)
+                if m:
+                    self.peak_mib = max(self.peak_mib, float(m.group(1)))
+            except Exception:
+                pass
+            self._stop.wait(1.0)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 960_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from docling_translate_ray.functions.dedup import line_dedup
+    from docling_translate_ray.pipelines.curate import curate_docs
+    from docling_translate_ray.pipelines.extract import run_extract_job
+
+    pages = ensure_corpus(n_pages)
+    work = f"/tmp/dtr_stress_curate_{n_pages}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+
+    mon = PlasmaPeak()
+    mon.start()
+
+    # Phase A: flagship extract (shard layout, zero shuffle)
+    t0 = time.perf_counter()
+    res = run_extract_job(pages, os.path.join(work, "extract"), layout="shard",
+                          resume=False)
+    t_extract = time.perf_counter() - t0
+
+    # Phase B: curate over the extracted docs (read-back from parquet).
+    # Docs get an int64 id (xxhash64 of url) because the dedup family keys
+    # canonical ids as int64; collision odds at 1e6 docs ≈ 3e-8.
+    def docs_view(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["url", "extracted_text"]))
+        return (
+            df.with_columns(pl.col("url").hash(7).reinterpret(signed=True)
+                            .alias("doc_id"))
+            .rename({"extracted_text": "text"})
+            .select(["doc_id", "text"])
+            .to_arrow()
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(work, "extract", "docs"),
+        columns=["url", "extracted_text"],
+    ).map_batches(docs_view, batch_format="pyarrow")
+
+    t1 = time.perf_counter()
+    curated, stats = curate_docs(docs, work_dir=os.path.join(work, "curate"))
+    t_curate = time.perf_counter() - t1
+
+    # Phase C: C4-style line-level dedup over the curated survivors,
+    # written durable (parquet→parquet; driver sees only the row count)
+    t2 = time.perf_counter()
+    ld_dir = os.path.join(work, "line_dedup")
+    line_dedup(curated.select_columns(["doc_id", "text"])).write_parquet(ld_dir)
+    n_line_deduped = ray.data.read_parquet(ld_dir).count()
+    t_line = time.perf_counter() - t2
+
+    mon.stop()
+    total = time.perf_counter() - t0
+    print(json.dumps({
+        "pages": n_pages, "num_cpus": cpus,
+        "extract_sec": round(t_extract, 1),
+        "curate_sec": round(t_curate, 1),
+        "line_dedup_sec": round(t_line, 1),
+        "total_sec": round(total, 1),
+        "docs_per_sec_total": round(n_pages / total, 1),
+        "peak_plasma_mib": mon.peak_mib,
+        "extract_ok": res["ok_count"],
+        "curate_stats": stats,
+        "n_line_deduped": n_line_deduped,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
