@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import sys
 import threading
@@ -49,7 +48,9 @@ def ensure_corpus(n_pages: int) -> str:
 
 
 class PlasmaPeak(threading.Thread):
-    """Polls the cluster memory summary for peak plasma usage (MiB)."""
+    """Polls Ray's object_store_memory resource accounting for peak plasma
+    usage (MiB).  (memory_summary() needs grpc, absent in this env; the
+    resource view is tracked by the raylet and needs nothing extra.)"""
 
     def __init__(self) -> None:
         super().__init__(daemon=True)
@@ -57,17 +58,16 @@ class PlasmaPeak(threading.Thread):
         self._stop = threading.Event()
 
     def run(self) -> None:
-        from ray._private.internal_api import memory_summary
+        import ray
 
+        total = ray.cluster_resources().get("object_store_memory", 0.0)
         while not self._stop.is_set():
             try:
-                s = memory_summary(stats_only=True)
-                m = re.search(r"Plasma memory usage (\d+) MiB", s)
-                if m:
-                    self.peak_mib = max(self.peak_mib, float(m.group(1)))
+                free = ray.available_resources().get("object_store_memory", total)
+                self.peak_mib = max(self.peak_mib, (total - free) / 2**20)
             except Exception:
                 pass
-            self._stop.wait(1.0)
+            self._stop.wait(0.5)
 
     def stop(self) -> None:
         self._stop.set()
