@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newly oracle-backed this round (previously rows-only / vacuous)
         "embedding_near_dup": q.q_embedding_near_dup,
         "knn_ivf": q.q_knn_ivf,
+        # new operator this round: persistent-index incremental crawl dedup
+        "minhash_index_probe": q.q_minhash_index_probe,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
         "unique_sentences": q.q_unique_sentences,
@@ -86,7 +88,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": q.q_dataset_split,
         # aggregates / sort / window (A1-A6, O2)
         "lang_counts": q.q_lang_counts,
-        "events_by_type": q.q_events_by_type,
         "events_hopping": q.q_events_hopping,
         "top_users": q.q_top_users,
         "top_users_per_type": q.q_top_users_per_type,
@@ -124,6 +125,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * events_hourly / windowed_watermark → events_hopping,
       windowed_watermark_disorder (tumbling = degenerate hop; watermark
       path incl. late rows)
+    * events_by_type → lang_counts (same _grouped_sum count path) +
+      lineitem_pricing (same scaled-integer cents sums, more measures)
     * nation_customers → segment_revenue (join+agg), lang_map (broadcast)
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
@@ -132,6 +135,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "events_by_type": q.q_events_by_type,
         "sentences": q.q_sentences,
         "docs_text_segments": q.q_docs_text_segments,
         "token_count": q.q_token_count,
@@ -236,6 +240,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
             SELECT a AS doc_id, least(a, min(b))::BIGINT AS canonical_id
             FROM reach GROUP BY a
+        """,
+        # Incremental index probe = all CROSS pairs (corpus × re-crawled
+        # snapshot) passing the exact 3-gram Jaccard threshold: the probe
+        # verifies candidates exactly, and at r=2 (32 bands / 64 perms) the
+        # LSH miss probability at J >= 0.7 is < 1e-9, so the exact cross
+        # predicate is a true oracle (a recall miss would hash-mismatch)
+        "minhash_index_probe": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS g
+              FROM w)
+            SELECT a.doc_id AS index_id,
+                   (b.doc_id + 10000000)::BIGINT AS new_id
+            FROM d a JOIN d b ON b.doc_id % 5 = 0
+            WHERE 100 * len(list_intersect(a.g, b.g))
+                  >= 70 * len(list_distinct(a.g || b.g))
+            ORDER BY index_id, new_id
         """,
         # SimHash uses DuckDB's hash() for token hashes precisely so this
         # oracle can recompute the identical 64-bit signature in pure SQL;

@@ -1135,3 +1135,284 @@ def embedding_near_dup(ds, id_column: str = "vec_id", column: str = "embedding",
     )
     pairs = distinct(cand, ["id_a", "id_b"], num_partitions=16).materialize()
     return connected_components(pairs, id_column)
+
+
+# ------------------------------------------------------- incremental LSH index
+#
+# Persistent MinHash-LSH index for CRAWL-INCREMENT dedup: index the corpus
+# once (band rows + a doc store, both hash-partitioned parquet), then probe
+# each incoming snapshot against it WITHOUT rescanning the indexed corpus —
+# the probe reads only the band partitions its own band keys hash into and
+# only the doc-store partitions holding candidate members.  New docs are
+# appended with :func:`minhash_index_insert` (parquet part files are named
+# per-execution-uuid, so appends never clobber), giving the
+# probe → filter → insert loop a Common-Crawl-style frontier needs.
+# Beyond-reference operator (reference dedupes nothing across runs; its
+# history map at main.py:picking translated sentences is per-job).
+
+_INDEX_BANDS_SUBDIR = "bands"
+_INDEX_DOCS_SUBDIR = "docs"
+_INDEX_META_FILE = "meta.json"
+_BPART_COL = "bpart"
+_DPART_COL = "dpart"
+
+
+def _load_index_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index_dir, _INDEX_META_FILE)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"no MinHash index at {index_dir!r} (missing {_INDEX_META_FILE}) — "
+            "run build_minhash_index first"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _add_bpart(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Band-partition key derived ONLY from (band_id, band_key) — stable
+    across build / insert / probe, so a probe can compute which index
+    partition directories its band rows could possibly collide in."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column(_BPART_COL, pa.array([], pa.int32()))
+    bid = np.asarray(batch["band_id"].to_pylist(), dtype=np.uint64)
+    key = np.asarray(batch["band_key"].to_pylist(), dtype=np.int64).view(np.uint64)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        h = (key ^ (bid * gold)) * gold
+    return batch.append_column(
+        _BPART_COL, pa.array((h % np.uint64(num_partitions)).astype(np.int32),
+                             pa.int32())
+    )
+
+
+def _index_band_rows(ds, meta: dict, concurrency: int | None):
+    """signature (actor pool, meta params) → band explode → bpart."""
+    if concurrency is None:
+        from docling_translate_ray.util import auto_pool_size
+
+        concurrency = auto_pool_size()
+    id_column, column = meta["id_column"], meta["column"]
+    sigs = ds.select_columns([id_column, column]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "column": column, "num_perm": meta["num_perm"],
+            "k_shingle": meta["k_shingle"], "seed": meta["seed"],
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).select_columns([id_column, "minhash"])
+    bands = sigs.map_batches(
+        lambda b: _explode_bands(b, meta["num_bands"], id_column),
+        batch_format="pyarrow",
+    )
+    return bands.map_batches(
+        lambda b: _add_bpart(b, meta["num_partitions"]), batch_format="pyarrow"
+    )
+
+
+def _add_dpart(batch: pa.Table, id_column: str, doc_partitions: int) -> pa.Table:
+    ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+    return batch.append_column(
+        _DPART_COL, pa.array(np.abs(ids) % doc_partitions, pa.int32())
+    )
+
+
+def minhash_index_insert(ds, index_dir: str, concurrency: int | None = None) -> None:
+    """Append docs to an existing index: band rows into their ``bpart=``
+    directories, (id, text) into the doc store's ``dpart=`` directories.
+    Parquet part files are uuid-named per execution — appends never
+    overwrite, and a later probe sees old + new generations as one dataset.
+    Caller contract: ids are unique across the index's whole lifetime."""
+    import os
+
+    meta = _load_index_meta(index_dir)
+    id_column, column = meta["id_column"], meta["column"]
+    _index_band_rows(ds, meta, concurrency).write_parquet(
+        os.path.join(index_dir, _INDEX_BANDS_SUBDIR), partition_cols=[_BPART_COL]
+    )
+    ds.select_columns([id_column, column]).map_batches(
+        lambda b: _add_dpart(b, id_column, meta["doc_partitions"]),
+        batch_format="pyarrow",
+    ).write_parquet(
+        os.path.join(index_dir, _INDEX_DOCS_SUBDIR), partition_cols=[_DPART_COL]
+    )
+
+
+def build_minhash_index(ds, index_dir: str, column: str = "text",
+                        id_column: str = "doc_id", num_perm: int = 64,
+                        num_bands: int = 32, k_shingle: int = 3, seed: int = 42,
+                        num_partitions: int = 32, doc_partitions: int = 16,
+                        concurrency: int | None = None) -> None:
+    """ONE-TIME build of the persistent LSH index (replaces any prior
+    generation).  ``num_bands=32`` over 64 perms (r=2) holds miss
+    probability at J=0.7 below 1e-9 — the extra candidates it admits are
+    discarded by the exact verify in :func:`minhash_index_probe`.  At 100 TB
+    raise ``num_partitions`` / ``doc_partitions`` so one partition is a few
+    GB; both are one-line knobs recorded in the index meta."""
+    import json
+    import os
+    import shutil
+
+    if num_bands < 1 or num_perm % num_bands != 0:
+        raise ValueError("num_perm must be a positive multiple of num_bands")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    meta = {
+        "column": column, "id_column": id_column, "num_perm": num_perm,
+        "num_bands": num_bands, "k_shingle": k_shingle, "seed": seed,
+        "num_partitions": num_partitions, "doc_partitions": doc_partitions,
+    }
+    with open(os.path.join(index_dir, _INDEX_META_FILE), "w") as f:
+        json.dump(meta, f)
+    minhash_index_insert(ds, index_dir, concurrency=concurrency)
+
+
+def _probe_band_paths(index_dir: str, bparts) -> list[str]:
+    """Parquet files of exactly the probed band partitions (cf. IVF's
+    pruned read, knn._probe_paths) — the other ``num_partitions - |bparts|``
+    directories are never listed, let alone opened."""
+    import os
+
+    base = os.path.join(index_dir, _INDEX_BANDS_SUBDIR)
+    out: list[str] = []
+    for p in sorted(int(x) for x in bparts):
+        pdir = os.path.join(base, f"{_BPART_COL}={p}")
+        if os.path.isdir(pdir):
+            out.extend(os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                       if f.endswith(".parquet"))
+    return out
+
+
+def _doc_store_paths(index_dir: str, dparts) -> list[str]:
+    import os
+
+    base = os.path.join(index_dir, _INDEX_DOCS_SUBDIR)
+    out: list[str] = []
+    for p in sorted(int(x) for x in dparts):
+        pdir = os.path.join(base, f"{_DPART_COL}={p}")
+        if os.path.isdir(pdir):
+            out.extend(os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                       if f.endswith(".parquet"))
+    return out
+
+
+def minhash_index_probe(new_ds, index_dir: str, threshold: float = 0.7,
+                        concurrency: int | None = None):
+    """Probe an incoming snapshot against a built index: verified near-dup
+    rows ``(index_id, new_id)`` (exact integer-threshold Jaccard, the
+    :func:`minhash_lsh_dedup` verify).  The indexed corpus is NEVER
+    rescanned: band lookups read only the probe's own ``bpart`` partitions
+    and candidate texts read only the candidates' ``dpart`` doc-store
+    partitions.  Ids must be disjoint between index and probe (offset the
+    snapshot's ids); identical ids are dropped as self-matches.
+
+    ``new_ds`` is consumed twice (band rows + candidate texts) — pass a
+    re-readable source.  The probe's band rows are materialized (the small
+    side: a crawl increment, not the corpus)."""
+    import ray
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    from docling_translate_ray.stages.shuffle import distinct, hash_partition_apply
+    from docling_translate_ray.util import collect_to_table
+
+    meta = _load_index_meta(index_dir)
+    id_column, column = meta["id_column"], meta["column"]
+    threshold_pct = int(round(threshold * 100))
+    new_docs = new_ds.select_columns([id_column, column])
+
+    new_bands = _index_band_rows(new_ds, meta, concurrency).materialize()
+
+    # which index partitions can this probe's keys live in? (≤ num_partitions
+    # tiny ints — the only probe-side data the driver ever sees)
+    bpart_partials = new_bands.map_batches(
+        lambda b: pa.table({_BPART_COL: pc.unique(b[_BPART_COL])}),
+        batch_format="pyarrow",
+    )
+    bparts = set(
+        collect_to_table(
+            bpart_partials, empty_schema=pa.schema([(_BPART_COL, pa.int32())])
+        )[_BPART_COL].to_pylist()
+    )
+    paths = _probe_band_paths(index_dir, bparts)
+    pair_schema = pa.schema([("index_id", pa.int64()), ("new_id", pa.int64())])
+    if not paths:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    idx_bands = ray.data.read_parquet(
+        paths, columns=["band_id", "band_key", id_column]
+    )
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "band_id": batch["band_id"], "band_key": batch["band_key"],
+                id_column: batch[id_column],
+                "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8),
+                                 pa.int8()),
+            })
+
+        return fn
+
+    both = idx_bands.map_batches(tag(0), batch_format="pyarrow").union(
+        new_bands.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def bucket_cross(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        a = df.filter(pl.col("side") == 0).rename({id_column: "index_id"})
+        b = df.filter(pl.col("side") == 1).rename({id_column: "new_id"})
+        if not a.height or not b.height:
+            return pair_schema.empty_table()
+        out = (
+            a.select(["band_id", "band_key", "index_id"])
+            .join(b.select(["band_id", "band_key", "new_id"]),
+                  on=["band_id", "band_key"], how="inner")
+            .filter(pl.col("index_id") != pl.col("new_id"))
+            .select(["index_id", "new_id"])
+            .unique()
+        )
+        return out.to_arrow().cast(pair_schema)
+
+    cand = hash_partition_apply(both, ["band_id", "band_key"], bucket_cross)
+    pairs = distinct(cand, ["index_id", "new_id"], num_partitions=16).materialize()
+
+    # candidate texts: index side via a PRUNED doc-store read (only the
+    # candidates' dpart directories), probe side from new_ds
+    idx_ids = _collect_pair_ids(
+        pairs.map_batches(
+            lambda b: pa.table({"id_a": b["index_id"], "id_b": b["index_id"]}),
+            batch_format="pyarrow",
+        ),
+        max_broadcast=5_000_000,
+    )
+    if idx_ids is not None:
+        dparts = {int(abs(i)) % meta["doc_partitions"] for i in idx_ids}
+    else:  # candidate set past the driver budget — read the whole store,
+        # the semi-join inside _candidate_texts still prunes rows
+        dparts = range(meta["doc_partitions"])
+    dpaths = _doc_store_paths(index_dir, dparts)
+    docs = new_docs
+    if dpaths:
+        docs = ray.data.read_parquet(dpaths, columns=[id_column, column]).union(
+            new_docs
+        )
+
+    pairs_ab = pairs.map_batches(
+        lambda b: pa.table({"id_a": b["index_id"], "id_b": b["new_id"]}),
+        batch_format="pyarrow",
+    )
+    verified = _verify_pairs_jaccard(
+        pairs_ab, docs, id_column, column, threshold_pct=threshold_pct,
+        k_shingle=meta["k_shingle"],
+    )
+    return verified.map_batches(
+        lambda b: pa.table({"index_id": b["id_a"], "new_id": b["id_b"]}),
+        batch_format="pyarrow",
+    )

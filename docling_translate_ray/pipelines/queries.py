@@ -180,6 +180,46 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def incoming_snapshot_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic 'next crawl snapshot' view: every ``doc_id % 5 == 0``
+    document re-crawled unchanged, ids offset into a disjoint space (the
+    oracle rebuilds the same view in SQL — cf. plant_embedding_twins_batch)."""
+    ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    out = batch.filter(pa.array(ids % 5 == 0))
+    return pa.table({
+        "doc_id": pa.array(
+            np.asarray(out["doc_id"].to_pylist(), dtype=np.int64) + 10_000_000,
+            pa.int64()),
+        "text": out["text"],
+    })
+
+
+def q_minhash_index_probe(sf_dir: str):
+    """Incremental crawl dedup: build the persistent MinHash-LSH index over
+    the corpus ONCE (band rows + doc store, hash-partitioned parquet), then
+    probe the next snapshot against it with pruned partition reads — the
+    corpus is never rescanned.  Output: verified cross pairs
+    ``(index_id, new_id)`` at exact 3-gram Jaccard ≥ 0.7; every re-crawled
+    doc matches its own indexed copy (J=1), so the row set is non-vacuous
+    by construction."""
+    import shutil
+    import tempfile
+
+    corpus_ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    incoming = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        incoming_snapshot_batch, batch_format="pyarrow"
+    )
+    tmp = tempfile.mkdtemp(prefix="dtr_mhidx_")
+    try:
+        fdedup.build_minhash_index(corpus_ds, tmp)
+        out = fdedup.minhash_index_probe(incoming, tmp, threshold=0.7)
+        # small verified-pair table; pin it before the index dir vanishes
+        return _collect(out).sort_by([("index_id", "ascending"),
+                                      ("new_id", "ascending")])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_simhash_near_dup(sf_dir: str):
     return fdedup.simhash_near_dup(_read(sf_dir, "documents", ["doc_id", "text"]))
 

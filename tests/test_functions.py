@@ -1001,3 +1001,126 @@ def test_audio_hasher_drops_non_audio():
     out = mm.AudioHasher()(tbl)
     assert out.num_rows == sum(1 for k in tbl["kind"].to_pylist() if k == "audio")
     assert out.column_names == ["media_id", "audio_hash"]
+
+
+# ---------------------------------------------------- incremental MinHash index
+
+
+_IDX_CORPUS = [
+    "the quick brown fox jumps over the lazy dog every single day",
+    "the quick brown fox jumps over the lazy dog every single night",
+    "completely different text about ray data streaming execution engines",
+    "another unrelated document discussing parquet partitioning strategy",
+    "yet more unique content on minhash locality sensitive hashing",
+    "final doc with nothing in common with any of the others here",
+]
+_IDX_INCOMING = [
+    (100, "the quick brown fox jumps over the lazy dog every single day"),
+    (101, "completely different text about ray data streaming execution machines"),
+    (102, "totally novel incoming page that matches nothing in the index"),
+]
+
+
+def _idx_corpus_ds():
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(_IDX_CORPUS)), pa.int64()),
+        "text": pa.array(_IDX_CORPUS, pa.string()),
+    }))
+
+
+def _idx_incoming_ds(rows=None):
+    import ray.data
+
+    rows = rows if rows is not None else _IDX_INCOMING
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def _brute_cross_pairs(corpus, incoming, threshold_pct=70, k=3):
+    out = set()
+    for i, ta in enumerate(corpus):
+        sa = frozenset(dd.word_shingles(ta, k))
+        for nid, tb in incoming:
+            sb = frozenset(dd.word_shingles(tb, k))
+            union = len(sa | sb)
+            if union == 0 or 100 * len(sa & sb) >= threshold_pct * union:
+                out.add((i, nid))
+    return out
+
+
+def test_minhash_index_probe_matches_brute_force(tmp_path):
+    idx = str(tmp_path / "idx")
+    dd.build_minhash_index(_idx_corpus_ds(), idx, num_partitions=8,
+                           doc_partitions=4, concurrency=2)
+    got = {(r["index_id"], r["new_id"])
+           for r in _to_table(dd.minhash_index_probe(
+               _idx_incoming_ds(), idx, threshold=0.7, concurrency=2)).to_pylist()}
+    assert got == _brute_cross_pairs(_IDX_CORPUS, _IDX_INCOMING)
+    assert got  # non-vacuous
+
+
+def test_minhash_index_probe_reads_only_probed_band_partitions(tmp_path):
+    """The physical pruning proof (cf. the IVF partition-prune test):
+    deleting every band partition the probe does NOT touch leaves the
+    answer unchanged — the probe never opens them."""
+    import os
+    import shutil
+
+    from docling_translate_ray.functions.dedup import (
+        _BPART_COL, _INDEX_BANDS_SUBDIR, _add_bpart, _index_band_rows,
+        _load_index_meta,
+    )
+
+    idx = str(tmp_path / "idx")
+    dd.build_minhash_index(_idx_corpus_ds(), idx, num_partitions=16,
+                           doc_partitions=4, concurrency=2)
+    one = [_IDX_INCOMING[0]]
+    baseline = {(r["index_id"], r["new_id"])
+                for r in _to_table(dd.minhash_index_probe(
+                    _idx_incoming_ds(one), idx, concurrency=2)).to_pylist()}
+    meta = _load_index_meta(idx)
+    needed = set()
+    for b in _index_band_rows(_idx_incoming_ds(one), meta, 2) \
+            .iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        needed.update(t[_BPART_COL].to_pylist())
+    bands_dir = os.path.join(idx, _INDEX_BANDS_SUBDIR)
+    removed = 0
+    for d in os.listdir(bands_dir):
+        if int(d.split("=")[1]) not in needed:
+            shutil.rmtree(os.path.join(bands_dir, d))
+            removed += 1
+    assert removed > 0  # the prune is real, not vacuous
+    again = {(r["index_id"], r["new_id"])
+             for r in _to_table(dd.minhash_index_probe(
+                 _idx_incoming_ds(one), idx, concurrency=2)).to_pylist()}
+    assert again == baseline and baseline
+
+
+def test_minhash_index_insert_is_live_and_append_safe(tmp_path):
+    import os
+
+    idx = str(tmp_path / "idx")
+    dd.build_minhash_index(_idx_corpus_ds(), idx, num_partitions=8,
+                           doc_partitions=4, concurrency=2)
+    docs_dir = os.path.join(idx, "docs")
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(docs_dir))
+    dd.minhash_index_insert(_idx_incoming_ds([
+        (7, "totally novel incoming page that matches nothing in the index"),
+    ]), idx, concurrency=2)
+    # append wrote NEW files; the old generation is untouched
+    assert sum(len(fs) for _, _, fs in os.walk(docs_dir)) > n_files_before
+    got = {(r["index_id"], r["new_id"])
+           for r in _to_table(dd.minhash_index_probe(
+               _idx_incoming_ds(), idx, concurrency=2)).to_pylist()}
+    want = _brute_cross_pairs(_IDX_CORPUS, _IDX_INCOMING) | {(7, 102)}
+    assert got == want
+
+
+def test_minhash_index_probe_requires_built_index(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        dd.minhash_index_probe(_idx_incoming_ds(), str(tmp_path / "nope"))
