@@ -47,8 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newly oracle-backed this round (previously rows-only / vacuous)
         "embedding_near_dup": q.q_embedding_near_dup,
         "knn_ivf": q.q_knn_ivf,
-        # new operator this round: persistent-index incremental crawl dedup
+        # new operators this round: persistent-index incremental crawl
+        # dedup + cross-snapshot diff + latest-version select
         "minhash_index_probe": q.q_minhash_index_probe,
+        "snapshot_diff": q.q_snapshot_diff,
+        "latest_version": q.q_latest_version,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
         "unique_sentences": q.q_unique_sentences,
@@ -66,7 +69,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": q.q_blocklist_filter,
         "heavy_hitters": q.q_heavy_hitters,
         # similarity search
-        "cosine_pairs": q.q_cosine_pairs,
         "knn_topk": q.q_knn_topk,
         "kmeans": q.q_kmeans,
         # text analysis
@@ -90,7 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q.q_lang_counts,
         "events_hopping": q.q_events_hopping,
         "top_users": q.q_top_users,
-        "top_users_per_type": q.q_top_users_per_type,
         "lineitem_pricing": q.q_lineitem_pricing,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
@@ -127,6 +128,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       path incl. late rows)
     * events_by_type → lang_counts (same _grouped_sum count path) +
       lineitem_pricing (same scaled-integer cents sums, more measures)
+    * top_users_per_type → top_users (same combiner → local-topk merge) +
+      domain_cap (same per-key rank ≤ k window)
+    * cosine_pairs → knn_topk (same broadcast-matrix cosine kernel) +
+      embedding_near_dup (whose oracle IS the exact cosine-pair predicate)
     * nation_customers → segment_revenue (join+agg), lang_map (broadcast)
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
@@ -136,6 +141,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
 
     return {
         "events_by_type": q.q_events_by_type,
+        "top_users_per_type": q.q_top_users_per_type,
+        "cosine_pairs": q.q_cosine_pairs,
         "sentences": q.q_sentences,
         "docs_text_segments": q.q_docs_text_segments,
         "token_count": q.q_token_count,
@@ -264,6 +271,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 70 * len(list_distinct(a.g || b.g))
             ORDER BY index_id, new_id
+        """,
+        # Cross-snapshot diff: both snapshot views are rebuilt in SQL from
+        # `documents` with the identical string ops, then FULL OUTER JOIN on
+        # url + md5 compare — absent sides coalesce to '' on BOTH engines
+        # so the value hash never sees an engine-specific null spelling
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT 'doc://' || doc_id AS url, text FROM documents),
+            new AS (
+              SELECT 'doc://' || doc_id AS url,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'doc://new-' || doc_id, text
+              FROM documents WHERE doc_id % 11 = 0),
+            o AS (SELECT url, md5(text) AS old_md5 FROM old),
+            n AS (SELECT url, md5(text) AS new_md5 FROM new)
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   coalesce(old_md5, '') AS old_md5,
+                   coalesce(new_md5, '') AS new_md5
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+            WHERE o.url IS NULL OR n.url IS NULL OR old_md5 <> new_md5
+        """,
+        # Latest-version select: doc i has i % 3 + 1 crawled versions at
+        # strictly increasing warc_ts (ties impossible by construction);
+        # winner per url = the row_number() = 1 window row
+        "latest_version": """
+            WITH v AS (
+              SELECT 'doc://' || doc_id AS url,
+                     (1700000000 + t.vv * 3600 + doc_id)::BIGINT AS warc_ts,
+                     text || ' rev' || t.vv AS text
+              FROM documents, unnest(range(doc_id % 3 + 1)) AS t(vv))
+            SELECT url, warc_ts, text FROM v
+            QUALIFY row_number() OVER (PARTITION BY url
+                                       ORDER BY warc_ts DESC) = 1
         """,
         # SimHash uses DuckDB's hash() for token hashes precisely so this
         # oracle can recompute the identical 64-bit signature in pure SQL;

@@ -1,0 +1,130 @@
+"""Cross-snapshot crawl operators: what changed between two crawls, and
+which page version is current.
+
+A Common-Crawl-style pipeline re-crawls the web continuously; downstream
+work (extraction, dedup, indexing — cf. :mod:`..pipelines.extract`,
+:func:`..functions.dedup.minhash_index_probe`) should touch only the pages
+that are NEW or CHANGED since the last processed snapshot, and "the
+corpus" at any moment is the LATEST version of each url.  Both operators
+here are single-exchange plans over narrow rows:
+
+* :func:`snapshot_diff` — classify urls into added / removed / changed
+  between two snapshots.  Each side is reduced per batch to
+  ``(url, md5)`` (16-byte fingerprint — page bytes never shuffle), the
+  tagged union makes ONE hash exchange on url, and each partition
+  classifies locally.  At 10^12 urls the exchange carries ~50 bytes/url —
+  the minimum any content-compare diff can move.
+* :func:`latest_page_version` — per-url argmax over the crawl timestamp
+  (combiner-first: each batch keeps its local winner per url, so the
+  exchange moves one row per (batch, url), then partitions pick the global
+  winner).  Skew note: a url appears once per SNAPSHOT, not once per page,
+  so per-key cardinality is bounded by the snapshot count — no salting
+  needed.
+
+Beyond-reference operators (the reference processes one upload at a time;
+it has no notion of snapshots — SURVEY.md §2 O5 family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+_DIFF_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("change", pa.string()),
+    ("old_md5", pa.string()),
+    ("new_md5", pa.string()),
+])
+
+
+def _fingerprint_batch(batch: pa.Table, url_column: str, content_column: str,
+                       side: int) -> pa.Table:
+    md5 = [hashlib.md5((t or "").encode()).hexdigest()
+           for t in batch[content_column].to_pylist()]
+    return pa.table({
+        "url": batch[url_column].cast(pa.string()),
+        "md5": pa.array(md5, pa.string()),
+        "side": pa.array([side] * batch.num_rows, pa.int8()),
+    })
+
+
+def _classify_partition(part: pa.Table) -> pa.Table:
+    import polars as pl
+
+    df = pl.from_arrow(part)
+    old = (df.filter(pl.col("side") == 0)
+           .select("url", pl.col("md5").alias("old_md5")))
+    new = (df.filter(pl.col("side") == 1)
+           .select("url", pl.col("md5").alias("new_md5")))
+    both = old.join(new, on="url", how="full", coalesce=True).with_columns(
+        pl.when(pl.col("old_md5").is_null())
+        .then(pl.lit("added"))
+        .when(pl.col("new_md5").is_null())
+        .then(pl.lit("removed"))
+        .when(pl.col("old_md5") != pl.col("new_md5"))
+        .then(pl.lit("changed"))
+        .otherwise(pl.lit("unchanged"))
+        .alias("change"),
+        pl.col("old_md5").fill_null(""),
+        pl.col("new_md5").fill_null(""),
+    ).filter(pl.col("change") != "unchanged")
+    return both.select(["url", "change", "old_md5", "new_md5"]).to_arrow() \
+        .cast(_DIFF_SCHEMA)
+
+
+def snapshot_diff(old_ds, new_ds, url_column: str = "url",
+                  content_column: str = "text"):
+    """Rows ``(url, change, old_md5, new_md5)`` with change ∈ {added,
+    removed, changed}; unchanged urls are dropped (the common case at
+    crawl cadence — they never leave the classifying partition).  Absent
+    sides carry ``''`` (not null) so value-hash oracles compare exactly.
+
+    Caller contract: each snapshot has at most one row per url (run
+    :func:`..functions.urltools.url_dedup` first — the documented ingest
+    order).  A duplicate url within one side would cross-join inside its
+    partition; bounded, but the classification of a self-conflicting
+    snapshot is not meaningful.
+    """
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    tagged = old_ds.map_batches(
+        lambda b: _fingerprint_batch(b, url_column, content_column, 0),
+        batch_format="pyarrow",
+    ).union(new_ds.map_batches(
+        lambda b: _fingerprint_batch(b, url_column, content_column, 1),
+        batch_format="pyarrow",
+    ))
+    return hash_partition_apply(tagged, ["url"], _classify_partition)
+
+
+def latest_page_version(ds, url_column: str = "url", ts_column: str = "warc_ts",
+                        tiebreak: list[str] | None = None):
+    """Keep the most recent version of every url (argmax over the crawl
+    timestamp), carrying ALL other columns of the winning row.
+
+    Determinism: ties on the timestamp break by ``tiebreak`` columns
+    descending (default: every remaining column, in schema order) — the
+    winner is a pure function of the row set, never of block order.
+    """
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def local_winner(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return batch
+        df = pl.from_arrow(batch)
+        tb = tiebreak if tiebreak is not None else [
+            c for c in df.columns if c not in (url_column, ts_column)
+        ]
+        return (
+            df.sort([ts_column, *tb], descending=True, maintain_order=True)
+            .unique(subset=[url_column], keep="first", maintain_order=True)
+            .to_arrow()
+        )
+
+    combined = ds.map_batches(local_winner, batch_format="pyarrow")
+    return hash_partition_apply(combined, [url_column], local_winner)

@@ -297,6 +297,83 @@ def q_domain_cap(sf_dir: str, k: int = 3):
     return urltools.domain_cap(pages, k=k, url_column="url", id_column="doc_id")
 
 
+def snapshot_pair_batches(batch: pa.Table):
+    """Deterministic two-snapshot view of `documents` (oracle rebuilds the
+    same strings in SQL): old = every doc at ``doc://<id>``; new = the same
+    crawl minus ``id % 7 == 0`` (removed), with ``id % 5 == 0`` re-crawled
+    as ``text || ' v2'`` (changed), plus ``doc://new-<id>`` pages for
+    ``id % 11 == 0`` (added)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        ("doc://" + pl.col("doc_id").cast(pl.String)).alias("url")
+    )
+    old = df.select(["url", "text"])
+    survivors = df.filter(pl.col("doc_id") % 7 != 0).with_columns(
+        pl.when(pl.col("doc_id") % 5 == 0)
+        .then(pl.col("text") + " v2")
+        .otherwise(pl.col("text"))
+        .alias("text")
+    ).select(["url", "text"])
+    added = df.filter(pl.col("doc_id") % 11 == 0).select(
+        ("doc://new-" + pl.col("doc_id").cast(pl.String)).alias("url"), "text"
+    )
+    schema = pa.schema([("url", pa.string()), ("text", pa.string())])
+    return (old.to_arrow().cast(schema),
+            pl.concat([survivors, added]).to_arrow().cast(schema))
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Cross-snapshot crawl diff (functions/crawl.snapshot_diff): which
+    urls were added / removed / changed between two crawls — 16-byte
+    fingerprints through ONE url-hash exchange, page text never shuffles."""
+    from docling_translate_ray.functions import crawl as fcrawl
+
+    def side(i: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return snapshot_pair_batches(batch)[i]
+
+        return fn
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    old_ds = base.map_batches(side(0), batch_format="pyarrow")
+    new_ds = base.map_batches(side(1), batch_format="pyarrow")
+    return fcrawl.snapshot_diff(old_ds, new_ds)
+
+
+def q_latest_version(sf_dir: str):
+    """Latest-version-per-url select (functions/crawl.latest_page_version)
+    over a deterministic multi-snapshot view: doc ``i`` has ``i % 3 + 1``
+    crawled versions at distinct ``warc_ts``; keep the newest row per url
+    (combiner-first argmax, one narrow exchange)."""
+    import polars as pl
+
+    from docling_translate_ray.functions import crawl as fcrawl
+
+    def versions(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        out = (
+            df.with_columns((pl.col("doc_id") % 3 + 1).alias("_nv"))
+            .with_columns(pl.int_ranges(0, pl.col("_nv")).alias("_v"))
+            .explode("_v")
+            .select(
+                ("doc://" + pl.col("doc_id").cast(pl.String)).alias("url"),
+                (1_700_000_000 + pl.col("_v") * 3600 + pl.col("doc_id"))
+                .cast(pl.Int64).alias("warc_ts"),
+                (pl.col("text") + " rev" + pl.col("_v").cast(pl.String))
+                .alias("text"),
+            )
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("url", pa.string()), ("warc_ts", pa.int64()), ("text", pa.string()),
+        ]))
+
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        versions, batch_format="pyarrow"
+    )
+    return fcrawl.latest_page_version(pages)
+
+
 def q_top_words(sf_dir: str, k: int = 50):
     """Corpus vocabulary top-k (token distribution — the training-data
     "what's in my corpus" op): global word counts via per-batch combiner →

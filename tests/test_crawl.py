@@ -1,0 +1,81 @@
+"""Cross-snapshot crawl operators (functions/crawl.py): diff classification
+ground truth, md5 fingerprint semantics, argmax determinism, repartition
+invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from docling_translate_ray.functions import crawl
+
+
+def _ds(rows, schema):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(rows, schema=schema))
+
+
+_PAGE_SCHEMA = pa.schema([("url", pa.string()), ("text", pa.string())])
+
+
+def _to_rows(ds):
+    return sorted(
+        (tuple(r.values()) for r in ds.take_all()), key=lambda t: t[0]
+    )
+
+
+def test_snapshot_diff_classifies_all_three_kinds():
+    old = _ds({"url": ["u1", "u2", "u3", "u4"],
+               "text": ["same", "before", "gone", "also same"]}, _PAGE_SCHEMA)
+    new = _ds({"url": ["u1", "u2", "u5", "u4"],
+               "text": ["same", "after", "brand new", "also same"]}, _PAGE_SCHEMA)
+    got = _to_rows(crawl.snapshot_diff(old, new))
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == [
+        ("u2", "changed", md5("before"), md5("after")),
+        ("u3", "removed", md5("gone"), ""),
+        ("u5", "added", "", md5("brand new")),
+    ]
+
+
+def test_snapshot_diff_empty_and_disjoint():
+    old = _ds({"url": ["a"], "text": ["x"]}, _PAGE_SCHEMA)
+    new = _ds({"url": ["b"], "text": ["y"]}, _PAGE_SCHEMA)
+    got = _to_rows(crawl.snapshot_diff(old, new))
+    assert [(r[0], r[1]) for r in got] == [("a", "removed"), ("b", "added")]
+    # identical snapshots → empty diff
+    same = _to_rows(crawl.snapshot_diff(old, old))
+    assert same == []
+
+
+_VER_SCHEMA = pa.schema([("url", pa.string()), ("warc_ts", pa.int64()),
+                         ("text", pa.string())])
+
+
+def test_latest_page_version_argmax_and_tiebreak():
+    ds = _ds({
+        "url": ["u", "u", "u", "v", "w", "w"],
+        "warc_ts": [3, 1, 2, 9, 5, 5],
+        "text": ["newest", "oldest", "mid", "only", "zebra", "alpha"],
+    }, _VER_SCHEMA)
+    got = {r["url"]: (r["warc_ts"], r["text"])
+           for r in crawl.latest_page_version(ds).take_all()}
+    assert got["u"] == (3, "newest")
+    assert got["v"] == (9, "only")
+    # tie on warc_ts breaks by remaining columns DESCENDING → "zebra"
+    assert got["w"] == (5, "zebra")
+
+
+def test_latest_page_version_repartition_invariant():
+    rows = {
+        "url": [f"u{i % 7}" for i in range(50)],
+        "warc_ts": [(i * 13) % 29 for i in range(50)],
+        "text": [f"t{i}" for i in range(50)],
+    }
+    a = crawl.latest_page_version(_ds(rows, _VER_SCHEMA).repartition(2))
+    b = crawl.latest_page_version(_ds(rows, _VER_SCHEMA).repartition(9))
+    ra = sorted((r["url"], r["warc_ts"], r["text"]) for r in a.take_all())
+    rb = sorted((r["url"], r["warc_ts"], r["text"]) for r in b.take_all())
+    assert ra == rb and len(ra) == 7
