@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_index_probe": q.q_minhash_index_probe,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_version": q.q_latest_version,
+        "incremental_extract": q.q_incremental_extract,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
         "unique_sentences": q.q_unique_sentences,
@@ -73,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q.q_kmeans,
         # text analysis
         "token_count_bpe": q.q_token_count_bpe,
-        "quality": q.q_quality,
         "gopher_quality": q.q_gopher_quality,
         "rep_signals": q.q_rep_signals,
         "lang_token_quantiles": q.q_lang_token_quantiles,
@@ -132,6 +132,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       domain_cap (same per-key rank ≤ k window)
     * cosine_pairs → knn_topk (same broadcast-matrix cosine kernel) +
       embedding_near_dup (whose oracle IS the exact cosine-pair predicate)
+    * quality → gopher_quality (same pure per-batch gate family, stricter
+      rule set) + curate (quality_batch runs inside the composite oracle)
     * nation_customers → segment_revenue (join+agg), lang_map (broadcast)
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
@@ -143,6 +145,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q.q_events_by_type,
         "top_users_per_type": q.q_top_users_per_type,
         "cosine_pairs": q.q_cosine_pairs,
+        "quality": q.q_quality,
         "sentences": q.q_sentences,
         "docs_text_segments": q.q_docs_text_segments,
         "token_count": q.q_token_count,
@@ -271,6 +274,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 70 * len(list_distinct(a.g || b.g))
             ORDER BY index_id, new_id
+        """,
+        # Incremental extraction invariant: the manifest-resolved state
+        # (base − tombstones + delta, only added/changed pages re-parsed)
+        # must equal a FULL re-extraction of snapshot 2 — so the oracle is
+        # the extract_pages expression over the snapshot-2 view
+        "incremental_extract": f"""
+            WITH newdocs AS (
+              SELECT 'doc://' || doc_id AS url, doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END AS text, lang
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'doc://new-' || doc_id, doc_id, text, lang
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT url, 'ok' AS status,
+                   {_EXTRACTED_EXPR} AS extracted_text,
+                   length({_EXTRACTED_EXPR})::BIGINT AS n_chars
+            FROM newdocs
         """,
         # Cross-snapshot diff: both snapshot views are rebuilt in SQL from
         # `documents` with the identical string ops, then FULL OUTER JOIN on

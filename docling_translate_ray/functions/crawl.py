@@ -41,8 +41,10 @@ _DIFF_SCHEMA = pa.schema([
 
 def _fingerprint_batch(batch: pa.Table, url_column: str, content_column: str,
                        side: int) -> pa.Table:
-    md5 = [hashlib.md5((t or "").encode()).hexdigest()
-           for t in batch[content_column].to_pylist()]
+    vals = batch[content_column].to_pylist()
+    md5 = [hashlib.md5(
+        v if isinstance(v, (bytes, bytearray)) else (v or "").encode()
+    ).hexdigest() for v in vals]
     return pa.table({
         "url": batch[url_column].cast(pa.string()),
         "md5": pa.array(md5, pa.string()),

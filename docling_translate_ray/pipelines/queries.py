@@ -374,6 +374,79 @@ def q_latest_version(sf_dir: str):
     return fcrawl.latest_page_version(pages)
 
 
+def snapshot_pages_batch(batch: pa.Table, which: str) -> pa.Table:
+    """input_hint-shaped pages for the deterministic snapshot pair: old =
+    every doc wrapped at ``doc://<id>``; new = minus ``id%7==0``, with
+    ``id%5==0`` re-crawled carrying ``text || ' v2'``, plus ``doc://new-<id>``
+    pages for ``id%11==0`` (same delta spec as snapshot_pair_batches)."""
+    rows = []
+    for i, t, l in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
+                       batch["lang"].to_pylist()):
+        t = t or ""
+        if which == "old":
+            rows.append((f"doc://{i}", i, t, l or ""))
+        else:
+            if i % 7 != 0:
+                t2 = t + " v2" if i % 5 == 0 else t
+                rows.append((f"doc://{i}", i, t2, l or ""))
+            if i % 11 == 0:
+                rows.append((f"doc://new-{i}", i, t, l or ""))
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "html": pa.array(
+            [corpus.doc_row_to_page_html(r[1], r[2], r[3]).encode("utf-8")
+             for r in rows], pa.binary()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+def q_incremental_extract(sf_dir: str):
+    """LSM-style incremental extraction (pipelines/incremental.py): run the
+    full job on snapshot 1, then pay extraction ONLY for snapshot 2's
+    added + changed pages; ``read_corpus_docs`` resolves base − tombstones
+    + delta.  Oracle: full re-extraction of snapshot 2 — the incremental
+    state must be row-identical to it (the module invariant)."""
+    import functools
+    import os
+    import shutil
+    import tempfile
+
+    from docling_translate_ray.pipelines.extract import run_extract_job
+    from docling_translate_ray.pipelines.incremental import (
+        read_corpus_docs,
+        run_incremental_extract_job,
+    )
+
+    work = tempfile.mkdtemp(prefix="dtr_incr_")
+    try:
+        base = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        for which in ("old", "new"):
+            pdir = os.path.join(work, f"pages_{which}")
+            os.makedirs(pdir)
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                _collect(base.map_batches(
+                    functools.partial(snapshot_pages_batch, which=which),
+                    batch_format="pyarrow")),
+                os.path.join(pdir, "pages.parquet"),
+            )
+        out0 = os.path.join(work, "out0")
+        run_extract_job(os.path.join(work, "pages_old"), out0, n_buckets=8)
+        out1 = os.path.join(work, "out1")
+        stats = run_incremental_extract_job(
+            os.path.join(work, "pages_old"), os.path.join(work, "pages_new"),
+            out0, out1, n_buckets=8,
+        )
+        assert stats["doc_count"] == stats["n_added"] + stats["n_changed"]
+        return _collect(
+            read_corpus_docs(out1).select_columns(
+                ["url", "status", "extracted_text", "n_chars"])
+        ).sort_by("url")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_top_words(sf_dir: str, k: int = 50):
     """Corpus vocabulary top-k (token distribution — the training-data
     "what's in my corpus" op): global word counts via per-batch combiner →
