@@ -635,19 +635,26 @@ def word_commonness(ds, column: str = "text", id_column: str = "doc_id",
     compute from the same integers, so the oracle hash-compares exactly;
     a float ``log p(w)`` sum would differ in the last ulp between libms).
 
-    Scale shape (self-join of the corpus with its own vocabulary —
-    bounded everywhere): explode (doc, word) with per-batch tf pre-count
-    → ``grouped_sum`` to exact per-doc tf → corpus counts = one more
-    ``grouped_sum`` of tf by word (vocabulary-sized, ~10⁷ rows at web
-    scale, never the corpus) → ``partition_join`` on word attaches the
-    count → per-doc totals via a final ``grouped_sum`` keyed by the doc
-    id.  Docs with zero tokens have no (doc, word) rows and are absent
-    from the output (the oracle mirrors this).
+    Scale shape — TWO exchanges total (round-3 rework; the round-2 plan
+    spent four plus a recomputed input and benched 10 s at sf0.1):
+    because equal (doc, word) pairs are co-partitioned whenever the
+    partition key is the word ALONE, one word-hash exchange suffices for
+    per-doc tf finalize AND the corpus count AND the weighting — the
+    corpus count of a word is word-local, a polars window sum inside the
+    partition.  Per-batch tf pre-count is the combiner (a hot word adds
+    ≤ num_blocks rows to its partition, never its corpus frequency);
+    per-doc totals then take one more doc-keyed ``grouped_sum``.  The
+    vocabulary is never exchanged separately and the corpus never
+    rescanned.  Docs with zero tokens have no (doc, word) rows and are
+    absent from the output (the oracle mirrors this).
     Output: (id, n_tokens, commonness_sum, mean_commonness).
     """
     import polars as pl
 
-    from docling_translate_ray.stages.shuffle import grouped_sum, partition_join
+    from docling_translate_ray.stages.shuffle import (
+        grouped_sum,
+        hash_partition_apply,
+    )
 
     ds = ds.select_columns([id_column, column])
 
@@ -669,35 +676,27 @@ def word_commonness(ds, column: str = "text", id_column: str = "doc_id",
                              ("_tf", pa.int64())]))
         )
 
-    tf = grouped_sum(
-        ds.map_batches(explode_tf, batch_format="pyarrow"),
-        [id_column, "term"],
-        [pl.col("_tf").sum().alias("_tf")], {"tf": "_tf"},
-        num_partitions=num_partitions,
-    )
-    # corpus count per word = sum of tf over docs (tf keys are globally
-    # unique post-grouped_sum, so this is exact)
-    corpus = grouped_sum(
-        tf.select_columns(["term", "tf"]).map_batches(
-            lambda b: b.rename_columns(["term", "_c"]), batch_format="pyarrow"
-        ),
-        ["term"],
-        [pl.col("_c").sum().alias("_c")], {"corpus_n": "_c"},
-        num_partitions=num_partitions,
-    )
-    joined = partition_join(tf, corpus, on=["term"], how="inner",
-                            num_partitions=num_partitions)
-
-    def weight(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
+    def weigh_partition(part: pa.Table) -> pa.Table:
+        # all rows of any word live here → finalize tf, count the corpus,
+        # and weight, in one vectorized pass
+        df = (
+            pl.from_arrow(part)
+            .group_by([id_column, "term"])
+            .agg(pl.col("_tf").sum().alias("tf"))
+            .with_columns(pl.col("tf").sum().over("term").alias("corpus_n"))
+        )
         return df.select(
             pl.col(id_column),
             pl.col("tf").alias("_nt"),
             (pl.col("tf") * pl.col("corpus_n")).alias("_cs"),
         ).to_arrow()
 
+    weighted = hash_partition_apply(
+        ds.map_batches(explode_tf, batch_format="pyarrow"),
+        ["term"], weigh_partition, num_partitions=num_partitions,
+    )
     totals = grouped_sum(
-        joined.map_batches(weight, batch_format="pyarrow"),
+        weighted,
         [id_column],
         [pl.col("_nt").sum().alias("_nt"), pl.col("_cs").sum().alias("_cs")],
         {"n_tokens": "_nt", "commonness_sum": "_cs"},
