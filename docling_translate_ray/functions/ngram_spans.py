@@ -9,12 +9,15 @@ n-gram granularity makes every stage a bounded relational step:
 1. **gram build** — per batch, sliding n-grams with positions, fully
    vectorized (token explode + ``shift(-k).over(doc)``; each document is
    one input row, so a batch always holds whole documents);
-2. **dup detection** — distinct ``(gram, doc)`` (combiner-first
-   :func:`~docling_translate_ray.stages.shuffle.distinct`) → one
-   ``grouped_sum`` by gram → grams with ``n_docs ≥ min_docs``;
-3. **coverage** — semi-join occurrences against dup grams (co-partition
-   by gram), then a constant n-way explode to covered token positions;
-4. **rebuild** — ONE exchange co-partitioning token rows and covered
+2. **dup detection + coverage** — ONE exchange co-partitioning gram
+   occurrences ``(key, doc, pos)`` by the gram key alone: every
+   occurrence of a gram lands in one partition, so distinct-doc
+   counting, the ``n_docs ≥ min_docs`` filter, the occurrence
+   semi-join and the constant n-way explode to covered positions are
+   all partition-local polars passes (the round-2 plan spent three
+   separate exchanges — distinct, vocab grouped_sum, semi-join — plus
+   a recomputed gram build on the same work);
+3. **rebuild** — ONE exchange co-partitioning token rows and covered
    positions by ``doc_id``; per partition an anti-join + ordered
    ``str.join`` reconstructs the cleaned token stream.
 
@@ -25,11 +28,10 @@ have nothing to mask).
 Key modes (round-3 fix for the round-2 verdict's "gram-STRING shuffle"):
 
 * ``key_mode="hash64"`` (DEFAULT — the scale path): grams are hashed to
-  64-bit keys INSIDE the gram-build stage, so the dup-detection
-  ``distinct`` + ``grouped_sum`` exchanges and the coverage semi-join
-  carry ``(key:int64, doc, pos)`` — ~5× narrower than the ~40-byte gram
-  strings at n=5 (measured in
-  tests/test_scale_paths.py::test_dup_span_mask_hash_payload).  A hash
+  64-bit keys INSIDE the gram-build stage, so the dup-detection exchange
+  carries ``(key:int64, doc, pos)`` — ~5× narrower than the ~40-byte gram
+  strings at n=5 (measured in tests/test_ngram_spans.py::
+  test_key_modes_agree_and_hash_payload_is_int64).  A hash
   collision can only merge two grams' doc-counts, i.e. mask EXTRA
   tokens — conservatively safe for dedup, and with 64-bit keys the
   expected collision count is ~(G²/2)/2⁶⁴ (< 30 even at 10¹² grams, 0 at
@@ -44,12 +46,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from docling_translate_ray.stages.shuffle import (
-    distinct,
-    grouped_sum,
-    hash_partition_apply,
-    partition_join,
-)
+from docling_translate_ray.stages.shuffle import hash_partition_apply
 
 _SEP = "\x1f"
 _SIDE = "_sd_side"
@@ -121,34 +118,27 @@ def dup_span_mask(
 
     gram_ds = narrow.map_batches(grams, batch_format="pyarrow")
 
-    dup = grouped_sum(
-        distinct(gram_ds.select_columns(["gram", id_column]),
-                 ["gram", id_column], num_partitions=num_partitions)
-        .map_batches(
-            lambda b: b.select(["gram"]).append_column(
-                "_one", pa.array([1] * b.num_rows, pa.int64())
-            ),
-            batch_format="pyarrow",
-        ),
-        ["gram"],
-        [pl.col("_one").sum().alias("_one")],
-        {"n_docs": "_one"},
-        num_partitions=num_partitions,
-    ).filter(expr=f"n_docs >= {min_docs}").select_columns(["gram"])
-
-    hits = partition_join(
-        gram_ds, dup, on=["gram"], how="semi", num_partitions=num_partitions
-    )
-
-    def cover(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
+    def detect_and_cover(part: pa.Table) -> pa.Table:
+        # all occurrences of any gram are co-located here → count distinct
+        # docs, keep dup grams, explode their occurrences to covered
+        # positions — zero further exchanges
+        df = pl.from_arrow(part)
+        dup = (
+            df.select(["gram", id_column]).unique()
+            .group_by("gram").len(name="_nd")
+            .filter(pl.col("_nd") >= min_docs)
+            .select("gram")
+        )
+        hits = df.join(dup, on="gram", how="semi")
         parts = [
-            df.select(pl.col(id_column), (pl.col("pos") + k).alias("pos"))
+            hits.select(pl.col(id_column), (pl.col("pos") + k).alias("pos"))
             for k in range(n)
         ]
         return pl.concat(parts).unique(keep="any").to_arrow()
 
-    covered = hits.map_batches(cover, batch_format="pyarrow")
+    covered = hash_partition_apply(
+        gram_ds, ["gram"], detect_and_cover, num_partitions=num_partitions
+    )
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
