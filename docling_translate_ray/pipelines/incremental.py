@@ -153,3 +153,41 @@ def run_incremental_extract_job(
         "n_removed": counts["removed"],
         "manifest": os.path.join(out_dir, _MANIFEST_FILE),
     }
+
+
+def compact_corpus_state(out_dir: str, compact_dir: str,
+                         n_buckets: int = 64) -> dict:
+    """Major compaction: materialize a manifest CHAIN into one flat,
+    url-bucketed docs dir (``compact_dir/docs/bucket=*/``) that
+    :func:`read_corpus_docs` serves with zero anti-joins.
+
+    A long snapshot chain costs one anti-join per level at every read;
+    compaction pays that once and resets the chain — the classic LSM
+    trade, chosen by the operator, not forced per snapshot.  The write is
+    url-hash bucketed (same bucket rule as the extract job's ``bucket``
+    layout) so downstream per-url joins stay co-located.  Returns
+    ``{"doc_count": n, "buckets": n_buckets}``.
+    """
+    from docling_translate_ray.stages.shuffle import PKEY, add_pkey
+
+    state = read_corpus_docs(out_dir)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keyed = add_pkey(batch, ["url"], n_buckets)
+        return keyed.append_column(
+            "bucket",
+            keyed[PKEY].cast(pa.int32()),
+        ).drop_columns([PKEY])
+
+    docs_dir = os.path.join(compact_dir, "docs")
+    state.map_batches(bucketize, batch_format="pyarrow").write_parquet(
+        docs_dir, partition_cols=["bucket"]
+    )
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _, files in os.walk(docs_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(root, f)).num_rows
+    return {"doc_count": n, "buckets": n_buckets}

@@ -99,3 +99,23 @@ def test_unchanged_snapshot_extracts_nothing(snapshots, tmp_path):
     assert stats["n_added"] == stats["n_changed"] == stats["n_removed"] == 0
     assert _docs_map(read_corpus_docs(out)) == \
         _docs_map(read_corpus_docs(f"{work}/out1"))
+
+
+def test_compaction_flattens_chain(snapshots, tmp_path):
+    from docling_translate_ray.pipelines.incremental import compact_corpus_state
+
+    work = snapshots
+    for prev_pages, new_pages, prev_out, out in (
+        ("p1", "p2", "out1", "out2"), ("p2", "p3", "out2", "out3"),
+    ):
+        if not os.path.isdir(f"{work}/{out}"):
+            run_incremental_extract_job(
+                f"{work}/{prev_pages}", f"{work}/{new_pages}",
+                f"{work}/{prev_out}", f"{work}/{out}", n_buckets=4)
+    compact = str(tmp_path / "compact")
+    stats = compact_corpus_state(f"{work}/out3", compact, n_buckets=4)
+    flat = _docs_map(read_corpus_docs(compact))
+    chained = _docs_map(read_corpus_docs(f"{work}/out3"))
+    assert flat == chained and stats["doc_count"] == len(chained)
+    # compacted state is manifest-free: no recursion, no anti-joins
+    assert not os.path.isfile(os.path.join(compact, "manifest.json"))
