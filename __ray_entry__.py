@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,
         "latest_version": q.q_latest_version,
         "incremental_extract": q.q_incremental_extract,
+        "anchor_text": q.q_anchor_text,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
         "unique_sentences": q.q_unique_sentences,
@@ -79,7 +80,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "pii_scrub": q.q_pii_scrub,
         "cooccurrence": q.q_cooccurrence,
-        "stratified_sample": q.q_stratified_sample,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "chunk_docs": q.q_chunk_docs,
@@ -134,6 +134,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       embedding_near_dup (whose oracle IS the exact cosine-pair predicate)
     * quality → gopher_quality (same pure per-batch gate family, stricter
       rule set) + curate (quality_batch runs inside the composite oracle)
+    * stratified_sample → dataset_split (same deterministic md5-gate
+      kernel) + lang_token_quantiles (same per-lang keying)
     * nation_customers → segment_revenue (join+agg), lang_map (broadcast)
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
@@ -146,6 +148,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": q.q_top_users_per_type,
         "cosine_pairs": q.q_cosine_pairs,
         "quality": q.q_quality,
+        "stratified_sample": q.q_stratified_sample,
         "sentences": q.q_sentences,
         "docs_text_segments": q.q_docs_text_segments,
         "token_count": q.q_token_count,
@@ -274,6 +277,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 70 * len(list_distinct(a.g || b.g))
             ORDER BY index_id, new_id
+        """,
+        # Anchor-text aggregation over the affine link graph: anchors are
+        # the src doc's first-2-token phrase; per target, inlink count,
+        # distinct-anchor count and the dominant anchor (ties -> lexico
+        # smallest) — the window argmax mirrors the Ray-side sort order
+        "anchor_text": """
+            WITH e AS (
+              SELECT (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst,
+                     array_to_string((regexp_extract_all(text, '@NONWS@'))[1:2],
+                                     ' ') AS anchor
+              FROM documents
+              UNION ALL
+              SELECT (doc_id * 13 + 5) % (SELECT count(*) FROM documents),
+                     array_to_string((regexp_extract_all(text, '@NONWS@'))[1:2],
+                                     ' ')
+              FROM documents
+              UNION ALL
+              SELECT (doc_id * 31 + 11) % (SELECT count(*) FROM documents),
+                     array_to_string((regexp_extract_all(text, '@NONWS@'))[1:2],
+                                     ' ')
+              FROM documents),
+            c AS (SELECT dst, anchor, count(*)::BIGINT AS cnt
+                  FROM e GROUP BY dst, anchor),
+            r AS (SELECT dst, anchor, cnt,
+                         row_number() OVER (PARTITION BY dst
+                                            ORDER BY cnt DESC, anchor) AS rn,
+                         sum(cnt) OVER (PARTITION BY dst) AS n_inlinks,
+                         count(*) OVER (PARTITION BY dst) AS n_unique_anchors
+                  FROM c)
+            SELECT dst::BIGINT AS doc_id, n_inlinks::BIGINT AS n_inlinks,
+                   n_unique_anchors::BIGINT AS n_unique_anchors,
+                   anchor AS top_anchor
+            FROM r WHERE rn = 1
         """,
         # Incremental extraction invariant: the manifest-resolved state
         # (base − tombstones + delta, only added/changed pages re-parsed)

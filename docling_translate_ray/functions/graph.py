@@ -105,3 +105,58 @@ def pagerank_int(
             num_partitions=num_partitions,
         ).map_batches(apply_damping, batch_format="pyarrow")
     return ranks
+
+
+def anchor_text_agg(edges_ds, dst_column: str = "dst",
+                    anchor_column: str = "anchor", num_partitions: int = 32):
+    """Per-target anchor-text aggregation — the web-graph text signal
+    search/quality pipelines keep per url (how often a page is linked,
+    with how many distinct anchor phrases, and which phrase dominates).
+
+    Input: edge rows ``(dst, anchor)``.  Output per dst:
+    ``(dst, n_inlinks, n_unique_anchors, top_anchor)`` with
+    ``top_anchor`` = the most frequent anchor, ties broken by the
+    lexicographically smallest — a pure function of the edge multiset.
+
+    ONE exchange: the per-batch combiner collapses duplicate
+    ``(dst, anchor)`` pairs to partial counts, the exchange partitions by
+    ``dst`` ALONE (all anchors of a target co-locate — the word_commonness
+    trick), and the final pass does totals + distinct + argmax in one
+    vectorized polars window.  A hot page (site-wide footer link) costs
+    its partition ≤ ``num_blocks × distinct-anchors`` combiner rows,
+    never its raw in-degree.
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch.select([dst_column, anchor_column]))
+            .group_by([dst_column, anchor_column])
+            .agg(pl.len().cast(pl.Int64).alias("_cnt"))
+            .to_arrow()
+        )
+
+    def final(part: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(part)
+            .group_by([dst_column, anchor_column])
+            .agg(pl.col("_cnt").sum().alias("_cnt"))
+        )
+        return (
+            df.sort([dst_column, "_cnt", anchor_column],
+                    descending=[False, True, False])
+            .group_by(dst_column, maintain_order=True)
+            .agg(
+                pl.col("_cnt").sum().alias("n_inlinks"),
+                pl.len().cast(pl.Int64).alias("n_unique_anchors"),
+                pl.col(anchor_column).first().alias("top_anchor"),
+            )
+            .to_arrow()
+        )
+
+    return hash_partition_apply(
+        edges_ds.map_batches(partial, batch_format="pyarrow"),
+        [dst_column], final, num_partitions=num_partitions,
+    )

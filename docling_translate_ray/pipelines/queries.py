@@ -1444,6 +1444,38 @@ def q_pagerank(sf_dir: str):
     return pagerank_int(_read(sf_dir, "documents", ["doc_id"]))
 
 
+def q_anchor_text(sf_dir: str):
+    """Per-target anchor-text aggregation (functions/graph.anchor_text_agg)
+    over the affine link graph: each doc links to ``(id*m + a) % n`` per
+    edge rule, carrying its own first-2-token phrase as the anchor."""
+    import polars as pl
+
+    from docling_translate_ray.functions.graph import DEFAULT_EDGES, anchor_text_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").fill_null("").str.extract_all(r"\S+")
+            .list.head(2).list.join(" ").alias("anchor")
+        )
+        parts = [
+            df.select(((pl.col("doc_id") * m + a) % n).alias("dst"), "anchor")
+            for (m, a) in DEFAULT_EDGES
+        ]
+        return pl.concat(parts).to_arrow().cast(
+            pa.schema([("dst", pa.int64()), ("anchor", pa.string())])
+        )
+
+    out = anchor_text_agg(docs.map_batches(edges, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["doc_id" if c == "dst" else c for c in b.column_names]),
+        batch_format="pyarrow",
+    )
+
+
 def q_purchase_attribution(sf_dir: str):
     """Range (interval) join: per purchase, count the same user's view
     events in the 30 minutes before it (functions/asof.range_join_count:

@@ -45,3 +45,23 @@ def test_pagerank_non_bijective_rule_keeps_all_nodes():
     assert all(v >= 150_000 for v in got.values())
     # total mass is conserved up to floor losses
     assert sum(got.values()) <= n * 1_000_000
+
+
+def test_anchor_text_agg_handmade():
+    import ray.data
+
+    from docling_translate_ray.functions.graph import anchor_text_agg
+
+    edges = pa.table({
+        "dst": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "anchor": pa.array(
+            ["home", "home", "about us", "zzz", "blog", "atom", "only"],
+            pa.string()),
+    })
+    got = {r["dst"]: (r["n_inlinks"], r["n_unique_anchors"], r["top_anchor"])
+           for r in anchor_text_agg(
+               ray.data.from_arrow(edges).repartition(3)).take_all()}
+    assert got[1] == (4, 3, "home")       # count argmax
+    assert got[2] == (2, 2, "atom")       # tie -> lexicographically smallest
+    assert got[3] == (1, 1, "only")
+    assert set(got) == {1, 2, 3}
