@@ -70,7 +70,50 @@ def extra_queries(sf_dir: str) -> dict:
         "kmeans": lambda: _consume(q.q_kmeans(sf_dir)),
         "word_commonness": lambda: _consume(q.q_word_commonness(sf_dir)),
         "blocklist_filter": lambda: _consume(q.q_blocklist_filter(sf_dir)),
+        # round-3 crawl/index additions.  The LSH index is timed as build
+        # vs probe separately — the serving path (probe against a standing
+        # index) is the number that matters at crawl cadence
+        "snapshot_diff": lambda: _consume(q.q_snapshot_diff(sf_dir)),
+        "latest_version": lambda: _consume(q.q_latest_version(sf_dir)),
+        "anchor_text": lambda: _consume(q.q_anchor_text(sf_dir)),
+        "minhash_index_build": lambda: _mh_index_build(sf_dir),
+        "minhash_index_probe": lambda: _mh_index_probe(sf_dir),
     }
+
+
+_MH_INDEX_DIR: list[str] = []
+
+
+def _mh_index_build(sf_dir: str) -> None:
+    import tempfile
+
+    import ray.data
+
+    from docling_translate_ray.functions.dedup import build_minhash_index
+
+    _MH_INDEX_DIR.append(tempfile.mkdtemp(prefix="bench_mhidx_"))
+    build_minhash_index(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        _MH_INDEX_DIR[-1],
+    )
+
+
+def _mh_index_probe(sf_dir: str) -> None:
+    import shutil
+
+    import ray.data
+
+    from docling_translate_ray.functions.dedup import minhash_index_probe
+    from docling_translate_ray.pipelines.queries import incoming_snapshot_batch
+
+    inc = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(incoming_snapshot_batch, batch_format="pyarrow")
+    try:
+        _consume(minhash_index_probe(inc, _MH_INDEX_DIR[-1], threshold=0.7))
+    finally:
+        shutil.rmtree(_MH_INDEX_DIR.pop(), ignore_errors=True)
 
 
 def _gen_shard(args) -> None:

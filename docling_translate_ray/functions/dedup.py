@@ -1189,21 +1189,37 @@ def _add_bpart(batch: pa.Table, num_partitions: int) -> pa.Table:
     )
 
 
-def _index_band_rows(ds, meta: dict, concurrency: int | None):
-    """signature (actor pool, meta params) → band explode → bpart."""
-    if concurrency is None:
-        from docling_translate_ray.util import auto_pool_size
+# per-WORKER-PROCESS MinHasher cache for the task-based signature stage:
+# MinHasher.__init__ is a few numpy RNG draws (no model load), so spinning a
+# dedicated actor pool per probe costs more (~2 s pool startup) than the
+# state it reuses; plain tasks on warm workers + this cache get both
+_MINHASHER_CACHE: dict[tuple, "MinHasher"] = {}
 
-        concurrency = auto_pool_size()
+
+def _cached_minhasher(column: str, num_perm: int, k_shingle: int,
+                      seed: int) -> "MinHasher":
+    key = (column, num_perm, k_shingle, seed)
+    h = _MINHASHER_CACHE.get(key)
+    if h is None:
+        _MINHASHER_CACHE.clear()  # at most one parameterization per worker
+        h = _MINHASHER_CACHE[key] = MinHasher(
+            column=column, num_perm=num_perm, k_shingle=k_shingle, seed=seed)
+    return h
+
+
+def _index_band_rows(ds, meta: dict, concurrency: int | None):
+    """signature (task-based, per-worker cached hasher) → band explode →
+    bpart.  ``concurrency`` is accepted for API symmetry; the signature
+    stage runs as plain tasks (cheap init — see ``_MINHASHER_CACHE``)."""
     id_column, column = meta["id_column"], meta["column"]
+
+    def sign(batch: pa.Table) -> pa.Table:
+        h = _cached_minhasher(column, meta["num_perm"], meta["k_shingle"],
+                              meta["seed"])
+        return h(batch)
+
     sigs = ds.select_columns([id_column, column]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "column": column, "num_perm": meta["num_perm"],
-            "k_shingle": meta["k_shingle"], "seed": meta["seed"],
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        sign, batch_format="pyarrow",
     ).select_columns([id_column, "minhash"])
     bands = sigs.map_batches(
         lambda b: _explode_bands(b, meta["num_bands"], id_column),
@@ -1301,7 +1317,8 @@ def _doc_store_paths(index_dir: str, dparts) -> list[str]:
 
 
 def minhash_index_probe(new_ds, index_dir: str, threshold: float = 0.7,
-                        concurrency: int | None = None):
+                        concurrency: int | None = None,
+                        broadcast_band_rows: int = 5_000_000):
     """Probe an incoming snapshot against a built index: verified near-dup
     rows ``(index_id, new_id)`` (exact integer-threshold Jaccard, the
     :func:`minhash_lsh_dedup` verify).  The indexed corpus is NEVER
@@ -1309,6 +1326,13 @@ def minhash_index_probe(new_ds, index_dir: str, threshold: float = 0.7,
     and candidate texts read only the candidates' ``dpart`` doc-store
     partitions.  Ids must be disjoint between index and probe (offset the
     snapshot's ids); identical ids are dropped as self-matches.
+
+    Candidate generation is ZERO-shuffle while the probe's band rows fit
+    ``broadcast_band_rows`` (~20 B/row — the common crawl-increment case):
+    the band table broadcasts via ``ray.put`` and every pruned index
+    partition joins against it per batch; past the budget it falls back to
+    the tagged-union hash-partition join (one exchange).  Both physical
+    paths are parity-tested (tests/test_functions.py).
 
     ``new_ds`` is consumed twice (band rows + candidate texts) — pass a
     re-readable source.  The probe's band rows are materialized (the small
@@ -1347,41 +1371,90 @@ def minhash_index_probe(new_ds, index_dir: str, threshold: float = 0.7,
         paths, columns=["band_id", "band_key", id_column]
     )
 
-    def tag(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "band_id": batch["band_id"], "band_key": batch["band_key"],
-                id_column: batch[id_column],
-                "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8),
-                                 pa.int8()),
-            })
+    if new_bands.count() <= broadcast_band_rows:
+        # zero-shuffle path: broadcast the increment's band table once,
+        # join every pruned index partition against it per batch
+        nb_ref = ray.put(
+            collect_to_table(
+                new_bands.map_batches(
+                    lambda b: b.select(["band_id", "band_key", id_column]),
+                    batch_format="pyarrow"),
+                empty_schema=pa.schema([("band_id", pa.int32()),
+                                        ("band_key", pa.int64()),
+                                        (id_column, pa.int64())]),
+            )
+        )
 
-        return fn
+        def probe_batch(batch: pa.Table) -> pa.Table:
+            import polars as pl
+            import ray as _ray
 
-    both = idx_bands.map_batches(tag(0), batch_format="pyarrow").union(
-        new_bands.map_batches(tag(1), batch_format="pyarrow")
-    )
+            nb = pl.from_arrow(_ray.get(nb_ref)).rename({id_column: "new_id"})
+            df = pl.from_arrow(
+                batch.select(["band_id", "band_key", id_column])
+            ).rename({id_column: "index_id"})
+            out = (
+                df.join(nb, on=["band_id", "band_key"], how="inner")
+                .filter(pl.col("index_id") != pl.col("new_id"))
+                .select(["index_id", "new_id"])
+                .unique()
+            )
+            return out.to_arrow().cast(pair_schema)
 
-    def bucket_cross(part: pa.Table) -> pa.Table:
+        cand = idx_bands.map_batches(probe_batch, batch_format="pyarrow")
+    else:  # increment too big to broadcast — tagged-union exchange
+
+        def tag(side: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "band_id": batch["band_id"], "band_key": batch["band_key"],
+                    id_column: batch[id_column],
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8), pa.int8()),
+                })
+
+            return fn
+
+        both = idx_bands.map_batches(tag(0), batch_format="pyarrow").union(
+            new_bands.map_batches(tag(1), batch_format="pyarrow")
+        )
+
+        def bucket_cross(part: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(part)
+            a = df.filter(pl.col("side") == 0).rename({id_column: "index_id"})
+            b = df.filter(pl.col("side") == 1).rename({id_column: "new_id"})
+            if not a.height or not b.height:
+                return pair_schema.empty_table()
+            out = (
+                a.select(["band_id", "band_key", "index_id"])
+                .join(b.select(["band_id", "band_key", "new_id"]),
+                      on=["band_id", "band_key"], how="inner")
+                .filter(pl.col("index_id") != pl.col("new_id"))
+                .select(["index_id", "new_id"])
+                .unique()
+            )
+            return out.to_arrow().cast(pair_schema)
+
+        cand = hash_partition_apply(both, ["band_id", "band_key"], bucket_cross)
+
+    # pair dedupe (a pair can surface from several band buckets): tiny by
+    # LSH construction → driver-side polars unique under a row budget, one
+    # distinct() exchange past it
+    cand = cand.materialize()
+    if cand.count() <= 2_000_000:
         import polars as pl
 
-        df = pl.from_arrow(part)
-        a = df.filter(pl.col("side") == 0).rename({id_column: "index_id"})
-        b = df.filter(pl.col("side") == 1).rename({id_column: "new_id"})
-        if not a.height or not b.height:
-            return pair_schema.empty_table()
-        out = (
-            a.select(["band_id", "band_key", "index_id"])
-            .join(b.select(["band_id", "band_key", "new_id"]),
-                  on=["band_id", "band_key"], how="inner")
-            .filter(pl.col("index_id") != pl.col("new_id"))
-            .select(["index_id", "new_id"])
+        pairs = ray.data.from_arrow(
+            pl.from_arrow(collect_to_table(cand, empty_schema=pair_schema))
             .unique()
+            .sort(["index_id", "new_id"])
+            .to_arrow()
+            .cast(pair_schema)
         )
-        return out.to_arrow().cast(pair_schema)
-
-    cand = hash_partition_apply(both, ["band_id", "band_key"], bucket_cross)
-    pairs = distinct(cand, ["index_id", "new_id"], num_partitions=16).materialize()
+    else:
+        pairs = distinct(cand, ["index_id", "new_id"], num_partitions=16).materialize()
 
     # candidate texts: index side via a PRUNED doc-store read (only the
     # candidates' dpart directories), probe side from new_ds

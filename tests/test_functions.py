@@ -1124,3 +1124,19 @@ def test_minhash_index_insert_is_live_and_append_safe(tmp_path):
 def test_minhash_index_probe_requires_built_index(tmp_path):
     with pytest.raises(FileNotFoundError):
         dd.minhash_index_probe(_idx_incoming_ds(), str(tmp_path / "nope"))
+
+
+def test_minhash_index_probe_paths_agree(tmp_path):
+    """Broadcast (zero-shuffle) and tagged-union exchange candidate paths
+    return identical pairs — the strategy switch is physical only."""
+    idx = str(tmp_path / "idx")
+    dd.build_minhash_index(_idx_corpus_ds(), idx, num_partitions=8,
+                           doc_partitions=4, concurrency=2)
+    a = {(r["index_id"], r["new_id"])
+         for r in _to_table(dd.minhash_index_probe(
+             _idx_incoming_ds(), idx, concurrency=2)).to_pylist()}
+    b = {(r["index_id"], r["new_id"])
+         for r in _to_table(dd.minhash_index_probe(
+             _idx_incoming_ds(), idx, concurrency=2,
+             broadcast_band_rows=0)).to_pylist()}
+    assert a == b and a
