@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_version": q.q_latest_version,
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
+        "host_template": q.q_host_template,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
         "unique_sentences": q.q_unique_sentences,
@@ -64,7 +65,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q.q_minhash_near_dup,
         "simhash_near_dup": q.q_simhash_near_dup,
         "ngram_jaccard": q.q_ngram_jaccard,
-        "line_dedup": q.q_line_dedup,
         "dup_span_mask": q.q_dup_span_mask,
         "url_dedup": q.q_url_dedup,
         "domain_cap": q.q_domain_cap,
@@ -136,6 +136,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       rule set) + curate (quality_batch runs inside the composite oracle)
     * stratified_sample → dataset_split (same deterministic md5-gate
       kernel) + lang_token_quantiles (same per-lang keying)
+    * line_dedup → host_template (same line-explode / frequent-set /
+      ordered-reassembly family, host-scoped and exchange-collapsed) +
+      curate (line_dedup runs as the composite's stage 4)
     * nation_customers → segment_revenue (join+agg), lang_map (broadcast)
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
@@ -149,6 +152,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": q.q_cosine_pairs,
         "quality": q.q_quality,
         "stratified_sample": q.q_stratified_sample,
+        "line_dedup": q.q_line_dedup,
         "sentences": q.q_sentences,
         "docs_text_segments": q.q_docs_text_segments,
         "token_count": q.q_token_count,
@@ -277,6 +281,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 70 * len(list_distinct(a.g || b.g))
             ORDER BY index_id, new_id
+        """,
+        # Host-scoped template removal: the view wraps text into 8-word
+        # lines + a per-host footer (template by construction); a line in
+        # >= 2 distinct docs of the SAME host is dropped from that host.
+        # Hosts mirror functions/urltools.extract_hosts over the
+        # synth_url_variants surface forms (all 4 variants normalize to
+        # site<s>.example.com)
+        "host_template": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     'site' || ((doc_id // 4) % 97) || '.example.com' AS host,
+                     len(ws) AS nt, ws
+              FROM w),
+            l0 AS (
+              SELECT doc_id, host, i AS line_no,
+                     array_to_string(ws[(i-1)*8+1 : i*8], ' ') AS line
+              FROM base,
+                   unnest(range(1, CAST(ceil(nt / 8.0) AS BIGINT) + 1)) AS t(i)),
+            foot AS (
+              SELECT doc_id, host,
+                     CAST(ceil(nt / 8.0) AS BIGINT) + 1 AS line_no,
+                     'template footer site ' || ((doc_id // 4) % 97) AS line
+              FROM base),
+            l AS (SELECT * FROM l0 UNION ALL SELECT * FROM foot),
+            freq AS (
+              SELECT host, line, count(DISTINCT doc_id) AS nd
+              FROM l GROUP BY host, line),
+            kept AS (
+              SELECT l.doc_id, l.host, l.line_no, l.line
+              FROM l JOIN freq USING (host, line) WHERE freq.nd < 2)
+            SELECT doc_id, host,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text_cleaned,
+                   count(*)::BIGINT AS n_lines_kept
+            FROM kept GROUP BY doc_id, host
         """,
         # Anchor-text aggregation over the affine link graph: anchors are
         # the src doc's first-2-token phrase; per target, inlink count,

@@ -130,3 +130,86 @@ def latest_page_version(ds, url_column: str = "url", ts_column: str = "warc_ts",
 
     combined = ds.map_batches(local_winner, batch_format="pyarrow")
     return hash_partition_apply(combined, [url_column], local_winner)
+
+
+def host_template_lines(ds, url_column: str = "url", column: str = "text",
+                        id_column: str = "doc_id", min_docs: int = 3,
+                        num_partitions: int = 32):
+    """Site-template boilerplate removal — the host-scoped line dedup
+    (trafilatura's global-context pass / CC-Net's per-site filters): a
+    line occurring in ≥ ``min_docs`` distinct documents of the SAME host
+    is template (nav, footer, cookie banner) and is dropped from that
+    host's documents — the identical line on another host where it is
+    rare survives, which the global :func:`..functions.dedup.line_dedup`
+    cannot express.
+
+    TWO exchanges (the dup_span_mask collapse): line rows hash-partition
+    by ``(host, line)`` — every occurrence of a host's line co-locates, so
+    distinct-doc counting, the template filter and the subtraction are one
+    partition-local polars pass — then survivors reassemble keyed by the
+    doc id.  Output: ``(id, host, text_cleaned, n_lines_kept)``; documents
+    whose every line was template are omitted.
+    """
+    import polars as pl
+
+    from docling_translate_ray.functions.urltools import extract_hosts
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def explode_lines(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            id_column: pl.Series(batch[id_column].to_pylist(), dtype=pl.Int64),
+            url_column: pl.Series(batch[url_column].to_pylist(),
+                                  dtype=pl.String),
+            column: pl.Series(batch[column].to_pylist(),
+                              dtype=pl.String).fill_null(""),
+        }).filter(pl.col(column).str.strip_chars() != "")
+        df = df.with_columns(extract_hosts(df[url_column]).alias("host"))
+        return (
+            df.with_columns(pl.col(column).str.split("\n").alias("_lines"))
+            .explode("_lines")
+            .with_columns(
+                pl.int_range(1, pl.len() + 1).over(id_column).alias("line_no")
+            )
+            .select(
+                pl.col(id_column), pl.col("host"),
+                pl.col("line_no").cast(pl.Int64),
+                pl.col("_lines").alias("line"),
+            )
+            .to_arrow()
+            .cast(pa.schema([(id_column, pa.int64()), ("host", pa.string()),
+                             ("line_no", pa.int64()), ("line", pa.string())]))
+        )
+
+    def drop_template(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        tmpl = (
+            df.select(["host", "line", id_column]).unique()
+            .group_by(["host", "line"]).len(name="_nd")
+            .filter(pl.col("_nd") >= min_docs)
+            .select(["host", "line"])
+        )
+        return df.join(tmpl, on=["host", "line"], how="anti").to_arrow()
+
+    kept = hash_partition_apply(
+        ds.select_columns([id_column, url_column, column]).map_batches(
+            explode_lines, batch_format="pyarrow"),
+        ["host", "line"], drop_template, num_partitions=num_partitions,
+    )
+
+    def reassemble(part: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(part)
+            .sort([id_column, "line_no"])
+            .group_by([id_column, "host"], maintain_order=True)
+            .agg(
+                pl.col("line").str.join("\n").alias("text_cleaned"),
+                pl.len().cast(pl.Int64).alias("n_lines_kept"),
+            )
+            .to_arrow()
+            .cast(pa.schema([(id_column, pa.int64()), ("host", pa.string()),
+                             ("text_cleaned", pa.string()),
+                             ("n_lines_kept", pa.int64())]))
+        )
+
+    return hash_partition_apply(kept, [id_column], reassemble,
+                                num_partitions=num_partitions)

@@ -447,6 +447,50 @@ def q_incremental_extract(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def host_template_view_batch(batch: pa.Table) -> pa.Table:
+    """Pages for the host-template query: crawl-variant urls
+    (synth_url_variants_batch), text wrapped into 8-word lines, plus a
+    deterministic per-host footer line — every host has ≥ 2 docs on the
+    sf corpora, so the footer is template BY CONSTRUCTION (non-vacuous
+    drops) while body lines are template only where real dups share a
+    host.  The oracle rebuilds the identical view in SQL."""
+    import polars as pl
+
+    wrapped = fdedup.wrap_words_as_lines(batch, words_per_line=8)
+    urls = synth_url_variants_batch(batch.select(["doc_id"]))
+    df = (
+        pl.from_arrow(wrapped.select(["doc_id", "text"]))
+        .join(pl.from_arrow(urls), on="doc_id", how="inner")
+        .with_columns(
+            ("template footer site "
+             + ((pl.col("doc_id") // 4) % 97).cast(pl.String)).alias("_foot")
+        )
+        .with_columns(
+            pl.when(pl.col("text") == "")
+            .then(pl.col("_foot"))
+            .otherwise(pl.col("text") + "\n" + pl.col("_foot"))
+            .alias("text")
+        )
+    )
+    return df.select(["doc_id", "url", "text"]).to_arrow().cast(
+        pa.schema([("doc_id", pa.int64()), ("url", pa.string()),
+                   ("text", pa.string())])
+    )
+
+
+def q_host_template(sf_dir: str):
+    """Host-scoped template-line removal (functions/crawl.
+    host_template_lines): lines frequent within ONE host are dropped from
+    that host only — site boilerplate removal the global line_dedup can't
+    express."""
+    from docling_translate_ray.functions.crawl import host_template_lines
+
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        host_template_view_batch, batch_format="pyarrow"
+    )
+    return host_template_lines(pages, min_docs=2)
+
+
 def q_top_words(sf_dir: str, k: int = 50):
     """Corpus vocabulary top-k (token distribution — the training-data
     "what's in my corpus" op): global word counts via per-batch combiner →

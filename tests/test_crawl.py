@@ -79,3 +79,47 @@ def test_latest_page_version_repartition_invariant():
     ra = sorted((r["url"], r["warc_ts"], r["text"]) for r in a.take_all())
     rb = sorted((r["url"], r["warc_ts"], r["text"]) for r in b.take_all())
     assert ra == rb and len(ra) == 7
+
+
+def test_host_template_lines_is_host_scoped():
+    """The same line is template on host A (3 docs) but rare on host B
+    (1 doc) — it must vanish from A's docs and survive in B's."""
+    from docling_translate_ray.functions.crawl import host_template_lines
+
+    footer = "copyright acme corp all rights reserved"
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": pa.array([
+            "https://a.example/p1", "https://a.example/p2",
+            "https://a.example/p3", "https://b.example/p1",
+        ], pa.string()),
+        "text": pa.array([
+            f"unique one\n{footer}", f"unique two\n{footer}",
+            f"unique three\n{footer}", f"other host body\n{footer}",
+        ], pa.string()),
+    }
+    schema = pa.schema([("doc_id", pa.int64()), ("url", pa.string()),
+                        ("text", pa.string())])
+    got = {r["doc_id"]: (r["host"], r["text_cleaned"], r["n_lines_kept"])
+           for r in host_template_lines(
+               _ds(rows, schema), min_docs=3).take_all()}
+    assert got[1] == ("a.example", "unique one", 1)
+    assert got[2] == ("a.example", "unique two", 1)
+    assert got[3] == ("a.example", "unique three", 1)
+    # host B keeps the footer — only 1 doc there
+    assert got[4] == ("b.example", f"other host body\n{footer}", 2)
+
+
+def test_host_template_lines_omits_all_template_docs():
+    from docling_translate_ray.functions.crawl import host_template_lines
+
+    rows = {
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "url": pa.array(["https://a.example/x", "https://a.example/y"],
+                        pa.string()),
+        "text": pa.array(["same\nlines", "same\nlines"], pa.string()),
+    }
+    schema = pa.schema([("doc_id", pa.int64()), ("url", pa.string()),
+                        ("text", pa.string())])
+    out = host_template_lines(_ds(rows, schema), min_docs=2).take_all()
+    assert out == []
