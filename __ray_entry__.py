@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
+        "token_budget": q.q_token_budget,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
         "unique_sentences": q.q_unique_sentences,
@@ -64,7 +65,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "minhash_near_dup": q.q_minhash_near_dup,
         "simhash_near_dup": q.q_simhash_near_dup,
-        "ngram_jaccard": q.q_ngram_jaccard,
         "dup_span_mask": q.q_dup_span_mask,
         "url_dedup": q.q_url_dedup,
         "domain_cap": q.q_domain_cap,
@@ -139,6 +139,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * line_dedup → host_template (same line-explode / frequent-set /
       ordered-reassembly family, host-scoped and exchange-collapsed) +
       curate (line_dedup runs as the composite's stage 4)
+    * ngram_jaccard → minhash_near_dup + minhash_index_probe (whose
+      oracles ARE the exact n-gram-Jaccard predicate) + dup_span_mask
+      (same gram machinery); the fenced exact tool stays pytest-pinned
     * nation_customers → segment_revenue (join+agg), lang_map (broadcast)
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
@@ -153,6 +156,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "quality": q.q_quality,
         "stratified_sample": q.q_stratified_sample,
         "line_dedup": q.q_line_dedup,
+        "ngram_jaccard": q.q_ngram_jaccard,
         "sentences": q.q_sentences,
         "docs_text_segments": q.q_docs_text_segments,
         "token_count": q.q_token_count,
@@ -281,6 +285,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 70 * len(list_distinct(a.g || b.g))
             ORDER BY index_id, new_id
+        """,
+        # Token-budget selection: the threshold-refinement result must
+        # equal the global window rule (ORDER BY score DESC, id; inclusive
+        # running token sum <= 30% of total) row for row
+        "token_budget": f"""
+            WITH s AS (
+              SELECT doc_id, length(text)::BIGINT AS score,
+                     {_NTOK_EXPR}::BIGINT AS n_tokens
+              FROM documents
+              WHERE {_NTOK_EXPR} > 0),
+            r AS (
+              SELECT doc_id, score, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS run
+              FROM s)
+            SELECT doc_id, score, n_tokens FROM r
+            WHERE run <= (SELECT sum(n_tokens) * 30 // 100 FROM s)
         """,
         # Host-scoped template removal: the view wraps text into 8-word
         # lines + a per-host footer (template by construction); a line in

@@ -169,3 +169,113 @@ def pack_sequences(ds, capacity: int = 512, id_column: str = "doc_id",
         )
 
     return hash_partition_apply(counts, ["_bucket"], finalize, num_partitions)
+
+
+def token_budget_select(ds, budget_tokens: int | None = None,
+                        budget_pct: int | None = None,
+                        score_column: str = "score",
+                        token_column: str = "n_tokens",
+                        id_column: str = "doc_id",
+                        num_partitions: int = 32,
+                        max_boundary_rows: int = 2_000_000):
+    """Corpus selection under a token budget — the data-mixing primitive
+    "take the best documents until the training budget is full": exactly
+    the rows a global ``ORDER BY score DESC, id ASC`` with an inclusive
+    running token sum ≤ budget would keep, computed WITHOUT a global sort
+    by threshold refinement:
+
+    1. one ``grouped_sum`` by score → the score-cardinality table
+       ``(score, Σtokens)`` (distinct scores ≪ docs — the only exchange);
+    2. the driver sorts that SMALL table, cumsums, and finds the boundary
+       score ``s*``: every doc with ``score > s*`` is fully in;
+    3. the single boundary group (``score == s*``) is collected
+       (``(id, tokens)`` rows of ONE group — bounded; loud failure past
+       ``max_boundary_rows``, the fenced-exact-tool convention) and its
+       by-id prefix fills the remaining budget;
+    4. one broadcast filter keeps ``score > s*`` rows plus the boundary
+       prefix ids.
+
+    ``budget_pct`` (of the corpus' total tokens, integer floor division)
+    makes the budget scale-free; pass ``budget_tokens`` for an absolute
+    cap.  Ties are deterministic (score desc, id asc on both engines).
+    Output: ``(id, score, n_tokens)`` of the selected docs.
+    """
+    import polars as pl
+
+    import ray
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+    from docling_translate_ray.util import collect_to_table
+
+    if (budget_tokens is None) == (budget_pct is None):
+        raise ValueError("pass exactly one of budget_tokens / budget_pct")
+
+    narrow = ds.select_columns([id_column, score_column, token_column])
+
+    score_tbl = collect_to_table(
+        grouped_sum(
+            narrow.map_batches(
+                lambda b: b.select([score_column, token_column])
+                .rename_columns([score_column, "_t"]),
+                batch_format="pyarrow",
+            ),
+            [score_column],
+            [pl.col("_t").sum().alias("_t")], {"toks": "_t"},
+            num_partitions=num_partitions,
+        ),
+        empty_schema=pa.schema([(score_column, pa.int64()),
+                                ("toks", pa.int64())]),
+    )
+    groups = pl.from_arrow(score_tbl).sort(score_column, descending=True)
+    total = int(groups["toks"].sum()) if groups.height else 0
+    budget = budget_tokens if budget_tokens is not None \
+        else total * budget_pct // 100
+
+    run = 0
+    s_star = None  # boundary score; None = everything fits
+    remaining = 0
+    for score, toks in groups.iter_rows():
+        if run + toks <= budget:
+            run += toks
+            continue
+        s_star = score
+        remaining = budget - run
+        break
+
+    sel_schema = pa.schema([(id_column, pa.int64()),
+                            (score_column, pa.int64()),
+                            (token_column, pa.int64())])
+    if s_star is None:
+        return narrow  # whole corpus fits the budget
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch[score_column], s_star))
+
+    btbl = collect_to_table(
+        narrow.map_batches(boundary_rows, batch_format="pyarrow"),
+        empty_schema=sel_schema,
+    )
+    if btbl.num_rows > max_boundary_rows:
+        raise ValueError(
+            f"boundary score group has {btbl.num_rows} rows "
+            f"(> max_boundary_rows={max_boundary_rows}): score resolution "
+            "is too coarse for driver-side refinement — use a finer score"
+        )
+    bdf = pl.from_arrow(btbl).sort(id_column)
+    keep_mask = bdf[token_column].cum_sum() <= remaining
+    boundary_ids = bdf.filter(keep_mask)[id_column].to_list()
+    ids_ref = ray.put(pa.array(boundary_ids, pa.int64()))
+
+    def select(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        keep = pc.or_(
+            pc.greater(batch[score_column], s_star),
+            pc.is_in(batch[id_column], value_set=_ray.get(ids_ref)),
+        )
+        return batch.filter(keep)
+
+    return narrow.map_batches(select, batch_format="pyarrow")

@@ -491,6 +491,37 @@ def q_host_template(sf_dir: str):
     return host_template_lines(pages, min_docs=2)
 
 
+def q_token_budget(sf_dir: str):
+    """Corpus selection under a 30%-of-total token budget
+    (functions/packing.token_budget_select): exactly the docs a global
+    ORDER BY (n_chars DESC, doc_id) inclusive running-sum ≤ budget keeps,
+    with no global sort — score-histogram exchange + driver threshold
+    refinement + one broadcast filter.  Zero-token docs are excluded on
+    both engines (they are not selectable content and would make the
+    window rule order-sensitive past the budget)."""
+    import polars as pl
+
+    from docling_translate_ray.functions.packing import token_budget_select
+
+    def view(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(pl.col("text").fill_null(""))
+        df = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("score"),
+            pl.col("text").str.extract_all(r"\S+").list.len()
+            .cast(pl.Int64).alias("n_tokens"),
+        ).filter(pl.col("n_tokens") > 0)
+        return df.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("score", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        view, batch_format="pyarrow"
+    )
+    return token_budget_select(ds, budget_pct=30)
+
+
 def q_top_words(sf_dir: str, k: int = 50):
     """Corpus vocabulary top-k (token distribution — the training-data
     "what's in my corpus" op): global word counts via per-batch combiner →

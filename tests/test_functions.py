@@ -1140,3 +1140,62 @@ def test_minhash_index_probe_paths_agree(tmp_path):
              _idx_incoming_ds(), idx, concurrency=2,
              broadcast_band_rows=0)).to_pylist()}
     assert a == b and a
+
+
+# ------------------------------------------------------- token-budget select
+
+
+def _budget_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
+def _window_rule(rows, budget):
+    """The global sort rule the distributed plan must reproduce."""
+    run, out = 0, set()
+    for did, score, nt in sorted(rows, key=lambda r: (-r[1], r[0])):
+        run += nt
+        if run <= budget:
+            out.add(did)
+    return out
+
+
+def test_token_budget_select_matches_window_rule():
+    from docling_translate_ray.functions.packing import token_budget_select
+
+    rows = [(i, (i * 7) % 13, (i % 5) + 1) for i in range(40)]
+    total = sum(r[2] for r in rows)
+    for budget in (0, 1, total // 3, total // 2, total - 1, total, total + 5):
+        got = {r["doc_id"] for r in token_budget_select(
+            _budget_ds(rows), budget_tokens=budget).take_all()}
+        assert got == _window_rule(rows, budget), f"budget={budget}"
+
+
+def test_token_budget_select_boundary_ties_break_by_id():
+    from docling_translate_ray.functions.packing import token_budget_select
+
+    # all docs share one score: selection = by-id prefix of the cumsum
+    rows = [(i, 5, 10) for i in range(10)]
+    got = sorted(r["doc_id"] for r in token_budget_select(
+        _budget_ds(rows), budget_tokens=35).take_all())
+    assert got == [0, 1, 2]  # 3 * 10 <= 35 < 4 * 10
+
+
+def test_token_budget_select_validation():
+    from docling_translate_ray.functions.packing import token_budget_select
+
+    with pytest.raises(ValueError):
+        token_budget_select(_budget_ds([(1, 1, 1)]))
+    with pytest.raises(ValueError):
+        token_budget_select(_budget_ds([(1, 1, 1)]), budget_tokens=1,
+                            budget_pct=10)
+    with pytest.raises(ValueError):
+        token_budget_select(
+            _budget_ds([(i, 7, 1) for i in range(50)]),
+            budget_tokens=10, max_boundary_rows=5,
+        ).take_all()
