@@ -34,6 +34,7 @@ import pyarrow as pa
 _MANIFEST_FILE = "manifest.json"
 _TOMBSTONES_SUBDIR = "tombstones"
 _DELTA_PAGES_SUBDIR = "delta_pages"
+_FINGERPRINTS_SUBDIR = "fingerprints"
 _DELTA_SUBDIR = "delta"
 
 # partition columns the durable layouts add; dropped from the merged view
@@ -95,14 +96,39 @@ def run_incremental_extract_job(
 
     import pyarrow.compute as pc
 
-    from docling_translate_ray.functions.crawl import snapshot_diff
     from docling_translate_ray.pipelines.extract import read_pages, run_extract_job
     from docling_translate_ray.stages.shuffle import partition_join
 
     os.makedirs(out_dir, exist_ok=True)
-    diff = snapshot_diff(
-        read_pages(prev_pages_path), read_pages(new_pages_path),
-        content_column=content_column,
+    # xx64 fingerprints: the diff compares them for equality only, and the
+    # vectorized polars hash beats the per-row md5 loop ~30× per byte (the
+    # md5 mode exists for SQL-oracle lockstep, not production).  The new
+    # snapshot's fingerprints are PERSISTED into out_dir, so the NEXT
+    # incremental run diffs against that ~50-byte/url table instead of
+    # re-reading this whole crawl — after the first hop, a snapshot's
+    # pages are read exactly once, ever.
+    from docling_translate_ray.functions.crawl import (
+        _fingerprint_batch,
+        diff_fingerprints,
+    )
+
+    def fp_of(pages_path):
+        return read_pages(pages_path).map_batches(
+            lambda b: _fingerprint_batch(b, "url", content_column, 0, "xx64")
+            .drop_columns(["side"]),
+            batch_format="pyarrow",
+        )
+
+    new_fp_dir = os.path.join(out_dir, _FINGERPRINTS_SUBDIR)
+    fp_of(new_pages_path).write_parquet(new_fp_dir)
+    prev_fp_dir = os.path.join(prev_out_dir, _FINGERPRINTS_SUBDIR)
+    old_fp = (
+        ray.data.read_parquet(prev_fp_dir)
+        if os.path.isdir(prev_fp_dir)
+        else fp_of(prev_pages_path)  # first hop: base was a plain extract
+    )
+    diff = diff_fingerprints(
+        old_fp, ray.data.read_parquet(new_fp_dir)
     ).materialize()  # diff rows only — the small side by crawl-cadence construction
 
     def keep(kinds: tuple[str, ...], cols: list[str]):
@@ -118,14 +144,40 @@ def run_incremental_extract_job(
                              batch_format="pyarrow")
     tombs.write_parquet(tomb_dir)
 
-    # delta pages: semi-join the new snapshot against the added/changed urls
-    # (page payloads cross one url-hash exchange ONCE, and only for the
-    # pages that will actually be parsed)
+    # delta pages: filter the new snapshot down to the added/changed urls.
+    # The fresh-url set is delta-sized (crawl cadence) — broadcast it via
+    # ray.put and filter pages per batch, so page payloads NEVER enter an
+    # exchange (the first version semi-partition_join'ed the whole
+    # snapshot's html through a url-hash shuffle to keep 7% of it — 5×
+    # slower than a full re-extract at 960k pages); past the broadcast
+    # budget fall back to that semi-join
     fresh = diff.map_batches(keep(("added", "changed"), ["url"]),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow").materialize()
     delta_pages_dir = os.path.join(out_dir, _DELTA_PAGES_SUBDIR)
-    delta_pages = partition_join(read_pages(new_pages_path), fresh,
-                                 on=["url"], how="semi")
+    if fresh.count() <= 20_000_000:
+        import ray
+
+        from docling_translate_ray.util import collect_to_table
+
+        urls_ref = ray.put(
+            collect_to_table(
+                fresh, empty_schema=pa.schema([("url", pa.string())])
+            )["url"].combine_chunks().cast(pa.string())
+        )
+
+        def keep_fresh(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            return batch.filter(
+                pc.is_in(batch["url"].cast(pa.string()),
+                         value_set=_ray.get(urls_ref))
+            )
+
+        delta_pages = read_pages(new_pages_path).map_batches(
+            keep_fresh, batch_format="pyarrow")
+    else:
+        delta_pages = partition_join(read_pages(new_pages_path), fresh,
+                                     on=["url"], how="semi")
     delta_pages.write_parquet(delta_pages_dir)
 
     counts = {k: 0 for k in ("added", "removed", "changed")}
