@@ -51,28 +51,116 @@ def _docs_view(out_dir: str):
     return ds.drop_columns(drop) if drop else ds
 
 
-def read_corpus_docs(out_dir: str):
+def _walk_chain(out_dir: str):
+    """Manifest chain → (base_dir, hops) with hops oldest-first:
+    ``[(tomb_dir|None, delta_docs_dir|None, level), ...]``, level 1..N."""
+    rev = []
+    cur = out_dir
+    while True:
+        mpath = os.path.join(cur, _MANIFEST_FILE)
+        if not os.path.isfile(mpath):
+            break
+        with open(mpath) as f:
+            m = json.load(f)
+        rev.append((
+            os.path.join(cur, _TOMBSTONES_SUBDIR) if m["n_tombstones"] else None,
+            os.path.join(cur, _DELTA_SUBDIR) if m["n_delta_pages"] else None,
+        ))
+        cur = m["base"]
+    hops = [(t, d, i + 1) for i, (t, d) in enumerate(reversed(rev))]
+    return cur, hops
+
+
+def read_corpus_docs(out_dir: str, max_broadcast_tombstones: int = 20_000_000):
     """Current corpus state at ``out_dir``: a plain extract-job output is
-    read directly; an incremental output resolves its manifest chain
-    lazily (base − tombstones + delta), one anti-join per snapshot."""
+    read directly; an incremental output resolves its whole manifest
+    chain in ONE pass via the kill rule — a doc written at hop ``L``
+    (base = 0) is current iff no tombstone at a LATER hop names its url
+    (every "changed" url is tombstoned at the hop that rewrote it, so the
+    rule also supersedes older versions).
+
+    While the chain's total tombstones fit ``max_broadcast_tombstones``
+    the per-url max tombstone level broadcasts via ``ray.put`` and every
+    level filters per batch — ZERO exchanges regardless of chain depth
+    (the first version anti-partition_join'ed the FULL state once per
+    hop); past the budget one url-keyed exchange resolves the argmax
+    instead."""
+    import ray
     import ray.data
 
+    base_dir, hops = _walk_chain(out_dir)
+    levels = [(_docs_view(base_dir), 0)]
+    for tomb_dir, delta_dir, lv in hops:
+        if delta_dir is not None:
+            levels.append((_docs_view(delta_dir), lv))
+    tomb_dirs = [(t, lv) for t, _, lv in hops if t is not None]
+    if not tomb_dirs:
+        out = levels[0][0]
+        for ds, _ in levels[1:]:
+            out = out.union(ds)
+        return out
+
+    import polars as pl
+
+    import pyarrow.parquet as pq
+
+    n_tombs = 0
+    for t, _ in tomb_dirs:
+        for f in os.listdir(t):
+            if f.endswith(".parquet"):
+                n_tombs += pq.read_metadata(os.path.join(t, f)).num_rows
+
+    if n_tombs <= max_broadcast_tombstones:
+        from docling_translate_ray.util import collect_to_table
+
+        parts = []
+        for t, lv in tomb_dirs:
+            tbl = collect_to_table(
+                ray.data.read_parquet(t, columns=["url"]),
+                empty_schema=pa.schema([("url", pa.string())]),
+            )
+            parts.append(pl.from_arrow(tbl).with_columns(
+                pl.lit(lv, dtype=pl.Int64).alias("_tlv")))
+        kill = (
+            pl.concat(parts).group_by("url").agg(pl.col("_tlv").max())
+            .to_arrow().cast(pa.schema([("url", pa.string()),
+                                        ("_tlv", pa.int64())]))
+        )
+        kill_ref = ray.put(kill)
+
+        def survivors(level: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                k = pl.from_arrow(_ray.get(kill_ref))
+                df = pl.from_arrow(batch)
+                joined = df.join(k, on="url", how="left")
+                return joined.filter(
+                    pl.col("_tlv").fill_null(-1) <= level
+                ).drop("_tlv").to_arrow()
+
+            return fn
+
+        out = None
+        for ds, lv in levels:
+            filtered = ds.map_batches(survivors(lv), batch_format="pyarrow")
+            out = filtered if out is None else out.union(filtered)
+        return out
+
+    # distributed fallback (tombstones past the broadcast budget): the
+    # per-hop anti partition_join chain — correct by induction, at the
+    # cost of one full-state exchange per hop
     from docling_translate_ray.stages.shuffle import partition_join
 
-    mpath = os.path.join(out_dir, _MANIFEST_FILE)
-    if not os.path.isfile(mpath):
-        return _docs_view(out_dir)
-    with open(mpath) as f:
-        manifest = json.load(f)
-    base = read_corpus_docs(manifest["base"])
-    tomb_dir = os.path.join(out_dir, _TOMBSTONES_SUBDIR)
-    if manifest["n_tombstones"]:
-        tombs = ray.data.read_parquet(tomb_dir)
-        base = partition_join(base, tombs, on=["url"], how="anti")
-    if manifest["n_delta_pages"]:
-        delta = _docs_view(os.path.join(out_dir, _DELTA_SUBDIR))
-        base = base.union(delta)
-    return base
+    state = _docs_view(base_dir)
+    for tomb_dir, delta_dir, lv in hops:
+        if tomb_dir is not None:
+            state = partition_join(
+                state, ray.data.read_parquet(tomb_dir, columns=["url"]),
+                on=["url"], how="anti")
+        if delta_dir is not None:
+            state = state.union(_docs_view(delta_dir))
+    return state
 
 
 def run_incremental_extract_job(

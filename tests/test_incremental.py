@@ -119,3 +119,20 @@ def test_compaction_flattens_chain(snapshots, tmp_path):
     assert flat == chained and stats["doc_count"] == len(chained)
     # compacted state is manifest-free: no recursion, no anti-joins
     assert not os.path.isfile(os.path.join(compact, "manifest.json"))
+
+
+def test_read_corpus_docs_paths_agree(snapshots):
+    """Broadcast kill-rule and per-hop anti-join fallback resolve a
+    depth-2 chain identically."""
+    work = snapshots
+    for prev_pages, new_pages, prev_out, out in (
+        ("p1", "p2", "out1", "out2"), ("p2", "p3", "out2", "out3"),
+    ):
+        if not os.path.isdir(f"{work}/{out}"):
+            run_incremental_extract_job(
+                f"{work}/{prev_pages}", f"{work}/{new_pages}",
+                f"{work}/{prev_out}", f"{work}/{out}", n_buckets=4)
+    a = _docs_map(read_corpus_docs(f"{work}/out3"))
+    b = _docs_map(read_corpus_docs(f"{work}/out3",
+                                   max_broadcast_tombstones=0))
+    assert a == b and a
