@@ -185,3 +185,42 @@ def test_pii_scrub_no_residual_fuzz(text):
     import re
 
     assert not re.search(PII_EMAIL_RE, out["text_redacted"].replace("<EMAIL>", ""))
+
+
+# ---------------------------------------------------------- crawl classify
+
+
+@given(st.lists(st.tuples(st.integers(0, 30),      # url id
+                          st.integers(0, 3),       # content version
+                          st.sampled_from([0, 1])),  # side
+                max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_snapshot_classify_matches_dict_model(rows):
+    """functions/crawl._classify_partition == the obvious dict diff, for
+    any partition content (urls deduplicated per side, as the operator's
+    caller contract guarantees)."""
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.crawl import _classify_partition
+
+    seen: dict[tuple[int, int], str] = {}
+    for u, v, s in rows:
+        seen.setdefault((s, u), f"md5-{v}")
+    part = pa.table({
+        "url": pa.array([f"u{u}" for (_, u) in seen], pa.string()),
+        "md5": pa.array(list(seen.values()), pa.string()),
+        "side": pa.array([s for (s, _) in seen], pa.int8()),
+    })
+    got = {r["url"]: r["change"]
+           for r in _classify_partition(part).to_pylist()}
+    old = {u: m for (s, u), m in seen.items() if s == 0}
+    new = {u: m for (s, u), m in seen.items() if s == 1}
+    want = {}
+    for u in old.keys() | new.keys():
+        if u not in new:
+            want[f"u{u}"] = "removed"
+        elif u not in old:
+            want[f"u{u}"] = "added"
+        elif old[u] != new[u]:
+            want[f"u{u}"] = "changed"
+    assert got == want
