@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
         "token_budget": q.q_token_budget,
+        "pdf_extract": q.q_pdf_extract,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
         "unique_sentences": q.q_unique_sentences,
@@ -78,7 +79,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "rep_signals": q.q_rep_signals,
         "lang_token_quantiles": q.q_lang_token_quantiles,
-        "pii_scrub": q.q_pii_scrub,
         "cooccurrence": q.q_cooccurrence,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
@@ -142,6 +142,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * ngram_jaccard → minhash_near_dup + minhash_index_probe (whose
       oracles ARE the exact n-gram-Jaccard predicate) + dup_span_mask
       (same gram machinery); the fenced exact tool stays pytest-pinned
+    * pii_scrub → gopher_quality / rep_signals / langid (same pure
+      per-batch vectorized-regex map shape; redaction rules value-pinned
+      in pytest and still oracle-checked here)
     * nation_customers → segment_revenue (join+agg), lang_map (broadcast)
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
@@ -157,6 +160,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "line_dedup": q.q_line_dedup,
         "ngram_jaccard": q.q_ngram_jaccard,
+        "pii_scrub": q.q_pii_scrub,
         "sentences": q.q_sentences,
         "docs_text_segments": q.q_docs_text_segments,
         "token_count": q.q_token_count,
@@ -285,6 +289,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 70 * len(list_distinct(a.g || b.g))
             ORDER BY index_id, new_id
+        """,
+        # PDF lane: the query writes a REAL Flate PDF per doc (title line
+        # + 8-word-wrapped lines, content stream emitted in reverse) and
+        # pdf_core must recover the reading order byte-identically
+        "pdf_extract": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(ws[(i-1)*8+1 : i*8], ' '),
+                                chr(10) ORDER BY i) AS body
+              FROM w, unnest(range(1, CAST(ceil(len(ws) / 8.0) AS BIGINT) + 1))
+                       AS t(i)
+              GROUP BY doc_id),
+            e AS (
+              SELECT w.doc_id,
+                     'doc ' || w.doc_id ||
+                     CASE WHEN l.body IS NULL THEN ''
+                          ELSE chr(10) || l.body END AS extracted_text
+              FROM w LEFT JOIN l ON w.doc_id = l.doc_id)
+            SELECT 'pdf://' || doc_id AS url, 'ok' AS status,
+                   extracted_text,
+                   length(extracted_text)::BIGINT AS n_chars
+            FROM e
         """,
         # Token-budget selection: the threshold-refinement result must
         # equal the global window rule (ORDER BY score DESC, id; inclusive

@@ -122,9 +122,12 @@ _HTML_SNIFF = re.compile(rb"^\s*(?:<!doctype\s+html|<html)", re.IGNORECASE)
 def detect_doctype(url: str, data: bytes) -> str:
     """Content-type dispatch (core.py:369-379 / text_parser.py:507-530 analog).
 
-    Order: binary sniff → url extension via EXTENSION_MAP → html content
-    sniff → plaintext.
+    Order: PDF magic → binary sniff → url extension via EXTENSION_MAP →
+    html content sniff → plaintext.  The PDF check must precede the
+    binary sniff (PDF streams contain null bytes).
     """
+    if data[:5] == b"%PDF-":
+        return "pdf"
     if is_binary(data):
         return "binary"
     path = url.split("?", 1)[0].split("#", 1)[0].rstrip("/")
@@ -581,6 +584,19 @@ def extract_page(url: str, data: bytes, speed_mode: str = "accurate") -> dict:
     table-structure recovery; byte-identity goldens are frozen per mode).
     """
     try:
+        if data[:5] == b"%PDF-":
+            # PDF lane works on RAW bytes (streams are binary; the decode
+            # ladder would mangle them) — pdf_core does layout analysis:
+            # page segmentation + (−y, x) reading-order sort
+            from docling_translate_ray import pdf_core
+
+            spans = [Span(i, start, end, kind, tr, line, page, text)
+                     for i, (text, start, end, kind, tr, line, page)
+                     in enumerate(pdf_core.segment_pdf(data))]
+            return {
+                "url": url, "doctype": "pdf", "status": "ok",
+                "extracted_text": assemble_text(spans), "spans": spans,
+            }
         if is_binary(data):
             return {
                 "url": url, "doctype": "binary", "status": "skipped_binary",

@@ -87,6 +87,42 @@ def q_extract_pages(sf_dir: str):
     )
 
 
+def pdf_pages_batch(batch: pa.Table) -> pa.Table:
+    """input_hint-shaped pages whose payloads are REAL PDFs (pdf_core
+    writer, FlateDecode): a title line ``doc <id>`` then the 8-word-
+    wrapped text lines, 12pt apart — emitted in REVERSED order so the
+    extraction result depends on pdf_core's (−y, x) reading-order sort,
+    not on stream order."""
+    from docling_translate_ray import pdf_core
+
+    urls, blobs = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = (t or "").split()
+        lines = [" ".join(toks[j:j + 8]) for j in range(0, len(toks), 8)]
+        runs = [(72.0, 720.0, f"doc {i}")] + [
+            (72.0, 720.0 - 12.0 * (k + 1), ln) for k, ln in enumerate(lines)
+        ]
+        runs.reverse()
+        urls.append(f"pdf://{i}")
+        blobs.append(pdf_core.build_pdf([runs], compress=True))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(blobs, pa.binary()),
+        "lang": pa.array([""] * len(urls), pa.string()),
+    })
+
+
+def q_pdf_extract(sf_dir: str):
+    """PDF lane end-to-end (the north rule's layout-parse path): build a
+    real Flate-compressed PDF per doc, run the SAME extraction DAG as the
+    html pages, and compare the reading-order text byte-identically."""
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pdf_pages_batch, batch_format="pyarrow"
+    )
+    return pages.map_batches(extract_batch, batch_format="pyarrow") \
+        .select_columns(["url", "status", "extracted_text", "n_chars"])
+
+
 def q_sentences(sf_dir: str):
     """Sentence explosion of the extracted docs (M9 analog)."""
     from docling_translate_ray.stages.extract import explode_sentences_batch
