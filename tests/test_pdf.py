@@ -80,3 +80,50 @@ def test_roundtrip_property(texts):
     want = [(1, t) for t in texts]
     assert pc.pdf_lines(pc.build_pdf([runs])) == want
     assert pc.pdf_lines(pc.build_pdf([runs], compress=True)) == want
+
+
+def test_mixed_html_pdf_corpus_through_the_job(tmp_path):
+    """The durable extract job handles a MIXED html + pdf corpus: every
+    url's extracted text equals the pure kernel's output for its bytes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docling_translate_ray.corpus import gen_pages
+    from docling_translate_ray.pipelines.extract import run_extract_job
+
+    html_pages = gen_pages(40, seed=11)
+    pdf_rows = {
+        "url": [], "warc_ts": html_pages["warc_ts"].to_pylist()[:10],
+        "html": [], "text": [""] * 10, "lang": [""] * 10,
+    }
+    for i in range(10):
+        pdf_rows["url"].append(f"https://pdfs.example/report-{i}.pdf")
+        pdf_rows["html"].append(pc.build_pdf(
+            [[(72, 700, f"report {i} heading"),
+              (72, 688, f"body line for report {i}")]],
+            compress=(i % 2 == 0)))
+    pdf_tbl = pa.table(
+        {k: pa.array(v, type=html_pages.schema.field(k).type)
+         for k, v in pdf_rows.items()}, schema=html_pages.schema)
+    mixed = pa.concat_tables([html_pages, pdf_tbl])
+    pdir = str(tmp_path / "pages")
+    os.makedirs(pdir)
+    pq.write_table(mixed, os.path.join(pdir, "pages.parquet"))
+
+    out = str(tmp_path / "out")
+    res = run_extract_job(pdir, out, n_buckets=4)
+    assert res["doc_count"] == 50
+
+    got = {r["url"]: (r["doctype"], r["extracted_text"])
+           for r in ray.data.read_parquet(os.path.join(out, "docs")).take_all()}
+    assert len(got) == 50
+    for url, blob in zip(mixed["url"].to_pylist(), mixed["html"].to_pylist()):
+        want = ec.extract_page(url, blob or b"")
+        assert got[url][1] == want["extracted_text"], url
+    for i in range(10):
+        u = f"https://pdfs.example/report-{i}.pdf"
+        assert got[u][0] == "pdf"
+        assert got[u][1] == (f"report {i} heading\nbody line for report {i}")
