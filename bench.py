@@ -78,6 +78,9 @@ def extra_queries(sf_dir: str) -> dict:
         "anchor_text": lambda: _consume(q.q_anchor_text(sf_dir)),
         "minhash_index_build": lambda: _mh_index_build(sf_dir),
         "minhash_index_probe": lambda: _mh_index_probe(sf_dir),
+        "pdf_extract": lambda: _consume(q.q_pdf_extract(sf_dir)),
+        "host_template": lambda: _consume(q.q_host_template(sf_dir)),
+        "token_budget": lambda: _consume(q.q_token_budget(sf_dir)),
     }
 
 
