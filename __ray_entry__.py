@@ -39,6 +39,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        # new operators this session — never driver-checked, first in
+        # the window: SemDeDup, DSIR importance scoring, temperature
+        # language rebalancing (all oracle-backed)
+        "semdedup": q.q_semdedup,
+        "dsir_score": q.q_dsir_score,
+        "lang_rebalance": q.q_lang_rebalance,
         # never driver-checked before round 3 — first in the window
         "image_near_dup": q.q_image_near_dup,
         "audio_near_dup": q.q_audio_near_dup,
@@ -73,7 +79,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         # similarity search
         "knn_topk": q.q_knn_topk,
-        "kmeans": q.q_kmeans,
         # text analysis
         "token_count_bpe": q.q_token_count_bpe,
         "gopher_quality": q.q_gopher_quality,
@@ -87,9 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q.q_langid,
         "word_commonness": q.q_word_commonness,
         "pagerank": q.q_pagerank,
-        "dataset_split": q.q_dataset_split,
         # aggregates / sort / window (A1-A6, O2)
-        "lang_counts": q.q_lang_counts,
         "events_hopping": q.q_events_hopping,
         "top_users": q.q_top_users,
         "lineitem_pricing": q.q_lineitem_pricing,
@@ -149,6 +152,13 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * last_view_before_purchase → purchase_attribution (same
       functions/asof.py co-partition merge kernel)
     * video_frames → media_features (same actor-pool plumbing; demux stub)
+    * kmeans → semdedup (runs the SAME kmeans_int kernel — k=4, 2
+      rounds — as its clustering stage; the semdedup oracle embeds the
+      full unrolled k-means CTE)
+    * lang_counts → lang_rebalance (whose quota stage IS a per-lang
+      count) + heavy_hitters (same combiner-first count path)
+    * dataset_split → lang_rebalance (same md5-of-text deterministic
+      gate, rank form) + stratified_sample (same md5-gate kernel)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -178,6 +188,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "nation_customers": q.q_nation_customers,
         "last_view_before_purchase": q.q_last_view_before_purchase,
         "video_frames": q.q_video_frames,
+        "kmeans": q.q_kmeans,
+        "lang_counts": q.q_lang_counts,
+        "dataset_split": q.q_dataset_split,
     }
 
 
@@ -1238,6 +1251,111 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY vec_id ORDER BY dist, cid) rn
                      FROM d3) WHERE rn = 1)
             SELECT vec_id, cid::BIGINT AS cluster_id FROM a3
+        """,
+        # SemDeDup over the planted-twin view: the SAME unrolled
+        # integer-exact k-means as the kmeans oracle (over the planted
+        # view), then kept = no lower-id same-cluster vector with
+        # cosine >= 0.9 (planted twins are >= 0.999, unplanted pairs
+        # <= 0.52 — real margin on both engines)
+        "semdedup": """
+            WITH planted AS (
+              SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_concat([embedding[1]::DOUBLE * 1.3],
+                                 (embedding::DOUBLE[])[2:])
+              FROM embeddings WHERE vec_id % 10 = 0),
+            v AS (
+              SELECT vec_id,
+                     list_transform(pv,
+                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                              + 10000000) AS e
+              FROM planted),
+            vd AS (SELECT vec_id, unnest(range(1, 65)) AS d,
+                          unnest(e) AS val FROM v),
+            c0 AS (SELECT vec_id AS cid, d, val AS cval
+                   FROM vd WHERE vec_id < 4),
+            d1 AS (SELECT vd.vec_id, c.cid,
+                          sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+                   FROM vd JOIN c0 c USING (d) GROUP BY vd.vec_id, c.cid),
+            a1 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) rn
+                     FROM d1) WHERE rn = 1),
+            c1 AS (SELECT a.cid, vd.d, sum(vd.val) // count(*) AS cval
+                   FROM vd JOIN a1 a USING (vec_id) GROUP BY a.cid, vd.d),
+            d2 AS (SELECT vd.vec_id, c.cid,
+                          sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+                   FROM vd JOIN c1 c USING (d) GROUP BY vd.vec_id, c.cid),
+            a2 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) rn
+                     FROM d2) WHERE rn = 1),
+            c2 AS (SELECT a.cid, vd.d, sum(vd.val) // count(*) AS cval
+                   FROM vd JOIN a2 a USING (vec_id) GROUP BY a.cid, vd.d),
+            d3 AS (SELECT vd.vec_id, c.cid,
+                          sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+                   FROM vd JOIN c2 c USING (d) GROUP BY vd.vec_id, c.cid),
+            a3 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) rn
+                     FROM d3) WHERE rn = 1),
+            dropped AS (
+              SELECT hi.vec_id
+              FROM a3 hi JOIN a3 lo
+                     ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+              JOIN planted ph ON ph.vec_id = hi.vec_id
+              JOIN planted pl ON pl.vec_id = lo.vec_id
+              WHERE list_cosine_similarity(pl.pv, ph.pv) >= 0.9)
+            SELECT a3.vec_id, a3.cid::BIGINT AS cluster_id,
+                   a3.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+            FROM a3
+        """,
+        # DSIR integer-exact importance scoring: md5[:2] hashed-unigram
+        # buckets, smoothed-ratio weights S[b] in HUGEINT (arbitrary-
+        # precision ints on the Ray side), score = sum(cnt * S)
+        "dsir_score": f"""
+            WITH tok AS (
+              SELECT doc_id, source = 'src1' AS tgt,
+                     unnest(regexp_extract_all(text, '@NONWS@')) AS w
+              FROM documents),
+            feat AS (
+              SELECT doc_id, tgt, substr(md5(w), 1, 2) AS b,
+                     count(*)::BIGINT AS cnt
+              FROM tok GROUP BY 1, 2, 3),
+            g AS (
+              SELECT b, sum(cnt)::BIGINT AS n_r,
+                     sum(CASE WHEN tgt THEN cnt ELSE 0 END)::BIGINT AS n_t
+              FROM feat GROUP BY b),
+            tot AS (SELECT sum(n_r)::HUGEINT AS nr, sum(n_t)::HUGEINT AS nt
+                    FROM g),
+            s AS (
+              SELECT b,
+                     (((n_t + 1)::HUGEINT * 1000000 * (nr + 256))
+                      // ((n_r + 1)::HUGEINT * (nt + 256)))::BIGINT AS s
+              FROM g, tot)
+            SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_tokens,
+                   sum(f.cnt * s.s)::BIGINT AS dsir_score
+            FROM feat f JOIN s ON f.b = s.b
+            GROUP BY f.doc_id
+        """,
+        # temperature-flattened (alpha=0.5) language rebalancing:
+        # quota = floor(sqrt(n_lang)) * 8, selection rank by
+        # (md5(text), doc_id) within language — floor(sqrt) is lockstep
+        # (IEEE correctly-rounded sqrt floor == isqrt for n < 2^52)
+        "lang_rebalance": """
+            WITH n AS (SELECT lang, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY lang),
+            q AS (SELECT lang,
+                         CAST(floor(sqrt(n_docs)) AS BIGINT) * 8 AS quota
+                  FROM n),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(coalesce(text, '')), doc_id) AS rnk
+                  FROM documents)
+            SELECT r.doc_id, r.lang
+            FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota
         """,
         # 3-iteration integer-exact PageRank over the affine link graph
         # (node i → (i*m+a) % n for (m,a) in (7,1),(13,5),(31,11)); same

@@ -1,0 +1,160 @@
+"""DSIR-style importance scoring — hashed-unigram importance weights of
+every document against a target domain.
+
+Model: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" (DSIR) — fit bag-of-hashed-ngrams models to a
+small target corpus and to the raw pool, score every raw document by
+its importance weight under target-vs-raw, then keep the top mass.
+This implementation is the repo's integer-exact reformulation (the
+driver gate hash-compares values, so a float ``Σ log p`` — whose last
+ulps differ between libms — is out): the per-bucket weight is the
+SCALED SMOOTHED RATIO
+
+    S[b] = ((n_t[b] + 1) · SCALE · (N_r + B)) // ((n_r[b] + 1) · (N_t + B))
+
+(add-one smoothing over B buckets, floor division, arbitrary-precision
+ints on the driver / HUGEINT in the DuckDB oracle) and a document's
+score is ``Σ_b n_b(doc) · S[b]`` — monotone per-bucket in the same
+direction as the log-ratio, deterministic, and exactly reproducible in
+SQL.  Buckets are ``md5(token)[:2]`` (B = 256): the hex-prefix STRING
+is the bucket key on both engines, so no integer-conversion lockstep is
+needed (same trick as the ``dataset_split`` md5 gates).
+
+Scale shape: the tokenized corpus collapses per batch to the narrow
+feature table ``(id, bucket, cnt, is_target)`` — ≤ B rows per document,
+three ints and a 2-char key — which is persisted to Parquet ONCE
+(resumable; the text is never re-tokenized).  Pass 1 is a bucket-keyed
+``grouped_sum`` whose exchange is ≤ B rows per block; the 256-row
+weight table lives on the driver and is broadcast into pass 2, a
+doc-keyed ``grouped_sum`` over the same feature Parquet.  No corpus-
+sized exchange ever carries text.
+
+Reference parity note: the reference repo has no data-selection stage;
+this is part of the beyond-reference training-data operator suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+_SCALE = 1_000_000
+_B = 256  # md5 2-hex-char prefix buckets
+
+_FEATURE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("bucket", pa.string()),
+    ("cnt", pa.int64()),
+    ("cnt_t", pa.int64()),
+])
+
+
+def _explode_features(id_column: str, column: str, target_column: str):
+    """Per-batch combiner: tokenize (``\\S+``, the repo's lockstep word
+    tokenizer), bucket each token by ``md5[:2]`` (hashing only the
+    batch-unique tokens), and collapse to (id, bucket, cnt, cnt_t)."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_column, column, target_column]))
+        toks = (
+            df.rename({id_column: "_id", column: "_t", target_column: "_tgt"})
+            .with_columns(pl.col("_id").cast(pl.Int64),
+                          pl.col("_t").fill_null(""))
+            .select("_id", "_tgt",
+                    pl.col("_t").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+        )
+        if toks.height == 0:
+            return _FEATURE_SCHEMA.empty_table()
+        uniq = toks["w"].unique()
+        bmap = pl.DataFrame({
+            "w": uniq,
+            "bucket": [hashlib.md5(w.encode("utf-8")).hexdigest()[:2]
+                       for w in uniq],
+        })
+        out = (
+            toks.join(bmap, on="w", how="left")
+            .group_by(["_id", "bucket"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"),
+                 pl.col("_tgt").first().alias("_tgt"))
+            .with_columns(
+                (pl.col("cnt") * pl.col("_tgt").cast(pl.Int64)).alias("cnt_t"))
+            .rename({"_id": "doc_id"})
+            .select(["doc_id", "bucket", "cnt", "cnt_t"])
+        )
+        return out.to_arrow().cast(_FEATURE_SCHEMA)
+
+    return fn
+
+
+def dsir_score(ds, scratch_dir: str, target_column: str = "is_target",
+               id_column: str = "doc_id", column: str = "text",
+               num_partitions: int = 32):
+    """Score every document against the target domain (rows where
+    ``target_column`` is true).  Returns a Dataset of
+    ``(doc_id, n_tokens, dsir_score)`` — zero-token docs are absent
+    (they have no feature rows; the oracle mirrors this).
+
+    ``scratch_dir``: where the narrow feature table is persisted
+    between the two aggregation passes (written once, read twice).
+    """
+    import shutil
+
+    import polars as pl
+    import ray
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+
+    shutil.rmtree(scratch_dir, ignore_errors=True)
+    feats = ds.map_batches(
+        _explode_features(id_column, column, target_column),
+        batch_format="pyarrow",
+    )
+    feats.write_parquet(scratch_dir)
+    feats = ray.data.read_parquet(scratch_dir)
+
+    # pass 1: corpus bucket counts — exchange is ≤ 256 rows per block
+    g = grouped_sum(
+        feats, ["bucket"],
+        [pl.col("cnt").sum().alias("_r"), pl.col("cnt_t").sum().alias("_t")],
+        {"n_r": "_r", "n_t": "_t"},
+        num_partitions=min(num_partitions, 16),
+    ).take_all()
+    n_raw = sum(r["n_r"] for r in g)
+    n_tgt = sum(r["n_t"] for r in g)
+    weights = {
+        r["bucket"]: ((r["n_t"] + 1) * _SCALE * (n_raw + _B))
+        // ((r["n_r"] + 1) * (n_tgt + _B))
+        for r in g
+    }
+    if any(w >= 2 ** 62 for w in weights.values()):
+        raise ValueError(
+            "dsir bucket weight exceeds int64 range — target corpus is too "
+            "small relative to the pool for the integer-exact formulation")
+    wdf = pl.DataFrame({
+        "bucket": list(weights), "_s": pl.Series(list(weights.values()),
+                                                 dtype=pl.Int64),
+    })
+
+    # pass 2: per-doc score over the SAME parquet (no re-tokenize)
+    def weigh(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).join(wdf, on="bucket", how="left")
+        return (
+            df.with_columns((pl.col("cnt") * pl.col("_s")).alias("_sc"))
+            .select(["doc_id", "cnt", "_sc"])
+            .to_arrow()
+        )
+
+    out = grouped_sum(
+        feats.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"],
+        [pl.col("cnt").sum().alias("_n"), pl.col("_sc").sum().alias("_w")],
+        {"n_tokens": "_n", "dsir_score": "_w"},
+        num_partitions=num_partitions,
+    )
+    if id_column != "doc_id":
+        out = out.rename_columns({"doc_id": id_column})
+    return out

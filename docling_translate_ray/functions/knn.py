@@ -410,7 +410,8 @@ def _to_int_matrix(batch: pa.Table, column: str) -> np.ndarray:
 
 
 def kmeans_int(ds, k: int = 4, iterations: int = 2,
-               id_column: str = "vec_id", column: str = "embedding"):
+               id_column: str = "vec_id", column: str = "embedding",
+               keep_vectors: bool = False):
     """Distributed Lloyd k-means with integer-exact arithmetic.
 
     * init: centroids = the vectors with ``id < k`` (deterministic);
@@ -425,7 +426,10 @@ def kmeans_int(ds, k: int = 4, iterations: int = 2,
       survivors), mirroring the SQL oracle's inner join.
 
     Returns a Dataset of ``(id_column, cluster_id:int64)`` after the
-    final assignment pass.
+    final assignment pass; with ``keep_vectors=True`` the embedding
+    column rides along too (same pass, no extra exchange — consumers
+    like :func:`docling_translate_ray.functions.semdedup.semdedup` need
+    the vectors grouped by cluster downstream).
     """
     import ray
 
@@ -492,13 +496,20 @@ def kmeans_int(ds, k: int = 4, iterations: int = 2,
 
     def final_assign(batch: pa.Table) -> pa.Table:
         cn, cm = ray.get(final_ref)
+        empty = pa.schema(
+            [(id_column, pa.int64()), ("cluster_id", pa.int64())]
+            + ([(column, pa.list_(pa.float64()))] if keep_vectors else [])
+        )
         if batch.num_rows == 0:
-            return pa.schema([(id_column, pa.int64()),
-                              ("cluster_id", pa.int64())]).empty_table()
+            return empty.empty_table()
         mat = _to_int_matrix(batch, column)
-        return pa.table({
+        cols = {
             id_column: batch[id_column].combine_chunks().cast(pa.int64()),
             "cluster_id": pa.array(assign(mat, cn, cm), pa.int64()),
-        })
+        }
+        if keep_vectors:
+            cols[column] = batch[column].combine_chunks().cast(
+                pa.list_(pa.float64()))
+        return pa.table(cols)
 
     return narrow.map_batches(final_assign, batch_format="pyarrow")

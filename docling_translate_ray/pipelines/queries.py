@@ -1661,6 +1661,55 @@ def q_kmeans(sf_dir: str):
                       k=4, iterations=2)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (functions/semdedup): k-means (k=4, same integer-exact
+    kernel the `kmeans` oracle unrolls) over the planted-twin embedding
+    view, then within-cluster cosine-≥-0.9 pruning with keep-lowest-id
+    priority.  The planted twins (cos ≥ 0.999 vs ≤ 0.52 unplanted) give
+    the threshold real margin on both engines AND guarantee non-vacuous
+    drops; oracle = the unrolled k-means CTE + an EXISTS over i<j
+    same-cluster cosine pairs."""
+    from docling_translate_ray.functions.semdedup import semdedup
+
+    planted = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant_embedding_twins_batch, batch_format="pyarrow"
+    )
+    return semdedup(planted, k=4, iterations=2, threshold=0.9)
+
+
+def q_dsir_score(sf_dir: str):
+    """DSIR-style hashed-unigram importance scores (functions/dsir)
+    against the target domain ``source = 'src1'``: integer-exact
+    smoothed-ratio bucket weights over md5[:2] buckets, per-doc
+    ``Σ cnt·S[bucket]``.  Zero-token docs are absent on both engines."""
+    import hashlib as _hl
+
+    from docling_translate_ray.functions.dsir import dsir_score
+
+    scratch = "/tmp/dtr_dsir_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def mark_target(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "is_target", pc.equal(batch["source"], "src1")
+        ).drop_columns(["source"])
+
+    return dsir_score(docs.map_batches(mark_target, batch_format="pyarrow"),
+                      scratch_dir=scratch)
+
+
+def q_lang_rebalance(sf_dir: str):
+    """Temperature-flattened (α=0.5) language rebalancing
+    (functions/sampling.lang_rebalance): keep floor(sqrt(n_lang))·8 docs
+    per language, chosen by ascending (md5(text), doc_id) rank."""
+    from docling_translate_ray.functions.sampling import lang_rebalance
+
+    return lang_rebalance(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]), quota_scale=8)
+
+
 def q_search_rank(sf_dir: str):
     """Ranked retrieval through the inverted index's pruned partition
     reads (functions/index.search_rank): integer-exact tf·(N−df) scores
