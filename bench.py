@@ -81,6 +81,14 @@ def extra_queries(sf_dir: str) -> dict:
         "pdf_extract": lambda: _consume(q.q_pdf_extract(sf_dir)),
         "host_template": lambda: _consume(q.q_host_template(sf_dir)),
         "token_budget": lambda: _consume(q.q_token_budget(sf_dir)),
+        # LSM-style snapshot processing: delta-only parse + manifest chain
+        # (returns a small pyarrow summary table, not a Dataset)
+        "incremental_extract": lambda: q.q_incremental_extract(sf_dir).num_rows,
+        # data-selection family (this round): SemDeDup, DSIR, temperature
+        # language rebalancing
+        "semdedup": lambda: _consume(q.q_semdedup(sf_dir)),
+        "dsir_score": lambda: _consume(q.q_dsir_score(sf_dir)),
+        "lang_rebalance": lambda: _consume(q.q_lang_rebalance(sf_dir)),
     }
 
 
