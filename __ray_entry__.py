@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q.q_semdedup,
         "dsir_score": q.q_dsir_score,
         "lang_rebalance": q.q_lang_rebalance,
+        "bitext_mine": q.q_bitext_mine,
         # never driver-checked before round 3 — first in the window
         "image_near_dup": q.q_image_near_dup,
         "audio_near_dup": q.q_audio_near_dup,
@@ -82,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count_bpe": q.q_token_count_bpe,
         "gopher_quality": q.q_gopher_quality,
-        "rep_signals": q.q_rep_signals,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "cooccurrence": q.q_cooccurrence,
         "pack_sequences": q.q_pack_sequences,
@@ -159,6 +159,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       count) + heavy_hitters (same combiner-first count path)
     * dataset_split → lang_rebalance (same md5-of-text deterministic
       gate, rank form) + stratified_sample (same md5-gate kernel)
+    * rep_signals → gopher_quality (same pure per-batch vectorized
+      string/regex gate shape, stricter rule set); the repetition
+      kernels stay oracle-checked here and value-pinned in pytest
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -191,6 +194,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "kmeans": q.q_kmeans,
         "lang_counts": q.q_lang_counts,
         "dataset_split": q.q_dataset_split,
+        "rep_signals": q.q_rep_signals,
     }
 
 
@@ -1338,6 +1342,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(f.cnt * s.s)::BIGINT AS dsir_score
             FROM feat f JOIN s ON f.b = s.b
             GROUP BY f.doc_id
+        """,
+        # mutual-top-1 bitext mining between the even- and odd-id halves
+        # of the embedding space; rank-only decisions (the knn_topk
+        # robustness argument), mutuality via INTERSECT
+        "bitext_mine": """
+            WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 2 = 0),
+            b AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            ab AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                          list_cosine_similarity(a.v, b.v) AS cos
+                   FROM a CROSS JOIN b),
+            best_st AS (SELECT src_id, tgt_id FROM (
+                          SELECT src_id, tgt_id, row_number() OVER (
+                            PARTITION BY src_id
+                            ORDER BY cos DESC, tgt_id) AS rn
+                          FROM ab) WHERE rn = 1),
+            best_ts AS (SELECT src_id, tgt_id FROM (
+                          SELECT src_id, tgt_id, row_number() OVER (
+                            PARTITION BY tgt_id
+                            ORDER BY cos DESC, src_id) AS rn
+                          FROM ab) WHERE rn = 1)
+            SELECT src_id, tgt_id FROM best_st
+            INTERSECT
+            SELECT src_id, tgt_id FROM best_ts
         """,
         # temperature-flattened (alpha=0.5) language rebalancing:
         # quota = floor(sqrt(n_lang)) * 8, selection rank by

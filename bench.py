@@ -89,6 +89,7 @@ def extra_queries(sf_dir: str) -> dict:
         "semdedup": lambda: _consume(q.q_semdedup(sf_dir)),
         "dsir_score": lambda: _consume(q.q_dsir_score(sf_dir)),
         "lang_rebalance": lambda: _consume(q.q_lang_rebalance(sf_dir)),
+        "bitext_mine": lambda: _consume(q.q_bitext_mine(sf_dir)),
     }
 
 

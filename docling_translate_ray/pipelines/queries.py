@@ -1700,6 +1700,30 @@ def q_dsir_score(sf_dir: str):
                       scratch_dir=scratch)
 
 
+def q_bitext_mine(sf_dir: str):
+    """Mutual-top-1 bitext mining (functions/bitext) between the even-id
+    and odd-id halves of the embeddings table (a deterministic stand-in
+    for two language sides sharing one embedding space).  Rank-only
+    decisions (ORDER BY cos DESC, id — the knn_topk oracle's robustness
+    argument); oracle = cross-join cosine + two row_number windows +
+    INTERSECT."""
+    import pyarrow.compute as pc
+
+    from docling_translate_ray.functions.bitext import bitext_mine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def parity(keep: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["vec_id"], 1), keep))
+        return fn
+
+    src = emb.map_batches(parity(0), batch_format="pyarrow")
+    tgt = emb.map_batches(parity(1), batch_format="pyarrow")
+    return bitext_mine(src, tgt)
+
+
 def q_lang_rebalance(sf_dir: str):
     """Temperature-flattened (α=0.5) language rebalancing
     (functions/sampling.lang_rebalance): keep floor(sqrt(n_lang))·8 docs

@@ -205,6 +205,60 @@ def test_lang_rebalance_tie_break_on_id():
     assert sorted(got["doc_id"]) == [1, 3]
 
 
+# ---------------------------------------------------------- bitext_mine
+
+
+def _sides():
+    import ray.data
+
+    # src 0,2,4 / tgt 1,3,5 in 2-d direction space:
+    #   src0 ~ tgt1 (mutual), src2 ~ tgt3 (mutual),
+    #   src4 points between but nearest tgt3 — NOT mutual (tgt3's best
+    #   source is src2), so src4 must be absent from the result
+    src = pa.table({
+        "vec_id": pa.array([0, 2, 4], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.0, 1.0], [0.35, 1.0]], pa.list_(pa.float64())),
+    })
+    tgt = pa.table({
+        "vec_id": pa.array([1, 3, 5], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.05], [0.05, 1.0], [1.0, 1.0]], pa.list_(pa.float64())),
+    })
+    return ray.data.from_arrow(src), ray.data.from_arrow(tgt)
+
+
+def test_bitext_mutual_top1():
+    from docling_translate_ray.functions.bitext import bitext_mine
+
+    src, tgt = _sides()
+    got = _to_table(bitext_mine(src, tgt)).to_pandas()
+    pairs = sorted(map(tuple, got[["src_id", "tgt_id"]].values.tolist()))
+    # independent model: full cosine matrix by hand
+    import itertools
+
+    s = {0: [1.0, 0.0], 2: [0.0, 1.0], 4: [0.35, 1.0]}
+    t = {1: [1.0, 0.05], 3: [0.05, 1.0], 5: [1.0, 1.0]}
+    cos = {
+        (a, b): np.dot(s[a], t[b])
+        / (np.linalg.norm(s[a]) * np.linalg.norm(t[b]))
+        for a, b in itertools.product(s, t)
+    }
+    best_st = {a: min(t, key=lambda b: (-cos[(a, b)], b)) for a in s}
+    best_ts = {b: min(s, key=lambda a: (-cos[(a, b)], a)) for b in t}
+    want = sorted((a, b) for a, b in best_st.items() if best_ts[b] == a)
+    assert pairs == want
+    assert (4, 3) not in pairs  # the non-mutual pair is excluded
+
+
+def test_bitext_side_fence():
+    from docling_translate_ray.functions.bitext import bitext_mine
+
+    src, tgt = _sides()
+    with pytest.raises(ValueError, match="max_side_rows"):
+        bitext_mine(src, tgt, max_side_rows=2)
+
+
 def test_lang_rebalance_rejects_bad_scale():
     import ray.data
 
