@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_score": q.q_dsir_score,
         "lang_rebalance": q.q_lang_rebalance,
         "bitext_mine": q.q_bitext_mine,
+        "bpe_pair_counts": q.q_bpe_pair_counts,
+        "mixture": q.q_mixture,
         # never driver-checked before round 3 — first in the window
         "image_near_dup": q.q_image_near_dup,
         "audio_near_dup": q.q_audio_near_dup,
@@ -62,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
-        "token_budget": q.q_token_budget,
         "pdf_extract": q.q_pdf_extract,
         # extraction core (S2-S6, M1-M16, O1)
         "extract_pages": q.q_extract_pages,
@@ -84,7 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q.q_token_count_bpe,
         "gopher_quality": q.q_gopher_quality,
         "lang_token_quantiles": q.q_lang_token_quantiles,
-        "cooccurrence": q.q_cooccurrence,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "chunk_docs": q.q_chunk_docs,
@@ -162,6 +162,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * rep_signals → gopher_quality (same pure per-batch vectorized
       string/regex gate shape, stricter rule set); the repetition
       kernels stay oracle-checked here and value-pinned in pytest
+    * cooccurrence → bpe_pair_counts (same pair-keyed combiner →
+      grouped_sum exchange shape; the lift scoring stays
+      oracle-checked here)
+    * token_budget → mixture (runs the SAME token_budget_select
+      threshold-refinement kernel as its stage 3, inside the
+      end-to-end composite oracle)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -195,6 +201,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q.q_lang_counts,
         "dataset_split": q.q_dataset_split,
         "rep_signals": q.q_rep_signals,
+        "cooccurrence": q.q_cooccurrence,
+        "token_budget": q.q_token_budget,
     }
 
 
@@ -1342,6 +1350,94 @@ def oracle_sql() -> dict[str, str]:
                    sum(f.cnt * s.s)::BIGINT AS dsir_score
             FROM feat f JOIN s ON f.b = s.b
             GROUP BY f.doc_id
+        """,
+        # composite mixture builder: quality gate (the `quality` oracle
+        # formula) -> DSIR scores over the survivors (same CTEs as
+        # `dsir_score`) -> 50%-token-budget window cumsum (the
+        # `token_budget` oracle form) -> alpha=0.5 sqrt-quota language
+        # rank (the `lang_rebalance` oracle form) — the END-TO-END
+        # recipe in one statement
+        "mixture": f"""
+            WITH qd AS (
+              SELECT doc_id, text, lang, source = 'src1' AS tgt
+              FROM (
+                SELECT doc_id, text, lang, source,
+                       length(text) AS n_chars,
+                       {_NTOK_EXPR} AS n_tokens,
+                       length(text) - length(regexp_replace(
+                           text, '[.,;:!?]', '', 'g')) AS np,
+                       length(regexp_replace(
+                           text, '@WSCLASS@', '', 'g')) AS n_nonws
+                FROM documents)
+              WHERE n_tokens >= 5
+                AND np / greatest(n_chars, 1) <= 0.2
+                AND n_nonws / greatest(n_tokens, 1) BETWEEN 2 AND 14),
+            tok AS (
+              SELECT doc_id, tgt,
+                     unnest(regexp_extract_all(text, '@NONWS@')) AS w
+              FROM qd),
+            feat AS (
+              SELECT doc_id, tgt, substr(md5(w), 1, 2) AS b,
+                     count(*)::BIGINT AS cnt
+              FROM tok GROUP BY 1, 2, 3),
+            g AS (
+              SELECT b, sum(cnt)::BIGINT AS n_r,
+                     sum(CASE WHEN tgt THEN cnt ELSE 0 END)::BIGINT AS n_t
+              FROM feat GROUP BY b),
+            tot AS (SELECT sum(n_r)::HUGEINT AS nr, sum(n_t)::HUGEINT AS nt
+                    FROM g),
+            s AS (
+              SELECT b,
+                     (((n_t + 1)::HUGEINT * 1000000 * (nr + 256))
+                      // ((n_r + 1)::HUGEINT * (nt + 256)))::BIGINT AS s
+              FROM g, tot),
+            sc AS (
+              SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_tokens,
+                     sum(f.cnt * s.s)::BIGINT AS dsir_score
+              FROM feat f JOIN s ON f.b = s.b GROUP BY f.doc_id),
+            r AS (
+              SELECT doc_id, n_tokens, dsir_score,
+                     sum(n_tokens) OVER (ORDER BY dsir_score DESC, doc_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS run
+              FROM sc),
+            sel AS (
+              SELECT doc_id, n_tokens, dsir_score FROM r
+              WHERE run <= (SELECT sum(n_tokens) * 50 // 100 FROM sc)),
+            selq AS (
+              SELECT sel.doc_id, sel.n_tokens, sel.dsir_score,
+                     qd.lang, qd.text
+              FROM sel JOIN qd USING (doc_id)),
+            n AS (SELECT lang, count(*)::BIGINT AS n_docs
+                  FROM selq GROUP BY lang),
+            qt AS (SELECT lang,
+                          CAST(floor(sqrt(n_docs)) AS BIGINT) * 8 AS quota
+                   FROM n),
+            rk AS (
+              SELECT doc_id, lang, n_tokens, dsir_score,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(coalesce(text, '')), doc_id) AS rnk
+              FROM selq)
+            SELECT rk.doc_id, rk.lang, rk.n_tokens, rk.dsir_score
+            FROM rk JOIN qt USING (lang) WHERE rk.rnk <= qt.quota
+        """,
+        # first BPE merge step: adjacent code-point pairs inside \\S+
+        # tokens, counted with multiplicity (substr per position);
+        # Python slicing and DuckDB substr/length are both code-point
+        # based, so CJK/emoji tokens agree
+        "bpe_pair_counts": f"""
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(text, '@NONWS@')) AS w
+              FROM documents),
+            pos AS (
+              SELECT w, unnest(range(1, length(w))) AS i FROM w),
+            c AS (
+              SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+                     count(*)::BIGINT AS n_occurrences
+              FROM pos GROUP BY 1)
+            SELECT pair, n_occurrences FROM c
+            ORDER BY n_occurrences DESC, pair
+            LIMIT 50
         """,
         # mutual-top-1 bitext mining between the even- and odd-id halves
         # of the embedding space; rank-only decisions (the knn_topk

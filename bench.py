@@ -90,6 +90,8 @@ def extra_queries(sf_dir: str) -> dict:
         "dsir_score": lambda: _consume(q.q_dsir_score(sf_dir)),
         "lang_rebalance": lambda: _consume(q.q_lang_rebalance(sf_dir)),
         "bitext_mine": lambda: _consume(q.q_bitext_mine(sf_dir)),
+        "bpe_pair_counts": lambda: q.q_bpe_pair_counts(sf_dir).num_rows,
+        "mixture": lambda: _consume(q.q_mixture(sf_dir)),
     }
 
 

@@ -1,0 +1,116 @@
+"""Training-mixture builder — the composite data-SELECTION pipeline
+(the selection half of a Dolma/RedPajama-style recipe), built from this
+engine's operators:
+
+    documents → quality gate (vectorized, audit trail kept)
+              → DSIR importance scores vs a target domain
+              → token-budget selection (top importance mass under a
+                token budget — threshold refinement, no global sort)
+              → temperature (α=0.5) language rebalancing
+              → final mixture rows (doc_id, lang, n_tokens, dsir_score)
+
+Same streaming-composition rules as ``pipelines/curate.py``: every
+stage writes durable parquet and the next re-reads it (multi-consumer
+stages cost a parquet re-read, not an object-store pin); survivor
+selection is a distributed semi ``partition_join`` on the id (no
+broadcast drop set, no driver loop); stage counts come from parquet
+metadata.  The whole composite is one DuckDB oracle (quality formula +
+DSIR CTEs + budget window cumsum + sqrt-quota rank), so the driver
+hash-checks the END-TO-END recipe, not just its stages.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+
+from docling_translate_ray.functions import text_stats as fts
+
+
+def build_mixture(ds, work_dir: str | None = None,
+                  target_column: str = "is_target",
+                  budget_pct: int = 50, quota_scale: int = 8,
+                  id_column: str = "doc_id", text_column: str = "text",
+                  lang_column: str = "lang", num_partitions: int = 32):
+    """Return ``(mixture_ds, stats)``: the selected mixture rows
+    ``(doc_id, lang, n_tokens, dsir_score)`` and per-stage counts.
+    ``ds`` must carry ``(id, text, lang, target_column)``.
+    """
+    import ray.data
+
+    from docling_translate_ray.functions.dsir import dsir_score
+    from docling_translate_ray.functions.packing import token_budget_select
+    from docling_translate_ray.functions.sampling import lang_rebalance
+    from docling_translate_ray.stages.shuffle import partition_join
+
+    if work_dir is None:
+        import atexit
+
+        work_dir = tempfile.mkdtemp(prefix="dtr_mixture_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    os.makedirs(work_dir, exist_ok=True)
+
+    # stage 1 — quality gate; rejected rows are written too (audit
+    # trail + n_input without a dedicated count pass), curate's pattern
+    def quality_flagged(batch: pa.Table) -> pa.Table:
+        out = fts.quality_batch(batch, text_column)
+        return out.append_column(
+            "qok", out["quality_ok"].combine_chunks().cast(pa.int32()))
+
+    q_dir = os.path.join(work_dir, "quality")
+    shutil.rmtree(q_dir, ignore_errors=True)
+    ds.map_batches(quality_flagged, batch_format="pyarrow").write_parquet(
+        q_dir, partition_cols=["qok"])
+    stats = {"n_input": ray.data.read_parquet(q_dir).count()}
+    ok_dir = os.path.join(q_dir, "qok=1")
+    if not os.path.isdir(ok_dir):  # nothing survived quality
+        empty = pa.schema([(id_column, pa.int64()),
+                           (lang_column, pa.string()),
+                           ("n_tokens", pa.int64()),
+                           ("dsir_score", pa.int64())])
+        stats.update({"n_quality": 0, "n_selected": 0})
+        return ray.data.from_arrow(empty.empty_table()), stats
+
+    def survivors(columns):
+        return ray.data.read_parquet(ok_dir, columns=columns)
+
+    stats["n_quality"] = survivors([id_column]).count()
+
+    # stage 2 — DSIR importance scores over the quality survivors
+    scores = dsir_score(
+        survivors([id_column, text_column, target_column]),
+        scratch_dir=os.path.join(work_dir, "dsir_features"),
+        target_column=target_column, id_column=id_column,
+        column=text_column, num_partitions=num_partitions)
+
+    # stage 3 — token-budget selection on the scores (narrow 3-int rows,
+    # persisted: consumed by BOTH the rebalance semi-join and the final
+    # attach)
+    sel_dir = os.path.join(work_dir, "selected")
+    shutil.rmtree(sel_dir, ignore_errors=True)
+    token_budget_select(
+        scores, budget_pct=budget_pct, score_column="dsir_score",
+        token_column="n_tokens", id_column=id_column,
+        num_partitions=num_partitions,
+    ).write_parquet(sel_dir)
+    stats["n_selected"] = ray.data.read_parquet(sel_dir).count()
+
+    # stage 4 — temperature rebalancing over the selected docs (needs
+    # lang + text back: semi-join the quality parquet on id)
+    rebal_in = partition_join(
+        survivors([id_column, lang_column, text_column]),
+        ray.data.read_parquet(sel_dir, columns=[id_column]),
+        on=[id_column], how="semi", num_partitions=num_partitions)
+    rebal = lang_rebalance(rebal_in, quota_scale=quota_scale,
+                           key_column=lang_column, text_column=text_column,
+                           id_column=id_column,
+                           num_partitions=num_partitions)
+
+    # stage 5 — attach n_tokens / dsir_score to the final rows
+    final = partition_join(
+        rebal, ray.data.read_parquet(sel_dir),
+        on=[id_column], how="inner", num_partitions=num_partitions)
+    return final, stats

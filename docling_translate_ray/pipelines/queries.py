@@ -1700,6 +1700,40 @@ def q_dsir_score(sf_dir: str):
                       scratch_dir=scratch)
 
 
+def q_mixture(sf_dir: str):
+    """Composite mixture builder (pipelines/mixture.py): quality gate →
+    DSIR scores vs source='src1' → 50%-token-budget selection →
+    α=0.5 language rebalancing.  The oracle replays the END-TO-END
+    recipe in one SQL statement (quality formula + DSIR CTEs + budget
+    window cumsum + sqrt-quota rank)."""
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    from docling_translate_ray.pipelines.mixture import build_mixture
+
+    work = "/tmp/dtr_mix_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_target", pc.equal(batch["source"], "src1")
+        ).drop_columns(["source"])
+
+    final, _stats = build_mixture(
+        docs.map_batches(mark, batch_format="pyarrow"), work_dir=work)
+    return final.select_columns(["doc_id", "lang", "n_tokens", "dsir_score"])
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """Top-50 BPE merge-candidate pairs (functions/bpe): adjacent
+    code-point pairs inside \\S+ tokens, counted with multiplicity,
+    combiner-first single pair-keyed exchange, local-topk merge."""
+    from docling_translate_ray.functions.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_read(sf_dir, "documents", ["text"]), k=50)
+
+
 def q_bitext_mine(sf_dir: str):
     """Mutual-top-1 bitext mining (functions/bitext) between the even-id
     and odd-id halves of the embeddings table (a deterministic stand-in

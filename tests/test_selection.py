@@ -259,6 +259,78 @@ def test_bitext_side_fence():
         bitext_mine(src, tgt, max_side_rows=2)
 
 
+# -------------------------------------------------------------- mixture
+
+
+def test_build_mixture_stats_and_stage_flow(tmp_path):
+    import ray.data
+
+    from docling_translate_ray.pipelines.mixture import build_mixture
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field")
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([good + f" variant {i}" for i in range(6)]
+                         + ["!!!", "x"]),  # 2 fail the quality gate
+        "lang": pa.array(["en"] * 4 + ["ko"] * 2 + ["en", "ko"]),
+        "is_target": pa.array([True] + [False] * 7),
+    })
+    final, stats = build_mixture(
+        ray.data.from_arrow(docs), work_dir=str(tmp_path / "w"),
+        budget_pct=100)
+    got = _to_table(final).to_pandas()
+    assert stats["n_input"] == 8
+    assert stats["n_quality"] == 6          # "!!!" and "x" rejected
+    assert stats["n_selected"] == 6         # 100% budget keeps them all
+    # quota at scale 8 exceeds both lang sizes → rebalance keeps all 6
+    assert sorted(got["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert set(got.columns) == {"doc_id", "lang", "n_tokens", "dsir_score"}
+
+
+def test_build_mixture_empty_when_nothing_survives(tmp_path):
+    import ray.data
+
+    from docling_translate_ray.pipelines.mixture import build_mixture
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["!!!", "??"]),  # both fail quality
+        "lang": pa.array(["en", "en"]),
+        "is_target": pa.array([True, False]),
+    })
+    final, stats = build_mixture(
+        ray.data.from_arrow(docs), work_dir=str(tmp_path / "w"))
+    assert stats == {"n_input": 2, "n_quality": 0, "n_selected": 0}
+    assert _to_table(final).num_rows == 0
+
+
+# ------------------------------------------------------ bpe_pair_counts
+
+
+def test_bpe_pair_counts_dict_model():
+    import ray.data
+
+    from docling_translate_ray.functions.bpe import bpe_pair_counts
+
+    texts = ["aaa bc bc", "ab 한국어 x", None, "  "]
+    docs = pa.table({"text": pa.array(texts, pa.string())})
+    got = bpe_pair_counts(ray.data.from_arrow(docs), k=100).to_pandas()
+
+    # independent model: pairs with multiplicity over \S+ tokens
+    acc: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").split():
+            for i in range(len(w) - 1):
+                acc[w[i:i + 2]] = acc.get(w[i:i + 2], 0) + 1
+    want = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(map(tuple, got.values.tolist())) == want
+    # multiplicity: "aaa" contributes "aa" twice
+    assert acc["aa"] == 2
+    # unicode pairs are code-point based
+    assert "한국" in acc
+
+
 def test_lang_rebalance_rejects_bad_scale():
     import ray.data
 
