@@ -5,7 +5,7 @@ re-expressed as a Ray job driver::
         [--layout shard|bucket] [--engine identity|upper|lexicon]
         [--miss-policy empty|identity] [--strategy auto|broadcast|join]
         [--speed-mode fast|balanced|accurate] [--fast]
-        [--n-buckets 64] [--no-resume] [--source-kind pages|docs_text]
+        [--n-buckets 64] [--no-resume] [--source-kind pages|docs_text|files]
         [--num-cpus N]
 
 This is the ONE library entry point that may own a Ray session (guarded —
@@ -41,7 +41,11 @@ def main(argv: list[str] | None = None) -> int:
                    dest="speed_mode", help="alias for --speed-mode fast")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--source-kind", choices=["pages", "docs_text"], default="pages")
+    p.add_argument("--source-kind", choices=["pages", "docs_text", "files"],
+                   default="pages",
+                   help="pages = input_hint parquet; files = a folder of "
+                        "raw .html/.pdf/.txt/code files (the reference's "
+                        "input surface; needs --layout bucket)")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--no-span-text", action="store_true",
                    help="slim output: drop the text field from span structs "

@@ -245,6 +245,12 @@ def run_extract_job(
 
     run_id = uuid.uuid4().hex[:12]
 
+    if source_kind == "files" and layout == "shard":
+        raise ValueError(
+            "source_kind='files' requires layout='bucket' — shard layout's "
+            "resume bookkeeping is keyed on parquet input files; raw-file "
+            "folders get url-hash bucketed output instead")
+
     if layout == "shard":
         ckpt.check_job_meta(out_dir, "shard", None, speed_mode)
         ckpt.write_job_meta(out_dir, "shard", None, speed_mode)
@@ -261,13 +267,20 @@ def run_extract_job(
 
     if source_kind == "pages":
         src = read_pages(input_path)
+    elif source_kind == "files":
+        # raw-document folder (the reference's own input surface):
+        # mapped to the identical pages schema, so the whole DAG below
+        # is shared with the crawled-pages path
+        from docling_translate_ray.sources.files import read_document_folder
+
+        src = read_document_folder(input_path)
     else:  # docs_text fixtures (text/code path, core.py:164-321)
         src = ray.data.read_parquet(input_path)
     src = src.map_batches(
         add_url_bucket, batch_format="pyarrow", fn_kwargs={"n_buckets": n_buckets}
     )
     src = ckpt.filter_completed(src, done)
-    if source_kind == "pages":
+    if source_kind in ("pages", "files"):
         docs = src.map_batches(extract_batch_keep_bucket, batch_format="pyarrow",
                                fn_kwargs={"speed_mode": speed_mode})
     else:

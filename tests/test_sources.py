@@ -1,0 +1,91 @@
+"""Raw-document folder source (sources/files.py): a directory of
+.html/.pdf/.txt/.py files maps to the input_hint pages schema and runs
+through the UNCHANGED extraction job, byte-identical per file to the
+pure kernel (extract_core.extract_page) on the same bytes — the
+reference's `python main.py <file>` user story end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from docling_translate_ray import extract_core as ec
+from docling_translate_ray import pdf_core
+from docling_translate_ray.sources.files import read_document_folder
+
+_HTML = (b"<html><head><title>T</title></head><body>"
+         b"<h1>Heading One</h1><p>First paragraph with enough words to "
+         b"count as content.</p><table><tr><td>cell a</td><td>cell b</td>"
+         b"</tr></table></body></html>")
+_PY = (b"def f(x):\n    \"\"\"Docstring sentence here.\"\"\"\n"
+       b"    return x + 1  # trailing comment\n")
+_TXT = "Plain text line one.\nSecond line with more words.\n".encode()
+
+
+def _write_corpus(root) -> dict[str, bytes]:
+    files = {
+        "a/page.html": _HTML,
+        "b/script.py": _PY,
+        "notes.txt": _TXT,
+        "doc.pdf": pdf_core.build_pdf(
+            [[(72.0, 700.0, "Hello pdf line"), (72.0, 680.0, "Second line")]]),
+    }
+    for rel, data in files.items():
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+    return files
+
+
+def test_read_document_folder_schema_and_urls(tmp_path):
+    files = _write_corpus(str(tmp_path))
+    tbl = read_document_folder(str(tmp_path)).take_all()
+    assert len(tbl) == len(files)
+    by_url = {r["url"]: r for r in tbl}
+    for rel, data in files.items():
+        url = "file://" + os.path.abspath(os.path.join(str(tmp_path), rel))
+        assert url in by_url
+        assert bytes(by_url[url]["html"]) == data
+        assert by_url[url]["text"] is None and by_url[url]["lang"] is None
+        # deterministic default timestamp (epoch), not machine mtime
+        assert by_url[url]["warc_ts"].year == 1970
+
+
+def test_files_job_byte_identical_to_kernel(tmp_path):
+    import ray.data  # noqa: F401  (session fixture owns Ray)
+
+    from docling_translate_ray.pipelines.extract import run_extract_job
+
+    files = _write_corpus(str(tmp_path / "in"))
+    out = str(tmp_path / "out")
+    res = run_extract_job(str(tmp_path / "in"), out, n_buckets=4,
+                          layout="bucket", source_kind="files")
+    assert res["doc_count"] == len(files)
+    assert res["ok_count"] == len(files)
+
+    got = {
+        r["url"]: r
+        for r in ray.data.read_parquet(os.path.join(out, "docs")).take_all()
+    }
+    for rel, data in files.items():
+        url = "file://" + os.path.abspath(
+            os.path.join(str(tmp_path / "in"), rel))
+        want = ec.extract_page(url, data)
+        assert got[url]["status"] == "ok"
+        assert got[url]["extracted_text"] == want["extracted_text"]
+        assert got[url]["doctype"] == want["doctype"]
+    # doctype dispatch actually exercised all three lanes
+    doctypes = {r["doctype"] for r in got.values()}
+    assert {"html", "pdf"} <= doctypes
+
+
+def test_files_source_rejects_shard_layout(tmp_path):
+    from docling_translate_ray.pipelines.extract import run_extract_job
+
+    _write_corpus(str(tmp_path / "in"))
+    with pytest.raises(ValueError, match="layout='bucket'"):
+        run_extract_job(str(tmp_path / "in"), str(tmp_path / "out"),
+                        layout="shard", source_kind="files")
