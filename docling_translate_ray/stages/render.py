@@ -294,3 +294,66 @@ class RenderHtml:
             for u, sp in zip(urls, spans_lists)
         ]
         return batch.append_column("html_render", pa.array(out, pa.string()))
+
+
+_MANIFEST_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("path", pa.string()),
+    ("n_bytes", pa.int64()),
+])
+
+
+def write_html_files(docs_ds, out_dir: str, map_ref=None,
+                     miss_policy: str = "empty", concurrency: int | None = None):
+    """Per-document ``.html`` FILE sink — the reference's
+    ``output/<name>.html`` deliverable (html_generator writes one page
+    per input file), produced distributedly: a :class:`RenderHtml`
+    actor pool renders, then each task writes its batch's files and
+    emits manifest rows ``(url, path, n_bytes)`` — the driver only ever
+    sees the KB-sized manifest, never a page.
+
+    File naming is deterministic and collision-safe: ``<stem>-<md5[:8]
+    of the full url>.html``, sharded into 256 ``md5[:2]`` subdirectories
+    so no directory ever holds the whole corpus.  Writes are idempotent
+    (same url → same path, overwrite).  At 10^12 documents the parquet
+    ``docs/`` output is the scan-friendly sink; this one exists for the
+    reference's per-file UX parity and human inspection.
+    """
+    import hashlib
+    import os
+
+    from docling_translate_ray.util import auto_pool_size
+
+    os.makedirs(out_dir, exist_ok=True)
+    rendered = docs_ds.map_batches(
+        RenderHtml, batch_format="pyarrow",
+        fn_constructor_kwargs={"map_ref": map_ref, "miss_policy": miss_policy},
+        concurrency=concurrency or auto_pool_size(),
+    )
+
+    def write_files(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _MANIFEST_SCHEMA.empty_table()
+        urls = batch["url"].to_pylist()
+        htmls = batch["html_render"].to_pylist()
+        paths, sizes = [], []
+        for u, h in zip(urls, htmls):
+            digest = hashlib.md5(u.encode("utf-8")).hexdigest()
+            stem = os.path.splitext(os.path.basename(u.rstrip("/")))[0] or "doc"
+            stem = "".join(c if c.isalnum() or c in "-_." else "_"
+                           for c in stem)[:80]
+            sub = os.path.join(out_dir, digest[:2])
+            os.makedirs(sub, exist_ok=True)
+            p = os.path.join(sub, f"{stem}-{digest[:8]}.html")
+            data = (h or "").encode("utf-8")
+            with open(p, "wb") as f:
+                f.write(data)
+            paths.append(p)
+            sizes.append(len(data))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+        })
+
+    return rendered.map_batches(write_files, batch_format="pyarrow")

@@ -89,3 +89,31 @@ def test_files_source_rejects_shard_layout(tmp_path):
     with pytest.raises(ValueError, match="layout='bucket'"):
         run_extract_job(str(tmp_path / "in"), str(tmp_path / "out"),
                         layout="shard", source_kind="files")
+
+
+def test_write_html_files_sink(tmp_path):
+    import ray.data
+
+    from docling_translate_ray.pipelines.extract import run_extract_job
+    from docling_translate_ray.stages.render import write_html_files
+
+    files = _write_corpus(str(tmp_path / "in"))
+    out = str(tmp_path / "out")
+    run_extract_job(str(tmp_path / "in"), out, n_buckets=4,
+                    layout="bucket", source_kind="files")
+    docs = ray.data.read_parquet(os.path.join(out, "docs"))
+    manifest = write_html_files(docs, str(tmp_path / "html")).take_all()
+    assert len(manifest) == len(files)
+    for row in manifest:
+        assert os.path.exists(row["path"])
+        assert os.path.getsize(row["path"]) == row["n_bytes"]
+        data = open(row["path"], "rb").read().decode("utf-8")
+        assert data.startswith("<!DOCTYPE html>")
+    # deterministic + idempotent: rerun maps every url to the same path
+    again = write_html_files(docs, str(tmp_path / "html")).take_all()
+    assert {r["url"]: r["path"] for r in again} == \
+        {r["url"]: r["path"] for r in manifest}
+    # the html page carries the doc's translatable text
+    page_row = next(r for r in manifest if "page-" in r["path"])
+    html = open(page_row["path"], encoding="utf-8").read()
+    assert "Heading One" in html
