@@ -40,13 +40,10 @@ def _term_partitions(terms, num_partitions: int) -> np.ndarray:
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
-def build_inverted_index(ds, index_dir: str, num_partitions: int = 32,
-                         column: str = "text",
-                         id_column: str = "doc_id") -> str:
-    import shutil
-
+def _explode_postings_fn(column: str, id_column: str, num_partitions: int):
+    """Per-batch (term, id, tf, tpart) explode — shared by build and
+    insert so both generations partition terms identically."""
     import polars as pl
-    import pyarrow.parquet as pq
 
     def explode_postings(batch: pa.Table) -> pa.Table:
         s = pl.from_arrow(batch[column]).fill_null("")
@@ -66,19 +63,55 @@ def build_inverted_index(ds, index_dir: str, num_partitions: int = 32,
         parts = _term_partitions(out["term"], num_partitions)
         return tbl.append_column(_PART_COL, pa.array(parts, pa.int32()))
 
+    return explode_postings
+
+
+def build_inverted_index(ds, index_dir: str, num_partitions: int = 32,
+                         column: str = "text",
+                         id_column: str = "doc_id") -> str:
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    explode_postings = _explode_postings_fn(column, id_column, num_partitions)
+
     os.makedirs(index_dir, exist_ok=True)
     # rebuild replaces the whole postings store (same rationale as the IVF
     # build: uuid-named parts from a prior generation must not survive)
     shutil.rmtree(os.path.join(index_dir, _POSTINGS_SUBDIR), ignore_errors=True)
     pq.write_table(
         pa.table({"num_partitions": pa.array([num_partitions], pa.int64()),
-                  "id_column": pa.array([id_column], pa.string())}),
+                  "id_column": pa.array([id_column], pa.string()),
+                  "column": pa.array([column], pa.string())}),
         os.path.join(index_dir, _META_FILE),
     )
     ds.map_batches(explode_postings, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, _POSTINGS_SUBDIR), partition_cols=[_PART_COL]
     )
     return index_dir
+
+
+def inverted_index_insert(ds, index_dir: str) -> None:
+    """Append a document increment to an EXISTING index (the crawl-cadence
+    mirror of ``functions/dedup.minhash_index_insert``): the increment's
+    postings are exploded with the index's OWN recorded term hash / P and
+    written into the same ``tpart=`` partition dirs — parquet part files
+    are uuid-named per execution, so appends never overwrite and a later
+    lookup sees old + new generations as one dataset.  The standing
+    corpus is never rescanned.  Caller contract: ids are unique across
+    the index's whole lifetime."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(index_dir, _META_FILE))
+    num_partitions = int(meta["num_partitions"][0].as_py())
+    id_column = meta["id_column"][0].as_py()
+    column = meta["column"][0].as_py()
+    ds.map_batches(
+        _explode_postings_fn(column, id_column, num_partitions),
+        batch_format="pyarrow",
+    ).write_parquet(
+        os.path.join(index_dir, _POSTINGS_SUBDIR), partition_cols=[_PART_COL]
+    )
 
 
 def lookup_postings(index_dir: str, terms: list[str]):

@@ -790,6 +790,42 @@ def test_inverted_index_pruned_lookup(tmp_path):
     assert none.num_rows == 0
 
 
+def test_inverted_index_insert_matches_full_build(tmp_path):
+    import ray.data
+
+    from docling_translate_ray.functions import index as fidx
+
+    filler = " ".join(f"filler{i}" for i in range(40))
+    base = pa.table({
+        "doc_id": [1, 2],
+        "text": [f"apple banana apple {filler}", "banana cherry"],
+    })
+    inc = pa.table({
+        "doc_id": [3, 4],
+        "text": ["apple date", f"cherry cherry {filler}"],
+    })
+    both = pa.concat_tables([base, inc])
+
+    idx = str(tmp_path / "idx_incr")
+    fidx.build_inverted_index(ray.data.from_arrow(base), idx, num_partitions=8)
+    fidx.inverted_index_insert(ray.data.from_arrow(inc), idx)
+
+    full = str(tmp_path / "idx_full")
+    fidx.build_inverted_index(ray.data.from_arrow(both), full, num_partitions=8)
+
+    terms = ["apple", "banana", "cherry", "date", "filler7"]
+    rows = lambda d: sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in _to_table(fidx.lookup_postings(d, terms)).to_pylist())
+    assert rows(idx) == rows(full)  # insert ≡ full rebuild
+    # ranked retrieval equal too (same postings → same integer scores)
+    rank = lambda d: sorted(
+        tuple(r.values())
+        for r in _to_table(fidx.search_rank(d, ["apple", "cherry"],
+                                            n_docs=4)).to_pylist())
+    assert rank(idx) == rank(full)
+
+
 def test_hll_approx_distinct_accuracy_and_invariance():
     import polars as pl
     import ray.data
