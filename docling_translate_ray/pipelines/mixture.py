@@ -98,14 +98,29 @@ def build_mixture(ds, work_dir: str | None = None,
     ).write_parquet(sel_dir)
     stats["n_selected"] = ray.data.read_parquet(sel_dir).count()
 
-    # stage 4 — temperature rebalancing over the selected docs (needs
-    # lang + text back: semi-join the quality parquet on id)
+    # stage 4 — temperature rebalancing over the selected docs.  The
+    # rebalance only consumes md5(text), so hash BEFORE the semi-join:
+    # the join exchange then carries (id, lang, 32-char hash) rows
+    # instead of full document text, and lang_rebalance takes the hash
+    # straight through (hash_column=).
+    import hashlib
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_column: batch[id_column],
+            lang_column: batch[lang_column],
+            "_h": pa.array(
+                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                 for t in batch[text_column].to_pylist()], pa.string()),
+        })
+
     rebal_in = partition_join(
-        survivors([id_column, lang_column, text_column]),
+        survivors([id_column, lang_column, text_column]).map_batches(
+            hashed, batch_format="pyarrow"),
         ray.data.read_parquet(sel_dir, columns=[id_column]),
         on=[id_column], how="semi", num_partitions=num_partitions)
     rebal = lang_rebalance(rebal_in, quota_scale=quota_scale,
-                           key_column=lang_column, text_column=text_column,
+                           key_column=lang_column, hash_column="_h",
                            id_column=id_column,
                            num_partitions=num_partitions)
 

@@ -55,22 +55,22 @@ class PlasmaPeak(threading.Thread):
     def __init__(self) -> None:
         super().__init__(daemon=True)
         self.peak_mib = 0.0
-        self._stop = threading.Event()
+        self._stop_evt = threading.Event()
 
     def run(self) -> None:
         import ray
 
         total = ray.cluster_resources().get("object_store_memory", 0.0)
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             try:
                 free = ray.available_resources().get("object_store_memory", total)
                 self.peak_mib = max(self.peak_mib, (total - free) / 2**20)
             except Exception:
                 pass
-            self._stop.wait(0.5)
+            self._stop_evt.wait(0.5)
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stop_evt.set()
 
 
 def main() -> None:
