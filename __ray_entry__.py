@@ -40,8 +40,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # new operators this session — never driver-checked, first in
-        # the window: SemDeDup, DSIR importance scoring, temperature
-        # language rebalancing (all oracle-backed)
+        # the window: quality-retention fuzzy dedup (keep best per
+        # cluster) and politeness-aware crawl-frontier scheduling
+        "dedup_keep_best": q.q_dedup_keep_best,
+        "frontier_schedule": q.q_frontier_schedule,
+        # round-3 additions: SemDeDup, DSIR importance scoring,
+        # temperature language rebalancing (all oracle-backed)
         "semdedup": q.q_semdedup,
         "dsir_score": q.q_dsir_score,
         "lang_rebalance": q.q_lang_rebalance,
@@ -75,8 +79,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q.q_minhash_near_dup,
         "simhash_near_dup": q.q_simhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
-        "url_dedup": q.q_url_dedup,
-        "domain_cap": q.q_domain_cap,
         "blocklist_filter": q.q_blocklist_filter,
         "heavy_hitters": q.q_heavy_hitters,
         # similarity search
@@ -168,6 +170,13 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * token_budget → mixture (runs the SAME token_budget_select
       threshold-refinement kernel as its stage 3, inside the
       end-to-end composite oracle)
+    * domain_cap → frontier_schedule (same extract_hosts + host-keyed
+      narrow exchange + per-host rank window; the cap is the degenerate
+      "keep cycle 1" case)
+    * url_dedup → frontier_schedule (sibling urltools vectorized URL
+      kernel, same narrow keyed combiner→exchange shape; the
+      canonicalization rules stay oracle-checked here and
+      hypothesis-fuzzed in pytest)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -203,6 +212,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "rep_signals": q.q_rep_signals,
         "cooccurrence": q.q_cooccurrence,
         "token_budget": q.q_token_budget,
+        "domain_cap": q.q_domain_cap,
+        "url_dedup": q.q_url_dedup,
     }
 
 
@@ -290,6 +301,68 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
             SELECT a AS doc_id, least(a, min(b))::BIGINT AS canonical_id
             FROM reach GROUP BY a
+        """,
+        # Quality-retention fuzzy dedup: the same exact-Jaccard closure
+        # as minhash_near_dup, then per-cluster argmax by (n_tokens DESC,
+        # doc_id) plus every doc outside any cluster — the end-to-end
+        # retention policy is the oracle, not just the clustering
+        "dedup_keep_best": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS g
+              FROM w),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE 100 * len(list_intersect(a.g, b.g))
+                    >= 70 * len(list_distinct(a.g || b.g))),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            m AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS canonical_id
+                  FROM reach GROUP BY a),
+            t AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM w),
+            wins AS (
+              SELECT doc_id, n_tokens FROM (
+                SELECT m.doc_id, t.n_tokens,
+                       row_number() OVER (PARTITION BY m.canonical_id
+                                          ORDER BY t.n_tokens DESC, m.doc_id)
+                       AS rn
+                FROM m JOIN t USING (doc_id))
+              WHERE rn = 1)
+            SELECT doc_id, n_tokens FROM wins
+            UNION ALL
+            SELECT doc_id, n_tokens FROM t
+            WHERE doc_id NOT IN (SELECT doc_id FROM m)
+        """,
+        # Crawl-frontier politeness scheduling: per-host rank window over
+        # the same deterministic 23-host view the Ray side synthesizes;
+        # cycle = (rank-1) // k + 1 at k = 4
+        "frontier_schedule": """
+            WITH p AS (
+              SELECT 'https://host-' || (doc_id % 23) ||
+                     '.example.com/page/' || doc_id AS url,
+                     'host-' || (doc_id % 23) || '.example.com' AS host,
+                     len(regexp_extract_all(text, '@NONWS@'))::BIGINT
+                       AS priority
+              FROM documents),
+            r AS (
+              SELECT url, host, priority,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority DESC, url) AS rn
+              FROM p)
+            SELECT url, host, priority, ((rn - 1) // 4 + 1)::BIGINT AS cycle
+            FROM r
         """,
         # Incremental index probe = all CROSS pairs (corpus × re-crawled
         # snapshot) passing the exact 3-gram Jaccard threshold: the probe

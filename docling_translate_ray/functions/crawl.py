@@ -255,3 +255,63 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
 
     return hash_partition_apply(kept, [id_column], reassemble,
                                 num_partitions=num_partitions)
+
+
+def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
+                      priority_column: str = "priority",
+                      num_partitions: int = 32):
+    """Politeness-aware crawl-frontier scheduling — the fetch-planner
+    step of a web crawler (Heritrix/Nutch "queue per host, k fetches per
+    politeness cycle"): each host serves at most ``k_per_cycle`` urls per
+    cycle; within a host, higher priority goes first (ties → url
+    ascending), so a url's cycle is ``(host_rank - 1) // k + 1``.
+
+    Returns ``(url, host, priority, cycle)``.
+
+    Scale shape: ONE exchange keyed by host carrying (url, host,
+    priority) — the page content never moves; per-partition work is a
+    vectorized sort + windowed cum-count (the domain_cap kernel,
+    assigning cycles instead of truncating at k).  Host is inherently
+    skewed, but a partition holds only the hot host's narrow url rows.
+    """
+    import polars as pl
+
+    from docling_translate_ray.functions.urltools import extract_hosts
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    if k_per_cycle <= 0:
+        raise ValueError(f"k_per_cycle must be positive (got {k_per_cycle})")
+
+    out_schema = pa.schema([("url", pa.string()), ("host", pa.string()),
+                            ("priority", pa.int64()), ("cycle", pa.int64())])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([url_column, priority_column]))
+        return (
+            pl.DataFrame({
+                "url": df[url_column],
+                "host": extract_hosts(df[url_column]),
+                "priority": df[priority_column].cast(pl.Int64),
+            })
+            .to_arrow()
+            .cast(pa.schema([("url", pa.string()), ("host", pa.string()),
+                             ("priority", pa.int64())]))
+        )
+
+    def schedule(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(part)
+            .sort(["priority", "url"], descending=[True, False])
+            .with_columns(
+                ((pl.col("url").cum_count().over("host").cast(pl.Int64) - 1)
+                 // k_per_cycle + 1).alias("cycle"))
+            .select(["url", "host", "priority", "cycle"])
+            .to_arrow().cast(out_schema)
+        )
+
+    return hash_partition_apply(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        ["host"], schedule, num_partitions=num_partitions,
+    )

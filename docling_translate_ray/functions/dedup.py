@@ -642,6 +642,77 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id",
     return connected_components(verified, id_column)
 
 
+def dedup_keep_best(ds, column: str = "text", id_column: str = "doc_id",
+                    threshold: float = 0.7, num_perm: int = 64,
+                    num_bands: int = 16, num_partitions: int = 16,
+                    concurrency: int | None = None):
+    """Quality-retention fuzzy dedup: the production retention policy
+    ("keep the BEST member of each near-dup cluster", the Dolma /
+    FineWeb rule) instead of :func:`minhash_lsh_dedup`'s min-id
+    canonical.  "Best" = most whitespace tokens, ties broken by the
+    smaller id — a deterministic, engine-lockstep stand-in for a
+    quality score (swap ``n_tokens`` for any scored column).
+
+    Returns ``(doc_id, n_tokens)`` for the SURVIVOR set: every doc
+    outside any near-dup cluster, plus the one best member per cluster.
+
+    Scale shape: the cluster-member table from the LSH closure is small
+    by construction (dup docs only); scores ride a narrow (id, int)
+    projection.  Winner selection is ONE exchange keyed by
+    canonical_id; non-members come from a distributed anti
+    ``partition_join`` on the id (never a broadcast of the corpus).
+    ``ds`` is consumed more than once — pass a re-readable source
+    (``read_parquet``), same contract as :func:`minhash_lsh_dedup`.
+    """
+    from docling_translate_ray.functions.text_stats import token_count_batch
+    from docling_translate_ray.stages.shuffle import (
+        hash_partition_apply,
+        partition_join,
+    )
+
+    out_schema = pa.schema([(id_column, pa.int64()), ("n_tokens", pa.int64())])
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = token_count_batch(batch, column)
+        return out.select([id_column, "n_tokens"]).cast(out_schema)
+
+    scores = ds.select_columns([id_column, column]).map_batches(
+        score, batch_format="pyarrow")
+
+    members = minhash_lsh_dedup(
+        ds, column=column, id_column=id_column, threshold=threshold,
+        num_perm=num_perm, num_bands=num_bands, concurrency=concurrency,
+    ).materialize()  # consumed twice (winners + anti-join); small side
+    if members.count() == 0:
+        return scores  # no clusters — everything survives
+
+    def best_block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(part)
+            .sort(["n_tokens", id_column], descending=[True, False])
+            .with_columns(pl.col(id_column).cum_count().over("canonical_id")
+                          .cast(pl.Int64).alias("_rnk"))
+            .filter(pl.col("_rnk") == 1)
+            .select([id_column, "n_tokens"])
+            .to_arrow().cast(out_schema)
+        )
+
+    winners = hash_partition_apply(
+        partition_join(scores, members, on=[id_column], how="inner",
+                       num_partitions=num_partitions),
+        ["canonical_id"], best_block, num_partitions=num_partitions)
+    singles = partition_join(
+        scores, members.select_columns([id_column]),
+        on=[id_column], how="anti", num_partitions=num_partitions)
+    return winners.union(
+        singles.map_batches(lambda b: b.select([id_column, "n_tokens"])
+                            .cast(out_schema), batch_format="pyarrow"))
+
+
 def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
                         threshold_pct: int = 80, k: int = 3,
                         max_docs: int = 100_000):

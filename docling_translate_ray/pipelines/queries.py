@@ -216,6 +216,17 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-retention fuzzy dedup (functions/dedup.dedup_keep_best):
+    near-dup clusters via the MinHash-LSH closure, then keep the LONGEST
+    member per cluster (whitespace tokens, ties → min id) plus every
+    non-clustered doc — the Dolma/FineWeb retention policy, vs
+    minhash_near_dup's min-id canonical labeling."""
+    return fdedup.dedup_keep_best(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7
+    )
+
+
 def incoming_snapshot_batch(batch: pa.Table) -> pa.Table:
     """Deterministic 'next crawl snapshot' view: every ``doc_id % 5 == 0``
     document re-crawled unchanged, ids offset into a disjoint space (the
@@ -525,6 +536,38 @@ def q_host_template(sf_dir: str):
         host_template_view_batch, batch_format="pyarrow"
     )
     return host_template_lines(pages, min_docs=2)
+
+
+def frontier_view_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic crawl-frontier view of `documents` (oracle rebuilds
+    the same strings in SQL): 23 synthetic hosts, priority = whitespace
+    token count (a stand-in for page importance — any scored int works)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    return (
+        df.with_columns(
+            (pl.lit("https://host-") + (pl.col("doc_id") % 23).cast(pl.String)
+             + pl.lit(".example.com/page/")
+             + pl.col("doc_id").cast(pl.String)).alias("url"),
+            pl.col("text").fill_null("").str.count_matches(r"\S+")
+            .cast(pl.Int64).alias("priority"),
+        )
+        .select(["url", "priority"])
+        .to_arrow()
+    )
+
+
+def q_frontier_schedule(sf_dir: str):
+    """Politeness-aware crawl-frontier scheduling (functions/crawl.
+    frontier_schedule): ≤4 fetches per host per cycle, higher priority
+    first — one host-keyed narrow exchange, cycle = (rank-1)//4 + 1."""
+    from docling_translate_ray.functions.crawl import frontier_schedule
+
+    frontier = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        frontier_view_batch, batch_format="pyarrow"
+    )
+    return frontier_schedule(frontier, k_per_cycle=4)
 
 
 def q_token_budget(sf_dir: str):

@@ -123,3 +123,41 @@ def test_host_template_lines_omits_all_template_docs():
                         ("text", pa.string())])
     out = host_template_lines(_ds(rows, schema), min_docs=2).take_all()
     assert out == []
+
+
+def test_frontier_schedule_politeness_cycles():
+    """9 urls on one host at k=4 → cycles 1,1,1,1,2,2,2,2,3 in
+    priority-desc order; a second host schedules independently."""
+    tbl = pa.table({
+        "url": [f"https://big.example.com/p{i}" for i in range(9)]
+               + ["https://small.example.com/a", "https://small.example.com/b"],
+        "priority": pa.array([90, 80, 70, 60, 50, 40, 30, 20, 10, 5, 99],
+                             pa.int64()),
+    })
+    got = crawl.frontier_schedule(_ds(tbl, tbl.schema), k_per_cycle=4)
+    rows = {r["url"]: (r["host"], r["priority"], r["cycle"])
+            for r in got.take_all()}
+    assert rows["https://big.example.com/p0"] == ("big.example.com", 90, 1)
+    assert rows["https://big.example.com/p3"] == ("big.example.com", 60, 1)
+    assert rows["https://big.example.com/p4"] == ("big.example.com", 50, 2)
+    assert rows["https://big.example.com/p7"] == ("big.example.com", 20, 2)
+    assert rows["https://big.example.com/p8"] == ("big.example.com", 10, 3)
+    # small host: priority 99 first, both inside cycle 1
+    assert rows["https://small.example.com/b"] == ("small.example.com", 99, 1)
+    assert rows["https://small.example.com/a"] == ("small.example.com", 5, 1)
+
+
+def test_frontier_schedule_tie_breaks_by_url_and_validates_k():
+    import pytest
+
+    tbl = pa.table({
+        "url": ["https://h.example.com/z", "https://h.example.com/a"],
+        "priority": pa.array([7, 7], pa.int64()),
+    })
+    got = crawl.frontier_schedule(_ds(tbl, tbl.schema), k_per_cycle=1)
+    rows = {r["url"]: r["cycle"] for r in got.take_all()}
+    # equal priority → url ascending: /a fetches first
+    assert rows["https://h.example.com/a"] == 1
+    assert rows["https://h.example.com/z"] == 2
+    with pytest.raises(ValueError):
+        crawl.frontier_schedule(_ds(tbl, tbl.schema), k_per_cycle=0)

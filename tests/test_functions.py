@@ -107,6 +107,59 @@ def test_minhash_lsh_dedup_planted():
     assert 12 not in labels
 
 
+def test_dedup_keep_best_retention_policy():
+    """Keep-best retention: the LONGEST member of a near-dup cluster
+    survives (not the min id), ties go to the smaller id, and docs
+    outside any cluster all survive."""
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while seven other animals watch from the tall green grass nearby"
+    )
+    longer = base + " extra words"  # superset: high jaccard, MORE tokens
+    other = (
+        "completely different text about database query engines and "
+        "distributed shuffle execution with arrow record batches"
+    )
+    tbl = pa.table({
+        "doc_id": pa.array([1, 5, 9, 20], pa.int64()),
+        "text": [base, base, longer, other],
+    })
+    got = _to_table(dd.dedup_keep_best(
+        ray.data.from_arrow(tbl), threshold=0.5, concurrency=2))
+    survivors = {r["doc_id"]: r["n_tokens"] for r in got.to_pylist()}
+    # cluster {1, 5, 9}: 9 has the most tokens and wins despite max id
+    assert set(survivors) == {9, 20}
+    assert survivors[9] == len(longer.split())
+    assert survivors[20] == len(other.split())
+
+
+def test_dedup_keep_best_tie_breaks_to_min_id_and_passes_uniques():
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while seven other animals watch from the tall green grass nearby"
+    )
+    tbl = pa.table({
+        "doc_id": pa.array([7, 3], pa.int64()),
+        "text": [base, base],  # identical → equal n_tokens → min id wins
+    })
+    got = _to_table(dd.dedup_keep_best(
+        ray.data.from_arrow(tbl), threshold=0.5, concurrency=2))
+    assert [r["doc_id"] for r in got.to_pylist()] == [3]
+
+    uniq = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon",
+                 "completely unrelated corpus about shuffle engines"],
+    })
+    got = _to_table(dd.dedup_keep_best(
+        ray.data.from_arrow(uniq), threshold=0.5, concurrency=2))
+    assert sorted(r["doc_id"] for r in got.to_pylist()) == [1, 2]
+
+
 def test_minhash_transitive_closure():
     """A~B and B~C (but A≁C) must still form ONE cluster under min id."""
     import ray.data
