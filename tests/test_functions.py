@@ -1210,6 +1210,58 @@ def test_minhash_index_insert_is_live_and_append_safe(tmp_path):
     assert got == want
 
 
+def test_minhash_index_compact_probe_equivalent(tmp_path):
+    """LSM compaction: after several insert generations, compact merges
+    each partition directory to ONE file and the probe answer is
+    unchanged; a leftover duplicate generation (the crash window) is
+    healed by the unique() merge."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    dd.build_minhash_index(_idx_corpus_ds(), idx, num_partitions=8,
+                           doc_partitions=4, concurrency=2)
+    dd.minhash_index_insert(_idx_incoming_ds([
+        (7, "totally novel incoming page that matches nothing in the index"),
+    ]), idx, concurrency=2)
+    dd.minhash_index_insert(_idx_incoming_ds([
+        (8, "a second insert generation with fully unique page content"),
+    ]), idx, concurrency=2)
+    baseline = {(r["index_id"], r["new_id"])
+                for r in _to_table(dd.minhash_index_probe(
+                    _idx_incoming_ds(), idx, concurrency=2)).to_pylist()}
+    assert baseline  # non-vacuous
+
+    # simulate the crash window: one partition keeps a duplicate generation
+    bands_dir = os.path.join(idx, "bands")
+    some_pdir = sorted(os.path.join(bands_dir, d) for d in os.listdir(bands_dir)
+                       if os.path.isdir(os.path.join(bands_dir, d)))[0]
+    a_file = sorted(f for f in os.listdir(some_pdir) if f.endswith(".parquet"))[0]
+    shutil.copy(os.path.join(some_pdir, a_file),
+                os.path.join(some_pdir, "dup-generation.parquet"))
+
+    stats = dd.minhash_index_compact(idx)
+    assert stats["partitions_compacted"] > 0
+    assert stats["files_after"] <= stats["files_before"]
+    # every partition directory is now a single file
+    for sub in ("bands", "docs"):
+        base = os.path.join(idx, sub)
+        for d in os.listdir(base):
+            pdir = os.path.join(base, d)
+            if os.path.isdir(pdir):
+                files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+                assert len(files) == 1, (pdir, files)
+    again = {(r["index_id"], r["new_id"])
+             for r in _to_table(dd.minhash_index_probe(
+                 _idx_incoming_ds(), idx, concurrency=2)).to_pylist()}
+    assert again == baseline
+
+    # idempotent: a second compact is a no-op
+    stats2 = dd.minhash_index_compact(idx)
+    assert stats2["partitions_compacted"] == 0
+    assert stats2["files_before"] == stats2["files_after"]
+
+
 def test_minhash_index_probe_requires_built_index(tmp_path):
     with pytest.raises(FileNotFoundError):
         dd.minhash_index_probe(_idx_incoming_ds(), str(tmp_path / "nope"))
