@@ -69,8 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
         "pdf_extract": q.q_pdf_extract,
-        # extraction core (S2-S6, M1-M16, O1)
-        "extract_pages": q.q_extract_pages,
+        # extraction core (S2-S6, M1-M16, O1) — through the WARC
+        # first mile (sources/warc.py; same DAG + identical oracle as
+        # the retired extract_pages window entry)
+        "warc_extract": q.q_warc_extract,
         "unique_sentences": q.q_unique_sentences,
         "score_upper": q.q_score_upper,
         "extract_lineage": q.q_extract_lineage,
@@ -177,6 +179,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       kernel, same narrow keyed combiner→exchange shape; the
       canonicalization rules stay oracle-checked here and
       hypothesis-fuzzed in pytest)
+    * extract_pages → warc_extract (the SAME extract_batch DAG compared
+      against the IDENTICAL oracle SQL, reached through the WARC segment
+      source instead of an in-memory wrap — a strict superset)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -214,6 +219,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "token_budget": q.q_token_budget,
         "domain_cap": q.q_domain_cap,
         "url_dedup": q.q_url_dedup,
+        "extract_pages": q.q_extract_pages,
     }
 
 
@@ -241,6 +247,15 @@ _NTOK_EXPR = "len(regexp_extract_all(text, '@NONWS@'))"
 def oracle_sql() -> dict[str, str]:
     raw = {
         "extract_pages": f"""
+            SELECT 'doc://' || doc_id AS url,
+                   'ok' AS status,
+                   {_EXTRACTED_EXPR} AS extracted_text,
+                   length({_EXTRACTED_EXPR})::BIGINT AS n_chars
+            FROM documents
+        """,
+        # WARC first mile: same pages, same DAG, same oracle — the WARC
+        # writer/parser roundtrip must be byte-transparent
+        "warc_extract": f"""
             SELECT 'doc://' || doc_id AS url,
                    'ok' AS status,
                    {_EXTRACTED_EXPR} AS extracted_text,

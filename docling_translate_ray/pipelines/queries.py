@@ -87,6 +87,52 @@ def q_extract_pages(sf_dir: str):
     )
 
 
+def q_warc_extract(sf_dir: str):
+    """The Common-Crawl first mile end-to-end: wrap each document's page
+    html into WARC/1.0 response records (gzip member per record, the CC
+    layout), write segment files, ``read_warc`` them back as input_hint
+    pages, and run the SAME extraction DAG — byte-identical to
+    extract_pages, proving the WARC source is a transparent surface."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from docling_translate_ray.sources.warc import build_warc_bytes, read_warc
+
+    tmp = tempfile.mkdtemp(prefix="dtr_warc_")
+    try:
+        ts = _dt.datetime(2017, 3, 6, 4, 3, 53)
+
+        def write_segment(batch: pa.Table) -> pa.Table:
+            recs = [
+                (f"doc://{i}", ts,
+                 corpus.doc_row_to_page_html(i, t or "", l or "").encode("utf-8"))
+                for i, t, l in zip(batch["doc_id"].to_pylist(),
+                                   batch["text"].to_pylist(),
+                                   batch["lang"].to_pylist())
+            ]
+            blob = build_warc_bytes(recs, gzip_per_record=True)
+            with open(os.path.join(tmp, f"seg-{uuid.uuid4().hex}.warc.gz"),
+                      "wb") as f:
+                f.write(blob)
+            return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            write_segment, batch_format="pyarrow").materialize()
+        out = (
+            read_warc(tmp)
+            .select_columns(["url", "html", "lang"])
+            .map_batches(extract_batch, batch_format="pyarrow")
+            .select_columns(["url", "status", "extracted_text", "n_chars"])
+        )
+        # pin before the segment files vanish
+        return _collect(out).sort_by("url")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def pdf_pages_batch(batch: pa.Table) -> pa.Table:
     """input_hint-shaped pages whose payloads are REAL PDFs (pdf_core
     writer, FlateDecode): a title line ``doc <id>`` then the 8-word-

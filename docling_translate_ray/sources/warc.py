@@ -1,0 +1,166 @@
+"""WARC source — Common Crawl's native archive format as an input
+surface for the extraction DAG.
+
+The engine's canonical input is the input_hint pages table ``(url,
+warc_ts, html:binary, text, lang)``; real crawl data arrives as WARC
+(ISO 28500) segment files, one ~1 GB gzip file per crawl shard.  This
+source turns a directory of ``.warc`` / ``.warc.gz`` files into that
+pages Dataset so every downstream stage (extract, score, dedup, curate)
+runs unchanged — the missing first mile of the Common-Crawl story the
+reference's file-folder input (`sources/files.py`) doesn't cover.
+
+Physical shape: ``ray.data.read_binary_files`` with ONE FILE PER TASK
+(``batch_size=1``) — a WARC segment is the natural parallel unit (its
+records must be parsed sequentially; different segments are
+independent), exactly how CC pipelines shard.  Parsing is stdlib-only:
+``gzip`` handles both whole-file gzip and Common Crawl's per-record
+concatenated gzip members transparently (multi-member streams decode
+to the concatenation).
+
+Robustness contract (crawl data is dirty): non-``response`` records
+(warcinfo / request / metadata) are skipped; a malformed or truncated
+record ABORTS that file's parse and returns the records before it —
+never an exception for payload bytes (the poison-row rule of
+``extract_core``).  The writer half (``build_warc_bytes``) exists for
+tests, benchmarks and interchange; records it emits round-trip
+byte-identically through the parser.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import hashlib
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def _warc_date(ts: _dt.datetime) -> str:
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def build_warc_bytes(records, gzip_whole: bool = False,
+                     gzip_per_record: bool = False) -> bytes:
+    """WARC/1.0 bytes for ``records`` = iterable of ``(url, ts, body)``
+    (``ts`` a naive-UTC datetime, ``body`` the raw page bytes).  Each
+    record wraps the body in an ``HTTP/1.1 200 OK`` response, the way a
+    crawler stores fetches.  Record IDs are content-derived (md5 of
+    url + date) so output is byte-deterministic.  ``gzip_per_record``
+    emits one gzip member per record (the Common Crawl layout);
+    ``gzip_whole`` compresses the concatenated stream."""
+    out = bytearray()
+    for url, ts, body in records:
+        body = bytes(body or b"")
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode() + _HDR_END
+                + body)
+        rid = hashlib.md5(
+            (url + "|" + _warc_date(ts)).encode("utf-8")).hexdigest()
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
+               b"WARC-Date: " + _warc_date(ts).encode() + _CRLF +
+               b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
+               b"Content-Type: application/http; msgtype=response\r\n"
+               b"Content-Length: " + str(len(http)).encode() + _HDR_END
+               + http + _HDR_END)
+        out += gzip.compress(rec, mtime=0) if gzip_per_record else rec
+    blob = bytes(out)
+    return gzip.compress(blob, mtime=0) if gzip_whole else blob
+
+
+def parse_warc_records(blob: bytes):
+    """Yield ``(url, ts, body_bytes)`` for every ``response`` record in
+    a WARC blob (plain, whole-file gzip, or concatenated per-record
+    gzip members).  Stops — without raising — at the first malformed
+    record; everything before it is yielded."""
+    if blob[:2] == _GZIP_MAGIC:
+        try:  # stdlib gzip decodes concatenated members to one stream
+            blob = gzip.decompress(blob)
+        except (OSError, EOFError):  # corrupt / truncated gzip
+            return
+    pos, n = 0, len(blob)
+    while pos < n:
+        # skip inter-record CRLF padding
+        while blob[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if blob[pos:pos + 5] != b"WARC/":
+            return  # not a record boundary — malformed remainder
+        hdr_end = blob.find(_HDR_END, pos)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split(_CRLF)[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("latin-1")] = (
+                    v.strip().decode("latin-1"))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload_start = hdr_end + len(_HDR_END)
+        payload_end = payload_start + length
+        if payload_end > n:
+            return  # truncated record
+        if headers.get("warc-type") == "response":
+            url = headers.get("warc-target-uri", "")
+            try:
+                ts = _dt.datetime.strptime(
+                    headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ")
+            except ValueError:
+                ts = _dt.datetime(1970, 1, 1)
+            payload = blob[payload_start:payload_end]
+            # body = HTTP payload after its header block (raw payloads
+            # without one pass through whole)
+            split = payload.find(_HDR_END)
+            body = payload[split + len(_HDR_END):] if split >= 0 else payload
+            if url:
+                yield url, ts, body
+        pos = payload_end
+
+
+def read_warc(path: str):
+    """Dataset of input_hint-shaped pages rows from a ``.warc`` /
+    ``.warc.gz`` file, directory, or list of paths.  ``text`` / ``lang``
+    are empty at crawl time (extraction fills them downstream)."""
+    import ray.data
+
+    raw = ray.data.read_binary_files(path, include_paths=True)
+
+    def parse_files(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        ts: list[_dt.datetime] = []
+        bodies: list[bytes] = []
+        for blob in batch["bytes"].to_pylist():
+            for url, t, body in parse_warc_records(blob):
+                urls.append(url)
+                ts.append(t)
+                bodies.append(body)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array([""] * len(urls), pa.string()),
+            "lang": pa.array([""] * len(urls), pa.string()),
+        })
+
+    # one segment file per task: records inside a WARC parse
+    # sequentially; parallelism comes from the file count, as in CC
+    return raw.map_batches(parse_files, batch_format="pyarrow",
+                           batch_size=1)

@@ -117,3 +117,61 @@ def test_write_html_files_sink(tmp_path):
     page_row = next(r for r in manifest if "page-" in r["path"])
     html = open(page_row["path"], encoding="utf-8").read()
     assert "Heading One" in html
+
+
+# ------------------------------------------------------------------ WARC
+
+
+def _warc_records():
+    import datetime as dt
+
+    ts = dt.datetime(2017, 3, 6, 4, 3, 53)
+    return [
+        ("https://a.example/p1", ts, b"<html><body>hello world</body></html>"),
+        ("https://b.example/p2", ts, "<html>\xeb\xb3\xb8\xeb\xac\xb8</html>".encode("latin-1")),
+        ("https://c.example/empty", ts, b""),
+    ]
+
+
+def test_warc_roundtrip_all_three_encodings():
+    from docling_translate_ray.sources import warc
+
+    recs = _warc_records()
+    for kw in ({}, {"gzip_whole": True}, {"gzip_per_record": True}):
+        blob = warc.build_warc_bytes(recs, **kw)
+        got = list(warc.parse_warc_records(blob))
+        assert got == recs, kw
+
+
+def test_warc_parser_skips_non_response_and_survives_truncation():
+    import gzip
+
+    from docling_translate_ray.sources import warc
+
+    recs = _warc_records()
+    blob = warc.build_warc_bytes(recs)
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+            b"robo\r\n\r\n")
+    assert list(warc.parse_warc_records(info + blob)) == recs
+    # truncated final record: the prefix still parses, no raise
+    assert list(warc.parse_warc_records(blob[:-30])) == recs[:2]
+    # garbage between records aborts cleanly at the boundary
+    assert list(warc.parse_warc_records(blob + b"GARBAGE")) == recs
+    # corrupt gzip yields nothing, no raise
+    assert list(warc.parse_warc_records(gzip.compress(blob)[:10])) == []
+
+
+def test_read_warc_dataset_over_directory(tmp_path):
+    from docling_translate_ray.sources import warc
+
+    recs = _warc_records()
+    (tmp_path / "seg1.warc.gz").write_bytes(
+        warc.build_warc_bytes(recs[:2], gzip_per_record=True))
+    (tmp_path / "seg2.warc").write_bytes(warc.build_warc_bytes(recs[2:]))
+    ds = warc.read_warc(str(tmp_path))
+    rows = sorted(ds.take_all(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == [u for u, _, _ in recs]
+    assert rows[0]["html"] == recs[0][2]
+    assert rows[2]["html"] == b""
+    assert all(r["text"] == "" and r["lang"] == "" for r in rows)
+    assert rows[0]["warc_ts"] == recs[0][1]
