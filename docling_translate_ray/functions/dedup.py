@@ -1577,15 +1577,13 @@ def minhash_index_compact(index_dir: str,
     probe (candidate pairs are distinct'd, candidate texts feed a dict)
     and the next compact run's ``unique()`` merge removes them.
 
-    Runs as one Ray task per partition directory (a Dataset over the
-    directory list — the unit of work is a whole directory, which is
-    exactly the partition-parallel shape).  Returns
+    One Ray task per partition directory (the shared
+    :func:`..util.compact_partition_dirs` machinery).  Returns
     ``{"partitions_compacted", "files_before", "files_after"}``.
     """
     import os
-    import uuid
 
-    import ray.data
+    from docling_translate_ray.util import compact_partition_dirs
 
     _load_index_meta(index_dir)  # fail loudly on a non-index dir
     pdirs: list[str] = []
@@ -1594,46 +1592,6 @@ def minhash_index_compact(index_dir: str,
         if os.path.isdir(base):
             pdirs.extend(os.path.join(base, d) for d in sorted(os.listdir(base))
                          if os.path.isdir(os.path.join(base, d)))
-    if not pdirs:
-        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
-
-    def compact_one(batch: pa.Table) -> pa.Table:
-        import polars as pl
-        import pyarrow.parquet as pq
-
-        done, before, after = [], [], []
-        for pdir in batch["pdir"].to_pylist():
-            files = sorted(f for f in os.listdir(pdir)
-                           if f.endswith(".parquet"))
-            if len(files) <= max_files_per_partition:
-                done.append(0)
-                before.append(len(files))
-                after.append(len(files))
-                continue
-            tbl = pa.concat_tables(
-                [pq.read_table(os.path.join(pdir, f)) for f in files],
-                promote_options="default")
-            sort_keys = [c for c in ("band_id", "band_key") if c in
-                         tbl.column_names] or [tbl.column_names[0]]
-            merged = (pl.from_arrow(tbl).unique(keep="any")
-                      .sort(sort_keys).to_arrow())
-            tmp = os.path.join(pdir, f"compact-{uuid.uuid4().hex}.parquet.tmp")
-            pq.write_table(merged, tmp)
-            os.rename(tmp, tmp[:-4])  # visible BEFORE deleting generations
-            for f in files:
-                os.remove(os.path.join(pdir, f))
-            done.append(1)
-            before.append(len(files))
-            after.append(1)
-        return pa.table({"done": pa.array(done, pa.int64()),
-                         "before": pa.array(before, pa.int64()),
-                         "after": pa.array(after, pa.int64())})
-
-    stats = ray.data.from_items(
-        [{"pdir": p} for p in pdirs]
-    ).map_batches(compact_one, batch_format="pyarrow", batch_size=1).materialize()
-    return {
-        "partitions_compacted": int(stats.sum("done") or 0),
-        "files_before": int(stats.sum("before") or 0),
-        "files_after": int(stats.sum("after") or 0),
-    }
+    return compact_partition_dirs(
+        pdirs, sort_keys=("band_id", "band_key"),
+        max_files_per_partition=max_files_per_partition)

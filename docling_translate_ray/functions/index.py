@@ -114,6 +114,32 @@ def inverted_index_insert(ds, index_dir: str) -> None:
     )
 
 
+def inverted_index_compact(index_dir: str,
+                           max_files_per_partition: int = 1) -> dict:
+    """LSM-style postings maintenance (the mirror of
+    ``functions/dedup.minhash_index_compact``): merge each ``tpart=``
+    directory's accumulated insert generations into one term-sorted
+    parquet file, bounding lookup read fan-out after many crawl-cadence
+    inserts — term sorting also tightens parquet row-group statistics
+    for the exact-term filter inside :func:`lookup_postings`.  Same
+    crash contract as the shared machinery: duplicates possible in the
+    crash window (benign: ids are unique per lifetime, so a duplicated
+    posting row only double-counts a tf if the window is never
+    compacted again), loss impossible; re-running heals."""
+    import pyarrow.parquet as pq
+
+    from docling_translate_ray.util import compact_partition_dirs
+
+    pq.read_table(os.path.join(index_dir, _META_FILE))  # fail loudly
+    base = os.path.join(index_dir, _POSTINGS_SUBDIR)
+    pdirs = [os.path.join(base, d) for d in sorted(os.listdir(base))
+             if os.path.isdir(os.path.join(base, d))] \
+        if os.path.isdir(base) else []
+    return compact_partition_dirs(
+        pdirs, sort_keys=("term",),
+        max_files_per_partition=max_files_per_partition)
+
+
 def lookup_postings(index_dir: str, terms: list[str]):
     """Postings for ``terms`` via a pruned partition read; returns a
     Dataset (term, <id_column>, tf) — empty if no term's partition exists."""

@@ -55,3 +55,71 @@ def join_partitions(cap: int = 64) -> int:
     except Exception:
         total = 2
     return max(2, min(cap, total // 2))
+
+
+def compact_partition_dirs(pdirs, sort_keys,
+                           max_files_per_partition: int = 1) -> dict:
+    """LSM-style maintenance shared by the persistent indexes (MinHash
+    band/doc stores, inverted-index postings): merge each partition
+    directory's accumulated uuid-named parquet generations into ONE file
+    sorted by ``sort_keys`` (the keys present in the table; falls back
+    to the first column), deduplicating exact-duplicate rows.
+
+    Crash safety without a manifest: the merged file is renamed VISIBLE
+    before the old generations are deleted — a crash can only leave
+    duplicate rows, never lose rows; the next run's ``unique()`` merge
+    heals the window.  Runs as one Ray task per partition directory.
+
+    Returns ``{"partitions_compacted", "files_before", "files_after"}``.
+    """
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import ray.data
+
+    if not pdirs:
+        return {"partitions_compacted": 0, "files_before": 0,
+                "files_after": 0}
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.parquet as pq
+
+        done, before, after = [], [], []
+        for pdir in batch["pdir"].to_pylist():
+            files = sorted(f for f in os.listdir(pdir)
+                           if f.endswith(".parquet"))
+            if len(files) <= max_files_per_partition:
+                done.append(0)
+                before.append(len(files))
+                after.append(len(files))
+                continue
+            tbl = pa.concat_tables(
+                [pq.read_table(os.path.join(pdir, f)) for f in files],
+                promote_options="default")
+            keys = [c for c in sort_keys if c in tbl.column_names] \
+                or [tbl.column_names[0]]
+            merged = (pl.from_arrow(tbl).unique(keep="any")
+                      .sort(keys).to_arrow())
+            tmp = os.path.join(pdir, f"compact-{uuid.uuid4().hex}.parquet.tmp")
+            pq.write_table(merged, tmp)
+            os.rename(tmp, tmp[:-4])  # visible BEFORE deleting generations
+            for f in files:
+                os.remove(os.path.join(pdir, f))
+            done.append(1)
+            before.append(len(files))
+            after.append(1)
+        return pa.table({"done": pa.array(done, pa.int64()),
+                         "before": pa.array(before, pa.int64()),
+                         "after": pa.array(after, pa.int64())})
+
+    stats = ray.data.from_items(
+        [{"pdir": p} for p in pdirs]
+    ).map_batches(compact_one, batch_format="pyarrow",
+                  batch_size=1).materialize()
+    return {
+        "partitions_compacted": int(stats.sum("done") or 0),
+        "files_before": int(stats.sum("before") or 0),
+        "files_after": int(stats.sum("after") or 0),
+    }

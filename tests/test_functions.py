@@ -879,6 +879,51 @@ def test_inverted_index_insert_matches_full_build(tmp_path):
     assert rank(idx) == rank(full)
 
 
+def test_inverted_index_compact_lookup_equivalent(tmp_path):
+    """Postings compaction: insert generations merge to one term-sorted
+    file per tpart dir; lookups and ranked retrieval are unchanged;
+    a second compact is a no-op."""
+    import os
+
+    import ray.data
+
+    from docling_translate_ray.functions import index as fidx
+
+    filler = " ".join(f"filler{i}" for i in range(40))
+    idx = str(tmp_path / "idx")
+    fidx.build_inverted_index(ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": [f"apple banana apple {filler}", "banana cherry"],
+    })), idx, num_partitions=8)
+    fidx.inverted_index_insert(ray.data.from_arrow(pa.table({
+        "doc_id": [3], "text": ["apple date"]})), idx)
+    fidx.inverted_index_insert(ray.data.from_arrow(pa.table({
+        "doc_id": [4], "text": [f"cherry cherry {filler}"]})), idx)
+
+    terms = ["apple", "banana", "cherry", "date", "filler7"]
+    rows = lambda: sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in _to_table(fidx.lookup_postings(idx, terms)).to_pylist())
+    rank = lambda: sorted(
+        tuple(r.values())
+        for r in _to_table(fidx.search_rank(idx, ["apple", "cherry"],
+                                            n_docs=4)).to_pylist())
+    before_rows, before_rank = rows(), rank()
+    assert before_rows and before_rank
+
+    stats = fidx.inverted_index_compact(idx)
+    assert stats["partitions_compacted"] > 0
+    base = os.path.join(idx, "postings")
+    for d in os.listdir(base):
+        pdir = os.path.join(base, d)
+        if os.path.isdir(pdir):
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            assert len(files) == 1, (pdir, files)
+    assert rows() == before_rows
+    assert rank() == before_rank
+    assert fidx.inverted_index_compact(idx)["partitions_compacted"] == 0
+
+
 def test_hll_approx_distinct_accuracy_and_invariance():
     import polars as pl
     import ray.data
