@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_index_probe": q.q_minhash_index_probe,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_version": q.q_latest_version,
+        "recrawl_priority": q.q_recrawl_priority,
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
@@ -82,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q.q_simhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
         "blocklist_filter": q.q_blocklist_filter,
-        "heavy_hitters": q.q_heavy_hitters,
         # similarity search
         "knn_topk": q.q_knn_topk,
         # text analysis
@@ -182,6 +182,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * extract_pages → warc_extract (the SAME extract_batch DAG compared
       against the IDENTICAL oracle SQL, reached through the WARC segment
       source instead of an in-memory wrap — a strict superset)
+    * heavy_hitters → top_users (same partial-count combiner → bounded
+      top-k merge) + word_commonness (same threshold-count exchange
+      shape); the sketch thresholds stay oracle-checked here
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -220,6 +223,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q.q_domain_cap,
         "url_dedup": q.q_url_dedup,
         "extract_pages": q.q_extract_pages,
+        "heavy_hitters": q.q_heavy_hitters,
     }
 
 
@@ -562,6 +566,32 @@ def oracle_sql() -> dict[str, str]:
         # Latest-version select: doc i has i % 3 + 1 crawled versions at
         # strictly increasing warc_ts (ties impossible by construction);
         # winner per url = the row_number() = 1 window row
+        # Adaptive-recrawl change rate: lag() fingerprint compare per
+        # url in ts order over the same deterministic version view the
+        # Ray side synthesizes; integer percent keeps the hash bit-exact
+        "recrawl_priority": """
+            WITH v AS (
+              SELECT 'doc://' || doc_id AS url,
+                     (1700000000 + t.vv * 3600 + doc_id)::BIGINT AS warc_ts,
+                     md5(text || ' rev' || (t.vv - (t.vv % 2))) AS fp
+              FROM documents, unnest(range(doc_id % 4 + 1)) AS t(vv)),
+            c AS (
+              SELECT url, fp,
+                     lag(fp) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+              FROM v)
+            SELECT url,
+                   count(*)::BIGINT AS n_versions,
+                   coalesce(sum(CASE WHEN prev IS NOT NULL AND fp <> prev
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS n_changes,
+                   CASE WHEN count(*) > 1
+                        THEN (100 * coalesce(sum(CASE WHEN prev IS NOT NULL
+                                                       AND fp <> prev
+                                                      THEN 1 ELSE 0 END), 0))
+                             // (count(*) - 1)
+                        ELSE 0 END::BIGINT AS change_rate_pct
+            FROM c GROUP BY url
+        """,
         "latest_version": """
             WITH v AS (
               SELECT 'doc://' || doc_id AS url,

@@ -315,3 +315,65 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
         ds.map_batches(narrow, batch_format="pyarrow"),
         ["host"], schedule, num_partitions=num_partitions,
     )
+
+
+def recrawl_priority(ds, url_column: str = "url", ts_column: str = "warc_ts",
+                     content_column: str = "text",
+                     num_partitions: int = 32, algo: str = "md5"):
+    """Per-URL change-rate estimation from crawl history — the signal an
+    adaptive recrawl scheduler feeds on (pages that changed between past
+    fetches get refetched sooner; Cho & Garcia-Molina's frequency
+    estimation, reduced to its deterministic integer core): fingerprint
+    every stored version, count CONSECUTIVE-version changes in
+    ``ts_column`` order, and report
+    ``change_rate_pct = 100 * n_changes // (n_versions - 1)`` (0 for a
+    single-version url).  Returns
+    ``(url, n_versions, n_changes, change_rate_pct)``.
+
+    Scale shape: content collapses to a fingerprint inside the batch
+    (``algo="md5"`` for oracle lockstep, ``"xx64"`` for the cheaper
+    vectorized hash — change counting only needs equality), so the ONE
+    url-keyed exchange carries (url, ts, hash) and page bodies never
+    move; per-partition work is a vectorized sort + lag-compare.
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("n_versions", pa.int64()),
+        ("n_changes", pa.int64()), ("change_rate_pct", pa.int64()),
+    ])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        fp = _fingerprint_batch(batch, url_column, content_column, 0, algo)
+        return pa.table({
+            "url": fp["url"],
+            "_ts": batch[ts_column],
+            "_fp": fp["md5"],
+        })
+
+    def rate_block(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(part)
+            .sort(["url", "_ts"])
+            .with_columns(
+                (pl.col("_fp") != pl.col("_fp").shift(1)).over("url")
+                .fill_null(False).cast(pl.Int64).alias("_chg"))
+            .group_by("url")
+            .agg(pl.len().cast(pl.Int64).alias("n_versions"),
+                 pl.col("_chg").sum().alias("n_changes"))
+            .with_columns(
+                pl.when(pl.col("n_versions") > 1)
+                .then(100 * pl.col("n_changes")
+                      // (pl.col("n_versions") - 1))
+                .otherwise(0).cast(pl.Int64).alias("change_rate_pct"))
+            .to_arrow().cast(out_schema)
+        )
+
+    return hash_partition_apply(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        ["url"], rate_block, num_partitions=num_partitions,
+    )

@@ -467,6 +467,42 @@ def q_latest_version(sf_dir: str):
     return fcrawl.latest_page_version(pages)
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Adaptive-recrawl change-rate signal (functions/crawl.
+    recrawl_priority) over a deterministic crawl history: doc ``i`` has
+    ``i % 4 + 1`` stored versions and its content changes every SECOND
+    revision (rev v carries suffix ``v - v % 2``), so urls exhibit 0%,
+    50% and 100% consecutive-change rates — the scheduler's input."""
+    import polars as pl
+
+    from docling_translate_ray.functions import crawl as fcrawl
+
+    def versions(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        out = (
+            df.with_columns((pl.col("doc_id") % 4 + 1).alias("_nv"))
+            .with_columns(pl.int_ranges(0, pl.col("_nv")).alias("_v"))
+            .explode("_v")
+            .select(
+                ("doc://" + pl.col("doc_id").cast(pl.String)).alias("url"),
+                (1_700_000_000 + pl.col("_v") * 3600 + pl.col("doc_id"))
+                .cast(pl.Int64).alias("warc_ts"),
+                (pl.col("text") + " rev"
+                 + (pl.col("_v") - pl.col("_v") % 2).cast(pl.String))
+                .alias("text"),
+            )
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("url", pa.string()), ("warc_ts", pa.int64()),
+            ("text", pa.string()),
+        ]))
+
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        versions, batch_format="pyarrow"
+    )
+    return fcrawl.recrawl_priority(pages)
+
+
 def snapshot_pages_batch(batch: pa.Table, which: str) -> pa.Table:
     """input_hint-shaped pages for the deterministic snapshot pair: old =
     every doc wrapped at ``doc://<id>``; new = minus ``id%7==0``, with

@@ -161,3 +161,39 @@ def test_frontier_schedule_tie_breaks_by_url_and_validates_k():
     assert rows["https://h.example.com/z"] == 2
     with pytest.raises(ValueError):
         crawl.frontier_schedule(_ds(tbl, tbl.schema), k_per_cycle=0)
+
+
+def test_recrawl_priority_change_rates():
+    """Hand-built history: u_static never changes (0%), u_flappy changes
+    every fetch (100%), u_half changes once in two intervals (50%),
+    u_single has one version (rate 0, no intervals)."""
+    tbl = pa.table({
+        "url": ["u_static"] * 3 + ["u_flappy"] * 3 + ["u_half"] * 3
+               + ["u_single"],
+        "warc_ts": pa.array([1, 2, 3, 1, 2, 3, 1, 2, 3, 1], pa.int64()),
+        "text": ["same", "same", "same",
+                 "a", "b", "c",
+                 "x", "x", "y",
+                 "once"],
+    })
+    got = {r["url"]: (r["n_versions"], r["n_changes"], r["change_rate_pct"])
+           for r in crawl.recrawl_priority(_ds(tbl, tbl.schema)).take_all()}
+    assert got == {
+        "u_static": (3, 0, 0),
+        "u_flappy": (3, 2, 100),
+        "u_half": (3, 1, 50),
+        "u_single": (1, 0, 0),
+    }
+
+
+def test_recrawl_priority_orders_by_ts_not_input_order():
+    """Out-of-order input rows: change counting follows warc_ts, so a
+    history A→B→A at ts 1,2,3 has 2 changes even when rows arrive
+    shuffled."""
+    tbl = pa.table({
+        "url": ["u"] * 3,
+        "warc_ts": pa.array([3, 1, 2], pa.int64()),
+        "text": ["A", "A", "B"],  # ts-ordered: A(1), B(2), A(3)
+    })
+    got = crawl.recrawl_priority(_ds(tbl, tbl.schema)).take_all()
+    assert (got[0]["n_versions"], got[0]["n_changes"]) == (3, 2)
