@@ -92,6 +92,12 @@ def extra_queries(sf_dir: str) -> dict:
         "bitext_mine": lambda: _consume(q.q_bitext_mine(sf_dir)),
         "bpe_pair_counts": lambda: q.q_bpe_pair_counts(sf_dir).num_rows,
         "mixture": lambda: _consume(q.q_mixture(sf_dir)),
+        # round-3 late additions: retention-policy fuzzy dedup, crawl
+        # scheduling signals, and the WARC first mile
+        "dedup_keep_best": lambda: _consume(q.q_dedup_keep_best(sf_dir)),
+        "frontier_schedule": lambda: _consume(q.q_frontier_schedule(sf_dir)),
+        "recrawl_priority": lambda: _consume(q.q_recrawl_priority(sf_dir)),
+        "warc_extract": lambda: q.q_warc_extract(sf_dir).num_rows,
     }
 
 
