@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,
         "latest_version": q.q_latest_version,
         "recrawl_priority": q.q_recrawl_priority,
+        "extract_links": q.q_extract_links,
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
@@ -82,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q.q_minhash_near_dup,
         "simhash_near_dup": q.q_simhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
-        "blocklist_filter": q.q_blocklist_filter,
         # similarity search
         "knn_topk": q.q_knn_topk,
         # text analysis
@@ -185,6 +185,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * heavy_hitters → top_users (same partial-count combiner → bounded
       top-k merge) + word_commonness (same threshold-count exchange
       shape); the sketch thresholds stay oracle-checked here
+    * blocklist_filter → decontaminate (same broadcast-small-side +
+      exact-confirm anti-join shape); the bloom-negative bypass stays
+      oracle-checked here (row set identical to NOT IN) and
+      false-positive-rate-pinned in pytest
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -224,6 +228,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q.q_url_dedup,
         "extract_pages": q.q_extract_pages,
         "heavy_hitters": q.q_heavy_hitters,
+        "blocklist_filter": q.q_blocklist_filter,
     }
 
 
@@ -566,6 +571,34 @@ def oracle_sql() -> dict[str, str]:
         # Latest-version select: doc i has i % 3 + 1 crawled versions at
         # strictly increasing warc_ts (ties impossible by construction);
         # winner per url = the row_number() = 1 window row
+        # Outlink extraction: the kept links of the deterministic
+        # link-rich view are pure string functions of doc_id, so the
+        # oracle rebuilds them row for row — parser + resolver (fragment
+        # / scheme skip, origin vs directory base) must agree exactly
+        "extract_links": """
+            WITH i AS (
+              SELECT doc_id,
+                     'https://host' || (doc_id % 23) ||
+                     '.example/dir/page' || doc_id || '.html' AS url,
+                     doc_id % 4 AS m
+              FROM documents)
+            SELECT url,
+                   'https://host' || (doc_id % 23) || '.example/p/' ||
+                     ((doc_id * 7 + t.k * 13) % 1000) AS link,
+                   'go ' || t.k AS anchor,
+                   (t.k + 1)::BIGINT AS pos
+            FROM i, unnest(range(m)) AS t(k)
+            UNION ALL
+            SELECT url, 'https://ext' || (doc_id % 5) || '.example.org/x',
+                   'out', (m + 1)::BIGINT
+            FROM i
+            UNION ALL
+            SELECT url,
+                   'https://host' || (doc_id % 23) || '.example/dir/rel/' ||
+                     (doc_id % 9) || '.html',
+                   'rel bold', (m + 2)::BIGINT
+            FROM i
+        """,
         # Adaptive-recrawl change rate: lag() fingerprint compare per
         # url in ts order over the same deterministic version view the
         # Ray side synthesizes; integer percent keeps the hash bit-exact

@@ -98,6 +98,7 @@ def extra_queries(sf_dir: str) -> dict:
         "frontier_schedule": lambda: _consume(q.q_frontier_schedule(sf_dir)),
         "recrawl_priority": lambda: _consume(q.q_recrawl_priority(sf_dir)),
         "warc_extract": lambda: q.q_warc_extract(sf_dir).num_rows,
+        "extract_links": lambda: _consume(q.q_extract_links(sf_dir)),
     }
 
 

@@ -160,3 +160,95 @@ def anchor_text_agg(edges_ds, dst_column: str = "dst",
         edges_ds.map_batches(partial, batch_format="pyarrow"),
         [dst_column], final, num_partitions=num_partitions,
     )
+
+
+# --------------------------------------------------------------- link extract
+
+import re as _re
+
+_LINK_RE = _re.compile(
+    r"<a\b[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a>",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_TAG_RE = _re.compile(r"<[^>]*>")
+_WS_RE = _re.compile(r"\s+")
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_ORIGIN_RE = _re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)")
+
+
+def resolve_href(base_url: str, href: str) -> str | None:
+    """Fetchable absolute URL for ``href`` found on ``base_url``, or
+    ``None`` when the link is not a crawl edge.  The documented subset
+    of RFC 3986 resolution (no dot-segment normalization — crawl-graph
+    edges don't need it and the oracle mirrors the rules as strings):
+
+    * fragment stripped; a pure-fragment link is not an edge
+    * absolute ``http(s)://`` kept; any other scheme (mailto, javascript,
+      data, ...) skipped
+    * ``//host/...`` → base scheme
+    * ``/path`` → base origin
+    * relative path → base directory (base up to its last ``/`` past the
+      authority); skipped when the base itself has no ``scheme://``
+    """
+    href = (href or "").split("#", 1)[0]
+    if not href:
+        return None
+    if href.startswith("//"):
+        m = _ORIGIN_RE.match(base_url or "")
+        if not m:
+            return None
+        return base_url.split("://", 1)[0] + ":" + href
+    if _SCHEME_RE.match(href):
+        return href if href.startswith(("http://", "https://")) else None
+    m = _ORIGIN_RE.match(base_url or "")
+    if not m:
+        return None
+    if href.startswith("/"):
+        return m.group(1) + href
+    path = base_url[len(m.group(1)):].split("?", 1)[0]
+    base_dir = path[: path.rfind("/") + 1] if "/" in path else "/"
+    return m.group(1) + base_dir + href
+
+
+def extract_links_batch(batch: pa.Table, url_column: str = "url",
+                        html_column: str = "html") -> pa.Table:
+    """Explode each page's ``<a href>`` links into rows ``(url, link,
+    anchor, pos)`` — the crawl-graph ingest step that feeds
+    :func:`anchor_text_agg` / :func:`pagerank_int` from raw pages.
+
+    ``pos`` is the 1-based ordinal among the page's KEPT links (document
+    order — link position is a ranking feature).  ``anchor`` is the
+    inner text with tags stripped and whitespace collapsed.  Accepts a
+    string or binary html column (binary decodes utf-8/replace; in the
+    extraction DAG this runs post-decode).  Per-row compiled-regex scan
+    — the parser-kernel family (cf. extract_core), not a relational op;
+    there is no shuffle here at all.
+    """
+    urls_out: list[str] = []
+    links_out: list[str] = []
+    anchors_out: list[str] = []
+    pos_out: list[int] = []
+    for url, html in zip(batch[url_column].to_pylist(),
+                         batch[html_column].to_pylist()):
+        if html is None:
+            continue
+        if isinstance(html, (bytes, bytearray)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        pos = 0
+        for m in _LINK_RE.finditer(html):
+            href = m.group(1) if m.group(1) is not None else m.group(2)
+            link = resolve_href(url or "", href)
+            if link is None:
+                continue
+            pos += 1
+            urls_out.append(url or "")
+            links_out.append(link)
+            anchors_out.append(
+                _WS_RE.sub(" ", _TAG_RE.sub("", m.group(3))).strip())
+            pos_out.append(pos)
+    return pa.table({
+        "url": pa.array(urls_out, pa.string()),
+        "link": pa.array(links_out, pa.string()),
+        "anchor": pa.array(anchors_out, pa.string()),
+        "pos": pa.array(pos_out, pa.int64()),
+    })

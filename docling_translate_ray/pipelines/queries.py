@@ -467,6 +467,40 @@ def q_latest_version(sf_dir: str):
     return fcrawl.latest_page_version(pages)
 
 
+def q_extract_links(sf_dir: str):
+    """Outlink extraction (functions/graph.extract_links_batch) over a
+    deterministic link-rich page view: doc ``i`` carries ``i % 4``
+    host-absolute links, one external link, one relative link (whose
+    anchor embeds a tag, exercising the strip), and two non-edges
+    (fragment, mailto) that must be skipped.  The oracle rebuilds the
+    kept rows as strings — the parser/resolver must agree exactly."""
+    from docling_translate_ray.functions.graph import extract_links_batch
+
+    def link_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in batch["doc_id"].to_pylist():
+            h = i % 23
+            body = ["<html><body><p>content</p>"]
+            for k in range(i % 4):
+                body.append(
+                    f'<a href="/p/{(i * 7 + k * 13) % 1000}">go {k}</a>')
+            body.append(f'<a href="https://ext{i % 5}.example.org/x">out</a>')
+            body.append('<a href="#frag">skip1</a>')
+            body.append('<a href="mailto:a@b.example">skip2</a>')
+            body.append(f'<a href="rel/{i % 9}.html">rel <b>bold</b></a>')
+            body.append("</body></html>")
+            urls.append(f"https://host{h}.example/dir/page{i}.html")
+            htmls.append("".join(body))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.string())})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(link_pages, batch_format="pyarrow")
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+    )
+
+
 def q_recrawl_priority(sf_dir: str):
     """Adaptive-recrawl change-rate signal (functions/crawl.
     recrawl_priority) over a deterministic crawl history: doc ``i`` has

@@ -65,3 +65,57 @@ def test_anchor_text_agg_handmade():
     assert got[2] == (2, 2, "atom")       # tie -> lexicographically smallest
     assert got[3] == (1, 1, "only")
     assert set(got) == {1, 2, 3}
+
+
+def test_resolve_href_rule_table():
+    from docling_translate_ray.functions.graph import resolve_href
+
+    base = "https://www.site.example:8080/a/b/page.html?q=1"
+    cases = {
+        "https://other.example/x": "https://other.example/x",
+        "http://other.example/x": "http://other.example/x",
+        "//cdn.example/y": "https://cdn.example/y",
+        "/root.html": "https://www.site.example:8080/root.html",
+        "sib.html": "https://www.site.example:8080/a/b/sib.html",
+        "deeper/x.html": "https://www.site.example:8080/a/b/deeper/x.html",
+        "page.html#sec": "https://www.site.example:8080/a/b/page.html",
+        "#frag": None,
+        "": None,
+        "mailto:a@b.example": None,
+        "javascript:void(0)": None,
+        "data:text/plain,hi": None,
+    }
+    for href, want in cases.items():
+        assert resolve_href(base, href) == want, href
+    # base without a scheme: relatives unresolvable, absolutes still pass
+    assert resolve_href("no-scheme-base", "x.html") is None
+    assert resolve_href("no-scheme-base", "https://a.example/x") == \
+        "https://a.example/x"
+    # base with bare origin (no path): directory is "/"
+    assert resolve_href("https://a.example", "x.html") == \
+        "https://a.example/x.html"
+
+
+def test_extract_links_batch_order_anchors_and_quotes():
+    from docling_translate_ray.functions.graph import extract_links_batch
+
+    html = (
+        "<html><body>"
+        "<a href='/one' class=x>First <b>bold</b>\n link</a>"
+        '<a href="#skip">nope</a>'
+        '<A HREF="https://e.example/two" target=_blank>SECOND</A>'
+        "<a href='mailto:z@z'>nope</a>"
+        "<a href='rel/three'><img src='i.png'/></a>"
+        "</body></html>"
+    )
+    batch = pa.table({
+        "url": ["https://h.example/d/p.html", "https://empty.example/"],
+        "html": [html.encode("utf-8"), None],  # binary column + null row
+    })
+    got = extract_links_batch(batch).to_pylist()
+    assert [(r["link"], r["anchor"], r["pos"]) for r in got] == [
+        ("https://h.example/one", "First bold link", 1),
+        ("https://e.example/two", "SECOND", 2),
+        ("https://h.example/d/rel/three", "", 3),
+    ]
+    assert all(r["url"] == "https://h.example/d/p.html" for r in got)
