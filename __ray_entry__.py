@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_version": q.q_latest_version,
         "recrawl_priority": q.q_recrawl_priority,
         "extract_links": q.q_extract_links,
+        "robots_filter": q.q_robots_filter,
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
@@ -81,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_near_dup": q.q_minhash_near_dup,
-        "simhash_near_dup": q.q_simhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
         # similarity search
         "knn_topk": q.q_knn_topk,
@@ -189,6 +189,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       exact-confirm anti-join shape); the bloom-negative bypass stays
       oracle-checked here (row set identical to NOT IN) and
       false-positive-rate-pinned in pytest
+    * simhash_near_dup → image_near_dup / audio_near_dup (the SAME
+      hamming64_near_dup chunk-explode band kernel over 64-bit
+      signatures, dedup.py:940) + minhash_near_dup (same closure);
+      the bit_count(xor) parity oracle stays checked here
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -229,6 +233,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "extract_pages": q.q_extract_pages,
         "heavy_hitters": q.q_heavy_hitters,
         "blocklist_filter": q.q_blocklist_filter,
+        "simhash_near_dup": q.q_simhash_near_dup,
     }
 
 
@@ -571,6 +576,22 @@ def oracle_sql() -> dict[str, str]:
         # Latest-version select: doc i has i % 3 + 1 crawled versions at
         # strictly increasing warc_ts (ties impossible by construction);
         # winner per url = the row_number() = 1 window row
+        # Robots-exclusion gate: kept rows of the 23-host frontier view
+        # under the deterministic per-host rules (h%3==0 disallows the
+        # /page/1 prefix, h%3==1 disallows all, h%3==2 constrains a
+        # different agent only)
+        "robots_filter": """
+            WITH p AS (
+              SELECT 'https://host-' || (doc_id % 23) ||
+                     '.example.com/page/' || doc_id AS url,
+                     'host-' || (doc_id % 23) || '.example.com' AS host,
+                     (doc_id % 23) % 3 AS h3,
+                     doc_id
+              FROM documents)
+            SELECT url, host FROM p
+            WHERE h3 = 2
+               OR (h3 = 0 AND NOT starts_with('/page/' || doc_id, '/page/1'))
+        """,
         # Outlink extraction: the kept links of the deterministic
         # link-rich view are pure string functions of doc_id, so the
         # oracle rebuilds them row for row — parser + resolver (fragment

@@ -99,6 +99,7 @@ def extra_queries(sf_dir: str) -> dict:
         "recrawl_priority": lambda: _consume(q.q_recrawl_priority(sf_dir)),
         "warc_extract": lambda: q.q_warc_extract(sf_dir).num_rows,
         "extract_links": lambda: _consume(q.q_extract_links(sf_dir)),
+        "robots_filter": lambda: _consume(q.q_robots_filter(sf_dir)),
     }
 
 

@@ -377,3 +377,107 @@ def recrawl_priority(ds, url_column: str = "url", ts_column: str = "warc_ts",
         ds.map_batches(narrow, batch_format="pyarrow"),
         ["url"], rate_block, num_partitions=num_partitions,
     )
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[str]:
+    """Disallow prefixes applying to ``agent`` from one robots.txt body
+    (the classic REP subset: line-based ``User-agent`` groups,
+    ``Disallow`` path prefixes; field names case-insensitive; ``#``
+    comments stripped; an empty Disallow allows everything; ``Allow``
+    precedence and wildcards are out of scope and documented so).
+    Group precedence follows REP: a named agent obeys ONLY the groups
+    naming it when any exist, and falls back to the ``*`` groups
+    otherwise — the two never merge."""
+    groups: list[tuple[set, list]] = []
+    cur: tuple[set, list] | None = None
+    last_was_agent = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, sep, value = line.partition(":")
+        if not sep:
+            continue
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_agent:
+                cur = (set(), [])  # a new group starts
+                groups.append(cur)
+            cur[0].add(value.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if field == "disallow" and cur is not None and value:
+            cur[1].append(value)
+    a = agent.lower()
+    if a != "*" and any(a in ag for ag, _ in groups):
+        return [p for ag, ps in groups if a in ag for p in ps]
+    return [p for ag, ps in groups if "*" in ag for p in ps]
+
+
+def robots_filter(pages_ds, robots_ds, url_column: str = "url",
+                  agent: str = "*"):
+    """Crawl-policy gate: drop pages whose URL path matches any
+    ``Disallow`` prefix of their host's robots.txt.  Returns the KEPT
+    rows as ``(url, host)``.
+
+    Scale shape: the rules side is one row per host (tiny by web
+    construction — hosts ≪ pages); it is parsed and collected once,
+    broadcast via ``ray.put``, and every page batch applies a vectorized
+    polars join + ``starts_with`` — ZERO shuffle on the page side, the
+    bloom-blocklist pattern with prefix semantics.
+    """
+    import ray
+
+    import polars as pl
+
+    from docling_translate_ray.functions.urltools import extract_hosts
+    from docling_translate_ray.util import collect_to_table
+
+    def explode_rules(batch: pa.Table) -> pa.Table:
+        hosts, prefs = [], []
+        for h, txt in zip(batch["host"].to_pylist(),
+                          batch["robots_txt"].to_pylist()):
+            for p in parse_robots(txt or "", agent=agent):
+                hosts.append(h or "")
+                prefs.append(p)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "prefix": pa.array(prefs, pa.string())})
+
+    rules = collect_to_table(
+        robots_ds.map_batches(explode_rules, batch_format="pyarrow"),
+        empty_schema=pa.schema([("host", pa.string()),
+                                ("prefix", pa.string())]),
+    )
+    rules_ref = ray.put(rules)
+
+    out_schema = pa.schema([("url", pa.string()), ("host", pa.string())])
+
+    def keep_allowed(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        r = pl.from_arrow(_ray.get(rules_ref))
+        u = pl.from_arrow(batch.select([url_column]))[url_column]
+        df = (
+            pl.DataFrame({"url": u, "host": extract_hosts(u)})
+            .with_row_index("_i")
+            .with_columns(
+                pl.col("url").str.replace(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+                .str.replace(r"[?#].*$", "")
+                .alias("_path"))
+        )
+        if r.height == 0:
+            return df.select(["url", "host"]).to_arrow().cast(out_schema)
+        hit = (
+            df.join(r, on="host", how="inner")
+            .filter(pl.col("_path").str.starts_with(pl.col("prefix")))
+            .select("_i").unique()
+        )
+        return (
+            df.join(hit, on="_i", how="anti")
+            .select(["url", "host"])
+            .to_arrow().cast(out_schema)
+        )
+
+    return pages_ds.map_batches(keep_allowed, batch_format="pyarrow")

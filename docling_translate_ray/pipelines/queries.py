@@ -467,6 +467,36 @@ def q_latest_version(sf_dir: str):
     return fcrawl.latest_page_version(pages)
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots-exclusion crawl gate (functions/crawl.robots_filter) over
+    the 23-host frontier view: hosts with ``h % 3 == 0`` disallow the
+    ``/page/1`` prefix for every agent, ``h % 3 == 1`` disallow
+    everything, ``h % 3 == 2`` only constrain a different agent (so we
+    keep all) — parser groups, empty-disallow and prefix semantics all
+    exercised.  Rules broadcast once; the page side never shuffles."""
+    import ray.data
+
+    from docling_translate_ray.functions.crawl import robots_filter
+
+    def robots_txt(h: int) -> str:
+        if h % 3 == 0:
+            return "# site rules\nUser-agent: *\nDisallow: /page/1\n"
+        if h % 3 == 1:
+            return "User-agent: bot\nUser-agent: *\nDisallow: /\n"
+        return "User-agent: bot\nDisallow: /\nUser-agent: x\nDisallow:\n"
+
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array([f"host-{h}.example.com" for h in range(23)],
+                         pa.string()),
+        "robots_txt": pa.array([robots_txt(h) for h in range(23)],
+                               pa.string()),
+    }))
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        frontier_view_batch, batch_format="pyarrow"
+    )
+    return robots_filter(pages, robots)
+
+
 def q_extract_links(sf_dir: str):
     """Outlink extraction (functions/graph.extract_links_batch) over a
     deterministic link-rich page view: doc ``i`` carries ``i % 4``

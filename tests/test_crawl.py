@@ -197,3 +197,47 @@ def test_recrawl_priority_orders_by_ts_not_input_order():
     })
     got = crawl.recrawl_priority(_ds(tbl, tbl.schema)).take_all()
     assert (got[0]["n_versions"], got[0]["n_changes"]) == (3, 2)
+
+
+def test_parse_robots_groups_comments_and_empty_disallow():
+    txt = (
+        "# header comment\n"
+        "User-agent: googlebot\n"
+        "User-agent: *\n"          # multi-agent group includes *
+        "Disallow: /private/\n"
+        "disallow: /tmp/  # inline comment\n"
+        "\n"
+        "User-agent: other\n"      # NEW group — does not apply to us
+        "Disallow: /everything/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow:\n"              # empty = allow, contributes nothing
+        "Crawl-delay: 10\n"        # unknown field ignored
+    )
+    assert crawl.parse_robots(txt) == ["/private/", "/tmp/"]
+    assert crawl.parse_robots(txt, agent="other") == ["/everything/"]
+    assert crawl.parse_robots("") == []
+    # directives before any User-agent line apply to no one
+    assert crawl.parse_robots("Disallow: /x\n") == []
+
+
+def test_robots_filter_prefix_semantics():
+    import ray.data
+
+    pages = pa.table({"url": [
+        "https://a.example/private/p1",   # blocked (prefix)
+        "https://a.example/privateer",    # NOT blocked (path, not prefix... /private/ vs /privateer)
+        "https://a.example/ok",           # kept
+        "https://b.example/private/p1",   # other host: no rules -> kept
+    ]})
+    robots = pa.table({
+        "host": ["a.example"],
+        "robots_txt": ["User-agent: *\nDisallow: /private/\n"],
+    })
+    kept = sorted(r["url"] for r in crawl.robots_filter(
+        ray.data.from_arrow(pages), ray.data.from_arrow(robots)).take_all())
+    assert kept == [
+        "https://a.example/ok",
+        "https://a.example/privateer",
+        "https://b.example/private/p1",
+    ]
