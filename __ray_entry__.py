@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": q.q_recrawl_priority,
         "extract_links": q.q_extract_links,
         "robots_filter": q.q_robots_filter,
+        "crawl_cycle": q.q_crawl_cycle,
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
@@ -93,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "chunk_docs": q.q_chunk_docs,
         "search_rank": q.q_search_rank,
-        "langid": q.q_langid,
         "word_commonness": q.q_word_commonness,
         "pagerank": q.q_pagerank,
         # aggregates / sort / window (A1-A6, O2)
@@ -193,6 +193,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       hamming64_near_dup chunk-explode band kernel over 64-bit
       signatures, dedup.py:940) + minhash_near_dup (same closure);
       the bit_count(xor) parity oracle stays checked here
+    * langid → gopher_quality / rep_signals (same pure per-batch
+      vectorized string/regex gate shape); the n-gram language
+      heuristic stays oracle-checked here and value-pinned in pytest
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -234,6 +237,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         "blocklist_filter": q.q_blocklist_filter,
         "simhash_near_dup": q.q_simhash_near_dup,
+        "langid": q.q_langid,
     }
 
 
@@ -576,6 +580,32 @@ def oracle_sql() -> dict[str, str]:
         # Latest-version select: doc i has i % 3 + 1 crawled versions at
         # strictly increasing warc_ts (ties impossible by construction);
         # winner per url = the row_number() = 1 window row
+        # End-to-end crawl-cycle plan: robots gate + change detection +
+        # politeness scheduling as ONE oracle (priority = 100 iff the
+        # page changed between the two snapshots, i.e. doc_id % 3 == 0)
+        "crawl_cycle": """
+            WITH p AS (
+              SELECT 'https://host-' || (doc_id % 23) ||
+                     '.example.com/page/' || doc_id AS url,
+                     'host-' || (doc_id % 23) || '.example.com' AS host,
+                     (doc_id % 23) % 3 AS h3,
+                     CASE WHEN doc_id % 3 = 0 THEN 100 ELSE 0 END::BIGINT
+                       AS priority,
+                     doc_id
+              FROM documents),
+            k AS (
+              SELECT url, host, priority FROM p
+              WHERE h3 = 2
+                 OR (h3 = 0 AND NOT starts_with('/page/' || doc_id,
+                                                '/page/1'))),
+            r AS (
+              SELECT url, host, priority,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority DESC, url) AS rn
+              FROM k)
+            SELECT url, host, priority, ((rn - 1) // 4 + 1)::BIGINT AS cycle
+            FROM r
+        """,
         # Robots-exclusion gate: kept rows of the 23-host frontier view
         # under the deterministic per-host rules (h%3==0 disallows the
         # /page/1 prefix, h%3==1 disallows all, h%3==2 constrains a

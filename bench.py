@@ -100,6 +100,7 @@ def extra_queries(sf_dir: str) -> dict:
         "warc_extract": lambda: q.q_warc_extract(sf_dir).num_rows,
         "extract_links": lambda: _consume(q.q_extract_links(sf_dir)),
         "robots_filter": lambda: _consume(q.q_robots_filter(sf_dir)),
+        "crawl_cycle": lambda: _consume(q.q_crawl_cycle(sf_dir)),
     }
 
 

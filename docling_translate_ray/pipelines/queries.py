@@ -467,16 +467,13 @@ def q_latest_version(sf_dir: str):
     return fcrawl.latest_page_version(pages)
 
 
-def q_robots_filter(sf_dir: str):
-    """Robots-exclusion crawl gate (functions/crawl.robots_filter) over
-    the 23-host frontier view: hosts with ``h % 3 == 0`` disallow the
-    ``/page/1`` prefix for every agent, ``h % 3 == 1`` disallow
-    everything, ``h % 3 == 2`` only constrain a different agent (so we
-    keep all) — parser groups, empty-disallow and prefix semantics all
-    exercised.  Rules broadcast once; the page side never shuffles."""
+def _robots_view():
+    """Deterministic per-host robots.txt table for the 23-host frontier
+    view: ``h % 3 == 0`` disallows the ``/page/1`` prefix for every
+    agent, ``h % 3 == 1`` disallows everything, ``h % 3 == 2`` only
+    constrains a different agent — parser groups, empty-disallow and
+    prefix semantics all exercised."""
     import ray.data
-
-    from docling_translate_ray.functions.crawl import robots_filter
 
     def robots_txt(h: int) -> str:
         if h % 3 == 0:
@@ -485,16 +482,64 @@ def q_robots_filter(sf_dir: str):
             return "User-agent: bot\nUser-agent: *\nDisallow: /\n"
         return "User-agent: bot\nDisallow: /\nUser-agent: x\nDisallow:\n"
 
-    robots = ray.data.from_arrow(pa.table({
+    return ray.data.from_arrow(pa.table({
         "host": pa.array([f"host-{h}.example.com" for h in range(23)],
                          pa.string()),
         "robots_txt": pa.array([robots_txt(h) for h in range(23)],
                                pa.string()),
     }))
+
+
+def q_robots_filter(sf_dir: str):
+    """Robots-exclusion crawl gate (functions/crawl.robots_filter) over
+    the 23-host frontier view and the deterministic rule table
+    (:func:`_robots_view`).  Rules broadcast once; the page side never
+    shuffles."""
+    from docling_translate_ray.functions.crawl import robots_filter
+
     pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         frontier_view_batch, batch_format="pyarrow"
     )
-    return robots_filter(pages, robots)
+    return robots_filter(pages, _robots_view())
+
+
+def q_crawl_cycle(sf_dir: str):
+    """END-TO-END crawl-cycle plan (pipelines/crawl_cycle): two
+    deterministic snapshots of the 23-host view (every ``i % 3 == 0``
+    page changed, carrying ``' v2'``), the :func:`_robots_view` rules,
+    politeness k=4 — robots gate → change detection → adaptive
+    frontier, hash-checked as ONE oracle."""
+    import polars as pl
+
+    from docling_translate_ray.pipelines.crawl_cycle import crawl_cycle
+
+    def snapshot(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select(["doc_id", "text"]))
+            text = pl.col("text").fill_null("")
+            if which == "new":
+                text = (
+                    pl.when(pl.col("doc_id") % 3 == 0)
+                    .then(text + " v2").otherwise(text)
+                )
+            return (
+                df.select(
+                    (pl.lit("https://host-")
+                     + (pl.col("doc_id") % 23).cast(pl.String)
+                     + pl.lit(".example.com/page/")
+                     + pl.col("doc_id").cast(pl.String)).alias("url"),
+                    text.alias("text"),
+                )
+                .to_arrow()
+                .cast(pa.schema([("url", pa.string()), ("text", pa.string())]))
+            )
+
+        return fn
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    old_ds = base.map_batches(snapshot("old"), batch_format="pyarrow")
+    new_ds = base.map_batches(snapshot("new"), batch_format="pyarrow")
+    return crawl_cycle(old_ds, new_ds, _robots_view(), k_per_cycle=4)
 
 
 def q_extract_links(sf_dir: str):

@@ -241,3 +241,37 @@ def test_robots_filter_prefix_semantics():
         "https://a.example/privateer",
         "https://b.example/private/p1",
     ]
+
+
+def test_crawl_cycle_composite_hand_case():
+    """robots gate + change detection + politeness in one plan: changed
+    pages outrank unchanged, disallowed urls never appear, old-only urls
+    drop, new-only urls enter at priority 0."""
+    import ray.data
+
+    from docling_translate_ray.pipelines.crawl_cycle import crawl_cycle
+
+    old = pa.table({
+        "url": ["https://a.example/ok1", "https://a.example/ok2",
+                "https://a.example/sec/page", "https://a.example/gone"],
+        "text": ["v1", "same", "v1", "bye"],
+    })
+    new = pa.table({
+        "url": ["https://a.example/ok1", "https://a.example/ok2",
+                "https://a.example/sec/page", "https://b.example/x"],
+        "text": ["v2", "same", "v2", "fresh"],
+    })
+    robots = pa.table({
+        "host": ["a.example"],
+        "robots_txt": ["User-agent: *\nDisallow: /sec/\n"],
+    })
+    plan = {r["url"]: (r["host"], r["priority"], r["cycle"])
+            for r in crawl_cycle(ray.data.from_arrow(old),
+                                 ray.data.from_arrow(new),
+                                 ray.data.from_arrow(robots),
+                                 k_per_cycle=1).take_all()}
+    assert plan == {
+        "https://a.example/ok1": ("a.example", 100, 1),  # changed → first
+        "https://a.example/ok2": ("a.example", 0, 2),    # unchanged → later
+        "https://b.example/x": ("b.example", 0, 1),      # new host, own queue
+    }
