@@ -30,11 +30,15 @@ import pyarrow as pa
 
 def crawl_cycle(old_ds, new_ds, robots_ds, k_per_cycle: int = 4,
                 url_column: str = "url", content_column: str = "text",
-                num_partitions: int = 32, agent: str = "*"):
+                num_partitions: int = 32, agent: str = "*",
+                algo: str = "md5"):
     """Next-cycle fetch plan ``(url, host, priority, cycle)`` from the
     two most recent snapshots (``(url, text)`` each) and the per-host
     ``(host, robots_txt)`` table.  ``priority`` is the url's
-    consecutive-change rate (0 for unchanged or newly-seen pages)."""
+    consecutive-change rate (0 for unchanged or newly-seen pages).
+    ``algo`` is the change-fingerprint: ``"md5"`` for oracle lockstep,
+    ``"xx64"`` (vectorized) at corpus scale — equality is all change
+    counting needs."""
     from docling_translate_ray.functions.crawl import (
         frontier_schedule,
         recrawl_priority,
@@ -60,6 +64,7 @@ def crawl_cycle(old_ds, new_ds, robots_ds, k_per_cycle: int = 4,
     rates = recrawl_priority(
         history, url_column=url_column, ts_column="warc_ts",
         content_column=content_column, num_partitions=num_partitions,
+        algo=algo,
     ).map_batches(
         lambda b: pa.table({url_column: b["url"],
                             "priority": b["change_rate_pct"]}),

@@ -18,6 +18,9 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # 2 blocks/CPU read floor (vs Ray's 200) — see bench.py; the 4-CPU
+    # test session otherwise splits every small read into 200 blocks
+    ctx.read_op_min_num_blocks = 8
     yield
     ray.shutdown()
 

@@ -56,6 +56,9 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # 2 blocks/CPU read floor (vs Ray's 200): toy-scale inputs otherwise
+    # split into few-hundred-row blocks whose task overhead dominates
+    DataContext.get_current().read_op_min_num_blocks = 16
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod

@@ -39,6 +39,7 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().read_op_min_num_blocks = 2 * cpus
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
