@@ -202,7 +202,11 @@ ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
          logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
-DataContext.get_current().read_op_min_num_blocks = 2 * int(sys.argv[1])
+# NOTE: the read floor stays at Ray's default 200 here ON PURPOSE: the
+# extract kernel is CPU-heavy (~0.4 s per 330-row block), so fine blocks
+# give ~6 tasks/CPU-second of scheduling granularity; coarsening to
+# 2 blocks/CPU (the light-relational tuning used in the main bench
+# session) measurably hurt 8->32 efficiency via stragglers.
 import logging
 logging.getLogger("ray.data").setLevel(logging.ERROR)
 from docling_translate_ray.pipelines.extract import run_extract_job
