@@ -317,6 +317,44 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
     )
 
 
+def _change_rates(df):
+    """Per-url change rates from a polars frame of (url, _ts, _fp)
+    version rows — the shared kernel of :func:`recrawl_priority` and the
+    fused url-pass of ``pipelines/crawl_cycle``.  Returns a frame
+    (url, n_versions, n_changes, change_rate_pct)."""
+    import polars as pl
+
+    return (
+        df.sort(["url", "_ts"])
+        .with_columns(
+            (pl.col("_fp") != pl.col("_fp").shift(1)).over("url")
+            .fill_null(False).cast(pl.Int64).alias("_chg"))
+        .group_by("url")
+        .agg(pl.len().cast(pl.Int64).alias("n_versions"),
+             pl.col("_chg").sum().alias("n_changes"))
+        .with_columns(
+            pl.when(pl.col("n_versions") > 1)
+            .then(100 * pl.col("n_changes") // (pl.col("n_versions") - 1))
+            .otherwise(0).cast(pl.Int64).alias("change_rate_pct"))
+    )
+
+
+def history_fp_rows(url_column: str, ts_column: str, content_column: str,
+                    algo: str):
+    """map_batches body factory: collapse version rows to the narrow
+    (url, _ts, _fp) shape the change-rate exchange carries."""
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        fp = _fingerprint_batch(batch, url_column, content_column, 0, algo)
+        return pa.table({
+            "url": fp["url"],
+            "_ts": batch[ts_column],
+            "_fp": fp["md5"],
+        })
+
+    return narrow
+
+
 def recrawl_priority(ds, url_column: str = "url", ts_column: str = "warc_ts",
                      content_column: str = "text",
                      num_partitions: int = 32, algo: str = "md5"):
@@ -345,36 +383,15 @@ def recrawl_priority(ds, url_column: str = "url", ts_column: str = "warc_ts",
         ("n_changes", pa.int64()), ("change_rate_pct", pa.int64()),
     ])
 
-    def narrow(batch: pa.Table) -> pa.Table:
-        fp = _fingerprint_batch(batch, url_column, content_column, 0, algo)
-        return pa.table({
-            "url": fp["url"],
-            "_ts": batch[ts_column],
-            "_fp": fp["md5"],
-        })
-
     def rate_block(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
             return out_schema.empty_table()
-        return (
-            pl.from_arrow(part)
-            .sort(["url", "_ts"])
-            .with_columns(
-                (pl.col("_fp") != pl.col("_fp").shift(1)).over("url")
-                .fill_null(False).cast(pl.Int64).alias("_chg"))
-            .group_by("url")
-            .agg(pl.len().cast(pl.Int64).alias("n_versions"),
-                 pl.col("_chg").sum().alias("n_changes"))
-            .with_columns(
-                pl.when(pl.col("n_versions") > 1)
-                .then(100 * pl.col("n_changes")
-                      // (pl.col("n_versions") - 1))
-                .otherwise(0).cast(pl.Int64).alias("change_rate_pct"))
-            .to_arrow().cast(out_schema)
-        )
+        return _change_rates(pl.from_arrow(part)).to_arrow().cast(out_schema)
 
     return hash_partition_apply(
-        ds.map_batches(narrow, batch_format="pyarrow"),
+        ds.map_batches(
+            history_fp_rows(url_column, ts_column, content_column, algo),
+            batch_format="pyarrow"),
         ["url"], rate_block, num_partitions=num_partitions,
     )
 

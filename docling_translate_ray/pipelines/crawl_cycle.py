@@ -25,6 +25,7 @@ join is a distributed semi/inner ``partition_join`` on the url.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -40,45 +41,73 @@ def crawl_cycle(old_ds, new_ds, robots_ds, k_per_cycle: int = 4,
     ``"xx64"`` (vectorized) at corpus scale — equality is all change
     counting needs."""
     from docling_translate_ray.functions.crawl import (
+        _change_rates,
         frontier_schedule,
-        recrawl_priority,
+        history_fp_rows,
         robots_filter,
     )
-    from docling_translate_ray.stages.shuffle import partition_join
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
 
+    # kept rows tagged kind=1; version-fingerprint rows tagged kind=0 —
+    # ONE url-keyed exchange computes change rates AND the kept-join in
+    # the same partition pass (the exchange-collapse pattern: partition
+    # by the join/count key alone and every downstream relational step
+    # is partition-local).  Total exchanges: url here + host inside
+    # frontier_schedule = 2.
     kept = robots_filter(new_ds, robots_ds, url_column=url_column,
                          agent=agent)  # (url, host) — narrow
 
-    def tagged(ts: int):
+    def kept_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "url": batch["url"],
+            "_ts": pa.array([0] * n, pa.int64()),
+            "_fp": batch["host"].combine_chunks().cast(pa.string()),
+            "kind": pa.array(np.full(n, 1, dtype=np.int8), pa.int8()),
+        })
+
+    def hist_rows(ts: int):
+        fp_rows = history_fp_rows(url_column, "_tsc", content_column, algo)
+
         def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                url_column: batch[url_column],
-                "warc_ts": pa.array([ts] * batch.num_rows, pa.int64()),
-                content_column: batch[content_column],
-            })
+            n = batch.num_rows
+            out = fp_rows(batch.append_column(
+                "_tsc", pa.array([ts] * n, pa.int64())))
+            return out.append_column(
+                "kind", pa.array(np.zeros(n, dtype=np.int8), pa.int8()))
 
         return fn
 
-    history = old_ds.map_batches(tagged(1), batch_format="pyarrow").union(
-        new_ds.map_batches(tagged(2), batch_format="pyarrow"))
-    rates = recrawl_priority(
-        history, url_column=url_column, ts_column="warc_ts",
-        content_column=content_column, num_partitions=num_partitions,
-        algo=algo,
-    ).map_batches(
-        lambda b: pa.table({url_column: b["url"],
-                            "priority": b["change_rate_pct"]}),
-        batch_format="pyarrow",
+    tagged = (
+        old_ds.map_batches(hist_rows(1), batch_format="pyarrow")
+        .union(new_ds.map_batches(hist_rows(2), batch_format="pyarrow"))
+        .union(kept.map_batches(kept_rows, batch_format="pyarrow"))
     )
 
-    # keep only robots-allowed urls of the NEW snapshot (urls seen only
-    # in the old snapshot drop out of the inner join — they are gone)
-    cand = partition_join(rates, kept, on=[url_column], how="inner",
-                          num_partitions=num_partitions).map_batches(
-        lambda b: pa.table({url_column: b[url_column],
-                            "priority": b["priority"]}),
-        batch_format="pyarrow",
-    )
+    out_mid = pa.schema([("url", pa.string()), ("host", pa.string()),
+                         ("priority", pa.int64())])
+
+    def rate_and_join(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        k = (df.filter(pl.col("kind") == 1)
+             .select("url", pl.col("_fp").alias("host")))
+        if k.height == 0:
+            return out_mid.empty_table()
+        rates = _change_rates(
+            df.filter(pl.col("kind") == 0).select("url", "_ts", "_fp"))
+        return (
+            k.join(rates.select("url", "change_rate_pct"), on="url",
+                   how="left")
+            .select("url", "host",
+                    pl.col("change_rate_pct").fill_null(0)
+                    .alias("priority"))
+            .to_arrow().cast(out_mid)
+        )
+
+    cand = hash_partition_apply(tagged, ["url"], rate_and_join,
+                                num_partitions=num_partitions)
     return frontier_schedule(cand, k_per_cycle=k_per_cycle,
                              url_column=url_column,
                              priority_column="priority",

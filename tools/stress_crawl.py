@@ -78,8 +78,10 @@ def main() -> None:
         empty_schema=pa.schema([("host", pa.string())]),
     )
 
+    import hashlib
+
     def rule(host: str) -> str:
-        if hash(host) % 3 == 0:  # process-local determinism is fine here
+        if int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % 3 == 0:
             return "User-agent: *\nDisallow: /p5/\n"
         return "User-agent: other\nDisallow: /\n"
 
