@@ -656,25 +656,32 @@ def dedup_keep_best(ds, column: str = "text", id_column: str = "doc_id",
     Returns ``(doc_id, n_tokens)`` for the SURVIVOR set: every doc
     outside any near-dup cluster, plus the one best member per cluster.
 
-    Scale shape: the cluster-member table from the LSH closure is small
-    by construction (dup docs only); scores ride a narrow (id, int)
-    projection.  Winner selection is ONE exchange keyed by
-    canonical_id; non-members come from a distributed anti
-    ``partition_join`` on the id (never a broadcast of the corpus).
+    Scale shape (the exchange-collapse pattern — partition by the join
+    key alone and the relational steps become partition-local): the
+    cluster-member table from the LSH closure is small by construction
+    (dup docs only); scores ride a narrow (id, int) projection.  TWO
+    exchanges past the LSH, no double consumption: an id-keyed pass
+    left-joins the cluster label onto each score row and keys every row
+    by ``ckey = coalesce(canonical_id, own id)``; the ckey-keyed argmax
+    then treats non-members as singleton groups (they select
+    themselves) and clusters as real groups (best member wins).
     ``ds`` is consumed more than once — pass a re-readable source
     (``read_parquet``), same contract as :func:`minhash_lsh_dedup`.
     """
     from docling_translate_ray.functions.text_stats import token_count_batch
-    from docling_translate_ray.stages.shuffle import (
-        hash_partition_apply,
-        partition_join,
-    )
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
 
     out_schema = pa.schema([(id_column, pa.int64()), ("n_tokens", pa.int64())])
+    mid_schema = pa.schema([(id_column, pa.int64()), ("n_tokens", pa.int64()),
+                            ("ckey", pa.int64())])
 
     def score(batch: pa.Table) -> pa.Table:
         out = token_count_batch(batch, column)
-        return out.select([id_column, "n_tokens"]).cast(out_schema)
+        out = out.select([id_column, "n_tokens"]).cast(out_schema)
+        # kind 0 = score row (n_tokens real, canonical null-marker -1)
+        return out.append_column(
+            "canonical_id",
+            pa.array(np.full(out.num_rows, -1, dtype=np.int64), pa.int64()))
 
     scores = ds.select_columns([id_column, column]).map_batches(
         score, batch_format="pyarrow")
@@ -682,9 +689,30 @@ def dedup_keep_best(ds, column: str = "text", id_column: str = "doc_id",
     members = minhash_lsh_dedup(
         ds, column=column, id_column=id_column, threshold=threshold,
         num_perm=num_perm, num_bands=num_bands, concurrency=concurrency,
-    ).materialize()  # consumed twice (winners + anti-join); small side
-    if members.count() == 0:
-        return scores  # no clusters — everything survives
+    ).map_batches(
+        lambda b: pa.table({
+            id_column: b[id_column],
+            "n_tokens": pa.array(np.full(b.num_rows, -1, dtype=np.int64),
+                                 pa.int64()),
+            "canonical_id": b["canonical_id"],
+        }),
+        batch_format="pyarrow",
+    )
+
+    def label_block(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(part)
+        s = df.filter(pl.col("n_tokens") >= 0).select(id_column, "n_tokens")
+        m = df.filter(pl.col("n_tokens") < 0).select(id_column,
+                                                     "canonical_id")
+        return (
+            s.join(m, on=id_column, how="left")
+            .select(id_column, "n_tokens",
+                    pl.coalesce(pl.col("canonical_id"), pl.col(id_column))
+                    .alias("ckey"))
+            .to_arrow().cast(mid_schema)
+        )
 
     def best_block(part: pa.Table) -> pa.Table:
         import polars as pl
@@ -694,23 +722,18 @@ def dedup_keep_best(ds, column: str = "text", id_column: str = "doc_id",
         return (
             pl.from_arrow(part)
             .sort(["n_tokens", id_column], descending=[True, False])
-            .with_columns(pl.col(id_column).cum_count().over("canonical_id")
+            .with_columns(pl.col(id_column).cum_count().over("ckey")
                           .cast(pl.Int64).alias("_rnk"))
             .filter(pl.col("_rnk") == 1)
             .select([id_column, "n_tokens"])
             .to_arrow().cast(out_schema)
         )
 
-    winners = hash_partition_apply(
-        partition_join(scores, members, on=[id_column], how="inner",
-                       num_partitions=num_partitions),
-        ["canonical_id"], best_block, num_partitions=num_partitions)
-    singles = partition_join(
-        scores, members.select_columns([id_column]),
-        on=[id_column], how="anti", num_partitions=num_partitions)
-    return winners.union(
-        singles.map_batches(lambda b: b.select([id_column, "n_tokens"])
-                            .cast(out_schema), batch_format="pyarrow"))
+    labeled = hash_partition_apply(
+        scores.union(members), [id_column], label_block,
+        num_partitions=num_partitions)
+    return hash_partition_apply(
+        labeled, ["ckey"], best_block, num_partitions=num_partitions)
 
 
 def ngram_jaccard_pairs(ds, column: str = "text", id_column: str = "doc_id",
