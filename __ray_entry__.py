@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": q.q_recrawl_priority,
         "extract_links": q.q_extract_links,
         "robots_filter": q.q_robots_filter,
+        "sitemap_seeds": q.q_sitemap_seeds,
+        "host_reputation": q.q_host_reputation,
         "crawl_cycle": q.q_crawl_cycle,
         "incremental_extract": q.q_incremental_extract,
         "anchor_text": q.q_anchor_text,
@@ -92,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
-        "chunk_docs": q.q_chunk_docs,
         "search_rank": q.q_search_rank,
         "word_commonness": q.q_word_commonness,
         "pagerank": q.q_pagerank,
@@ -103,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
         "user_sessions": q.q_user_sessions,
-        "lang_map": q.q_lang_map,
         # composite curation pipeline
         "curate": q.q_curate,
         # multimodal plumbing
@@ -196,6 +196,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * langid → gopher_quality / rep_signals (same pure per-batch
       vectorized string/regex gate shape); the n-gram language
       heuristic stays oracle-checked here and value-pinned in pytest
+    * chunk_docs → pack_sequences (same fixed-token window arithmetic
+      over the whitespace tokenizer; packing is the harder capacity
+      variant) — the stride-overlap math stays oracle-checked here
+    * lang_map → segment_revenue / score_upper (same broadcast-small-
+      side mapping shape); the full NLLB/DeepL code tables stay
+      oracle-checked here and value-pinned in pytest
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -238,6 +244,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": q.q_blocklist_filter,
         "simhash_near_dup": q.q_simhash_near_dup,
         "langid": q.q_langid,
+        "chunk_docs": q.q_chunk_docs,
+        "lang_map": q.q_lang_map,
     }
 
 
@@ -605,6 +613,49 @@ def oracle_sql() -> dict[str, str]:
               FROM k)
             SELECT url, host, priority, ((rn - 1) // 4 + 1)::BIGINT AS cycle
             FROM r
+        """,
+        # Sitemap seeds: the kept (host, url, lastmod) rows of the
+        # deterministic sitemap view are string functions of doc_id
+        "sitemap_seeds": """
+            WITH i AS (
+              SELECT doc_id, 'host-' || (doc_id % 23) || '.example.com'
+                       AS host
+              FROM documents)
+            SELECT host,
+                   'https://' || host || '/sm/' || doc_id || '/' || t.j
+                     AS url,
+                   CASE WHEN t.j = 0
+                        THEN '2024-01-' ||
+                             lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0')
+                        ELSE '' END AS lastmod
+            FROM i, unnest(range(1 + doc_id % 3)) AS t(j)
+        """,
+        # Per-host reputation: grouped integer stats under the SAME
+        # quality_ok predicate as the `quality` oracle
+        "host_reputation": f"""
+            WITH p AS (
+              SELECT 'host-' || (doc_id % 23) || '.example.com' AS host,
+                     text
+              FROM documents),
+            q AS (
+              SELECT host,
+                     {_NTOK_EXPR} AS n_tokens,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]',
+                                                          '', 'g')) AS np,
+                     length(regexp_replace(text, '@WSCLASS@', '', 'g'))
+                       AS n_nonws
+              FROM p)
+            SELECT host, count(*)::BIGINT AS n_pages,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   (sum(n_tokens) // count(*))::BIGINT AS tokens_per_page,
+                   (100 * sum(CASE WHEN n_tokens >= 5
+                                    AND np / greatest(n_chars, 1) <= 0.2
+                                    AND n_nonws / greatest(n_tokens, 1)
+                                        BETWEEN 2 AND 14
+                               THEN 1 ELSE 0 END) // count(*))::BIGINT
+                     AS ok_pct
+            FROM q GROUP BY host
         """,
         # Robots-exclusion gate: kept rows of the 23-host frontier view
         # under the deterministic per-host rules (h%3==0 disallows the

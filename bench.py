@@ -101,6 +101,8 @@ def extra_queries(sf_dir: str) -> dict:
         "extract_links": lambda: _consume(q.q_extract_links(sf_dir)),
         "robots_filter": lambda: _consume(q.q_robots_filter(sf_dir)),
         "crawl_cycle": lambda: _consume(q.q_crawl_cycle(sf_dir)),
+        "sitemap_seeds": lambda: _consume(q.q_sitemap_seeds(sf_dir)),
+        "host_reputation": lambda: _consume(q.q_host_reputation(sf_dir)),
     }
 
 

@@ -498,3 +498,57 @@ def robots_filter(pages_ds, robots_ds, url_column: str = "url",
         )
 
     return pages_ds.map_batches(keep_allowed, batch_format="pyarrow")
+
+
+import re as _re2
+
+_SITEMAP_BLOCK_RE = _re2.compile(r"<url\b[^>]*>(.*?)</url>",
+                                 _re2.IGNORECASE | _re2.DOTALL)
+_SITEMAP_LOC_RE = _re2.compile(r"<loc\s*>\s*(.*?)\s*</loc>",
+                               _re2.IGNORECASE | _re2.DOTALL)
+_SITEMAP_LASTMOD_RE = _re2.compile(r"<lastmod\s*>\s*(.*?)\s*</lastmod>",
+                                   _re2.IGNORECASE | _re2.DOTALL)
+
+
+def parse_sitemap(xml: str) -> list[tuple[str, str]]:
+    """``(loc, lastmod)`` pairs from one sitemap body — the
+    sitemaps.org urlset subset (``<url><loc>…</loc><lastmod>…</lastmod>
+    </url>`` blocks; lastmod "" when absent; a ``<url>`` without a
+    ``<loc>`` contributes nothing; index files / namespaces are just
+    text to this regex subset and yield their nested ``<loc>`` only
+    inside ``<url>`` blocks)."""
+    out: list[tuple[str, str]] = []
+    for m in _SITEMAP_BLOCK_RE.finditer(xml or ""):
+        block = m.group(1)
+        loc = _SITEMAP_LOC_RE.search(block)
+        if not loc or not loc.group(1):
+            continue
+        lm = _SITEMAP_LASTMOD_RE.search(block)
+        out.append((loc.group(1), lm.group(1) if lm else ""))
+    return out
+
+
+def sitemap_seeds(ds, host_column: str = "host",
+                  xml_column: str = "sitemap_xml"):
+    """Explode per-host sitemap documents into frontier seed rows
+    ``(host, url, lastmod)`` — the third crawl-discovery surface next to
+    :func:`..graph.extract_links` (in-page) and the snapshot history
+    (re-crawl).  Pure per-batch parser map, no shuffle; feed the output
+    to :func:`frontier_schedule` (after a :func:`robots_filter` gate)
+    to plan the fetches."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hosts, urls, mods = [], [], []
+        for h, xml in zip(batch[host_column].to_pylist(),
+                          batch[xml_column].to_pylist()):
+            for loc, lm in parse_sitemap(xml or ""):
+                hosts.append(h or "")
+                urls.append(loc)
+                mods.append(lm)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "lastmod": pa.array(mods, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -172,3 +172,69 @@ def url_dedup(ds, url_column: str = "url", id_column: str = "doc_id",
         ds.map_batches(partial, batch_format="pyarrow"),
         ["canonical_url"], final, num_partitions=num_partitions,
     )
+
+
+def host_reputation(ds, url_column: str = "url", text_column: str = "text",
+                    num_partitions: int = 32):
+    """Per-host curation statistics — the host-level reputation signal
+    CC-Net-style pipelines threshold on ("drop hosts whose pages are
+    mostly junk"): for each host, the page count, total whitespace
+    tokens, integer mean tokens per page, and the percent of pages
+    passing the quality gate (``text_stats.quality_batch``).  Returns
+    ``(host, n_pages, total_tokens, tokens_per_page, ok_pct)``.
+
+    Scale shape: quality + token counting are per-batch vectorized maps;
+    a per-batch combiner collapses to one row per (batch, host), so the
+    single host-keyed exchange carries combiner partials, never pages —
+    the grouped_sum pattern.  Integer division on both stats keeps the
+    DuckDB oracle bit-exact.
+    """
+    import polars as pl
+
+    from docling_translate_ray.functions.text_stats import quality_batch
+    from docling_translate_ray.stages.shuffle import grouped_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch, text_column)
+        df = pl.DataFrame({
+            "host": extract_hosts(pl.from_arrow(batch[url_column])),
+            "_tok": pl.from_arrow(q["n_tokens"]).cast(pl.Int64),
+            "_ok": pl.from_arrow(q["quality_ok"]).cast(pl.Int64),
+        })
+        return (
+            df.group_by("host")
+            .agg(pl.len().cast(pl.Int64).alias("_n"),
+                 pl.col("_tok").sum(), pl.col("_ok").sum())
+            .to_arrow()
+            .cast(pa.schema([("host", pa.string()), ("_n", pa.int64()),
+                             ("_tok", pa.int64()), ("_ok", pa.int64())]))
+        )
+
+    sums = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        [pl.col("_n").sum().alias("_n"),
+         pl.col("_tok").sum().alias("_tok"),
+         pl.col("_ok").sum().alias("_ok")],
+        {"n_pages": "_n", "total_tokens": "_tok", "_ok_sum": "_ok"},
+        num_partitions=num_partitions,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.select(
+                "host", "n_pages", "total_tokens",
+                (pl.col("total_tokens") // pl.col("n_pages"))
+                .alias("tokens_per_page"),
+                (100 * pl.col("_ok_sum") // pl.col("n_pages"))
+                .alias("ok_pct"),
+            )
+            .to_arrow()
+            .cast(pa.schema([("host", pa.string()), ("n_pages", pa.int64()),
+                             ("total_tokens", pa.int64()),
+                             ("tokens_per_page", pa.int64()),
+                             ("ok_pct", pa.int64())]))
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")

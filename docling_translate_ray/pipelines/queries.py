@@ -542,6 +542,71 @@ def q_crawl_cycle(sf_dir: str):
     return crawl_cycle(old_ds, new_ds, _robots_view(), k_per_cycle=4)
 
 
+def q_sitemap_seeds(sf_dir: str):
+    """Sitemap-discovery seeds (functions/crawl.sitemap_seeds) over
+    deterministic per-doc sitemap bodies: doc ``i`` publishes
+    ``1 + i % 3`` url blocks (lastmod only on the first), one loc-less
+    block to skip when ``i % 5 == 0``, and uppercase tags on block 1
+    when ``i % 7 == 0`` — whitespace/namespace/case noise the parser
+    must see through; the oracle rebuilds the kept rows as strings."""
+    from docling_translate_ray.functions.crawl import sitemap_seeds
+
+    def sitemap_view(batch: pa.Table) -> pa.Table:
+        hosts, xmls = [], []
+        for i in batch["doc_id"].to_pylist():
+            h = f"host-{i % 23}.example.com"
+            parts = ['<?xml version="1.0"?>'
+                     '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                     'sitemap/0.9">']
+            for j in range(1 + i % 3):
+                loc = f"https://{h}/sm/{i}/{j}"
+                if j == 1 and i % 7 == 0:
+                    parts.append(f"<URL><LOC> {loc} </LOC></URL>")
+                elif j == 0:
+                    lm = f"2024-01-{(i % 27) + 1:02d}"
+                    parts.append(f"<url>\n  <loc> {loc} </loc>\n"
+                                 f"  <lastmod>{lm}</lastmod>\n</url>")
+                else:
+                    parts.append(f"<url><loc>{loc}</loc></url>")
+            if i % 5 == 0:
+                parts.append("<url><lastmod>2024-02-02</lastmod></url>")
+            parts.append("</urlset>")
+            hosts.append(h)
+            xmls.append("".join(parts))
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "sitemap_xml": pa.array(xmls, pa.string())})
+
+    return sitemap_seeds(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            sitemap_view, batch_format="pyarrow"))
+
+
+def q_host_reputation(sf_dir: str):
+    """Per-host reputation stats (functions/urltools.host_reputation)
+    over the 23-host frontier view carrying the documents' own text:
+    combiner-first, one host-keyed partial exchange; integer means and
+    ok-percent keep the oracle bit-exact."""
+    import polars as pl
+
+    from docling_translate_ray.functions.urltools import host_reputation
+
+    def pages(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        return (
+            df.select(
+                (pl.lit("https://host-")
+                 + (pl.col("doc_id") % 23).cast(pl.String)
+                 + pl.lit(".example.com/page/")
+                 + pl.col("doc_id").cast(pl.String)).alias("url"),
+                pl.col("text"),
+            ).to_arrow()
+        )
+
+    return host_reputation(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            pages, batch_format="pyarrow"))
+
+
 def q_extract_links(sf_dir: str):
     """Outlink extraction (functions/graph.extract_links_batch) over a
     deterministic link-rich page view: doc ``i`` carries ``i % 4``

@@ -275,3 +275,46 @@ def test_crawl_cycle_composite_hand_case():
         "https://a.example/ok2": ("a.example", 0, 2),    # unchanged → later
         "https://b.example/x": ("b.example", 0, 1),      # new host, own queue
     }
+
+
+def test_parse_sitemap_subset():
+    xml = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url>\n  <loc> https://a.example/1 </loc>\n"
+        "  <lastmod>2024-01-05</lastmod>\n</url>"
+        "<URL><LOC>https://a.example/2</LOC></URL>"      # case-insensitive
+        "<url><lastmod>2024-02-02</lastmod></url>"        # no loc -> skipped
+        "<url><loc></loc></url>"                          # empty loc -> skipped
+        "</urlset>"
+    )
+    assert crawl.parse_sitemap(xml) == [
+        ("https://a.example/1", "2024-01-05"),
+        ("https://a.example/2", ""),
+    ]
+    assert crawl.parse_sitemap("") == []
+    assert crawl.parse_sitemap("<notxml>") == []
+
+
+def test_host_reputation_integer_stats():
+    import ray.data
+
+    from docling_translate_ray.functions.urltools import host_reputation
+
+    good = ("This is a perfectly reasonable sentence with many plain "
+            "words inside it.")
+    junk = "!!! ??? ,,, ;;; ..."
+    pages = pa.table({
+        "url": ["https://a.example/1", "https://a.example/2",
+                "https://a.example/3", "https://b.example/1"],
+        "text": [good, good, junk, good],
+    })
+    got = {r["host"]: r for r in host_reputation(
+        ray.data.from_arrow(pages)).take_all()}
+    a, b = got["a.example"], got["b.example"]
+    n_good = len(good.split())
+    assert a["n_pages"] == 3
+    assert a["total_tokens"] == 2 * n_good + len(junk.split())
+    assert a["tokens_per_page"] == a["total_tokens"] // 3
+    assert a["ok_pct"] == 200 // 3          # 2 of 3 pass -> 66
+    assert (b["n_pages"], b["ok_pct"]) == (1, 100)
