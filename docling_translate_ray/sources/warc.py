@@ -164,3 +164,38 @@ def read_warc(path: str):
     # sequentially; parallelism comes from the file count, as in CC
     return raw.map_batches(parse_files, batch_format="pyarrow",
                            batch_size=1)
+
+
+def write_warc(ds, out_dir: str, url_column: str = "url",
+               ts_column: str = "warc_ts", html_column: str = "html",
+               gzip_per_record: bool = True) -> None:
+    """Dataset sink: write input_hint-shaped pages as WARC segment files
+    (one ``.warc.gz`` per batch/task, uuid-named so concurrent writers
+    and reruns never overwrite) — the interchange surface back OUT of
+    the engine; :func:`read_warc` round-trips it byte-identically.
+    Resumable the same way the parquet sinks are: a partial run leaves
+    whole valid segment files; rerunning appends new uuid files (dedup
+    downstream by url if exactness matters)."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_segment(batch: pa.Table) -> pa.Table:
+        recs = []
+        for url, ts, body in zip(batch[url_column].to_pylist(),
+                                 batch[ts_column].to_pylist(),
+                                 batch[html_column].to_pylist()):
+            if isinstance(ts, (int, float)):
+                ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=int(ts))
+            recs.append((url, ts, body or b""))
+        blob = build_warc_bytes(recs, gzip_per_record=gzip_per_record)
+        ext = ".warc.gz" if gzip_per_record else ".warc"
+        name = f"seg-{uuid.uuid4().hex}{ext}"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.rename(tmp, os.path.join(out_dir, name))  # whole files only
+        return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+    ds.map_batches(write_segment, batch_format="pyarrow").materialize()

@@ -175,3 +175,31 @@ def test_read_warc_dataset_over_directory(tmp_path):
     assert rows[2]["html"] == b""
     assert all(r["text"] == "" and r["lang"] == "" for r in rows)
     assert rows[0]["warc_ts"] == recs[0][1]
+
+
+def test_write_warc_read_warc_roundtrip(tmp_path):
+    import datetime as dt
+
+    import ray.data
+
+    from docling_translate_ray.sources import warc
+
+    ts = dt.datetime(2020, 5, 5, 12, 0, 0)
+    pages = pa.table({
+        "url": [f"https://rt.example/p{i}" for i in range(10)],
+        "warc_ts": pa.array([ts] * 10, pa.timestamp("us")),
+        "html": [f"<html>page {i}</html>".encode() for i in range(10)],
+    })
+    out = str(tmp_path / "segs")
+    warc.write_warc(ray.data.from_arrow(pages).repartition(3), out)
+    import os
+
+    segs = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert len(segs) >= 1 and not any(f.endswith(".tmp") for f in os.listdir(out))
+    back = sorted(warc.read_warc(out).take_all(), key=lambda r: r["url"])
+    assert [r["url"] for r in back] == sorted(pages["url"].to_pylist())
+    by_url = {r["url"]: r for r in back}
+    for i in range(10):
+        r = by_url[f"https://rt.example/p{i}"]
+        assert r["html"] == f"<html>page {i}</html>".encode()
+        assert r["warc_ts"] == ts
