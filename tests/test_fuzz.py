@@ -224,3 +224,71 @@ def test_snapshot_classify_matches_dict_model(rows):
         elif old[u] != new[u]:
             want[f"u{u}"] = "changed"
     assert got == want
+
+
+# ------------------------------------------------- new-parser totality (r3)
+
+
+@given(st.text(max_size=800))
+@settings(max_examples=200, deadline=None)
+def test_parse_robots_total(txt):
+    """Any text → a list of non-empty prefixes, never a raise."""
+    from docling_translate_ray.functions.crawl import parse_robots
+
+    for agent in ("*", "mybot"):
+        out = parse_robots(txt, agent=agent)
+        assert isinstance(out, list)
+        assert all(isinstance(p, str) and p for p in out)
+
+
+@given(st.text(max_size=800))
+@settings(max_examples=200, deadline=None)
+def test_parse_sitemap_total(xml):
+    from docling_translate_ray.functions.crawl import parse_sitemap
+
+    out = parse_sitemap(xml)
+    assert all(isinstance(u, str) and u for (u, _) in out)
+    assert all(isinstance(lm, str) for (_, lm) in out)
+
+
+@given(st.binary(max_size=1200))
+@settings(max_examples=200, deadline=None)
+def test_parse_warc_records_total(blob):
+    """Arbitrary bytes (incl. gzip-magic prefixes) → a finite list,
+    never a raise — the dirty-crawl-data contract."""
+    from docling_translate_ray.sources.warc import parse_warc_records
+
+    for rec in parse_warc_records(blob):
+        url, ts, body = rec
+        assert isinstance(url, str) and isinstance(body, bytes)
+
+
+@given(st.text(max_size=200), st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_resolve_href_total_and_absolute(base, href):
+    """Any (base, href) → None or an absolute http(s) URL when the base
+    itself is http(s); never a raise."""
+    from docling_translate_ray.functions.graph import resolve_href
+
+    out = resolve_href(base, href)
+    assert out is None or isinstance(out, str)
+    if out is not None and base.startswith(("http://", "https://")):
+        assert out.startswith(("http://", "https://")) or "://" in out
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_warc_writer_roundtrips_arbitrary_payload(body_text):
+    """build_warc_bytes(parse) is the identity on any utf-8 payload —
+    including payloads containing CRLFCRLF and WARC/ markers (the
+    Content-Length framing, not sentinels, delimits records)."""
+    import datetime as dt
+
+    from docling_translate_ray.sources import warc
+
+    tricky = body_text + "\r\n\r\nWARC/1.0\r\n"  # embed framing look-alikes
+    recs = [("https://t.example/x", dt.datetime(2021, 1, 1),
+             tricky.encode("utf-8"))]
+    for kw in ({}, {"gzip_per_record": True}):
+        assert list(warc.parse_warc_records(
+            warc.build_warc_bytes(recs, **kw))) == recs
