@@ -318,3 +318,52 @@ def test_host_reputation_integer_stats():
     assert a["tokens_per_page"] == a["total_tokens"] // 3
     assert a["ok_pct"] == 200 // 3          # 2 of 3 pass -> 66
     assert (b["n_pages"], b["ok_pct"]) == (1, 100)
+
+
+def test_new_crawl_ops_repartition_invariant():
+    """frontier_schedule / recrawl_priority / robots_filter results are
+    pure functions of the row set, not of block boundaries."""
+    import ray.data
+
+    tbl = pa.table({
+        "url": [f"https://h{i % 3}.example/p{i}" for i in range(24)],
+        "priority": pa.array([(i * 37) % 11 for i in range(24)], pa.int64()),
+    })
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    a = rows(crawl.frontier_schedule(ray.data.from_arrow(tbl), k_per_cycle=2))
+    b = rows(crawl.frontier_schedule(
+        ray.data.from_arrow(tbl).repartition(7), k_per_cycle=2))
+    assert a == b and len(a) == 24
+
+    hist = pa.table({
+        "url": [f"u{i % 5}" for i in range(20)],
+        "warc_ts": pa.array(list(range(20)), pa.int64()),
+        "text": [f"v{(i * 7) % 3}" for i in range(20)],
+    })
+    a = rows(crawl.recrawl_priority(ray.data.from_arrow(hist)))
+    b = rows(crawl.recrawl_priority(
+        ray.data.from_arrow(hist).repartition(9)))
+    assert a == b and len(a) == 5
+
+    robots = pa.table({"host": ["h0.example"],
+                       "robots_txt": ["User-agent: *\nDisallow: /p1\n"]})
+    pages = tbl.select(["url"])
+    a = rows(crawl.robots_filter(ray.data.from_arrow(pages),
+                                 ray.data.from_arrow(robots)))
+    b = rows(crawl.robots_filter(ray.data.from_arrow(pages).repartition(5),
+                                 ray.data.from_arrow(robots)))
+    assert a == b
+
+
+def test_robots_filter_no_rules_keeps_everything():
+    import ray.data
+
+    pages = pa.table({"url": ["https://a.example/x", "https://b.example/y"]})
+    empty_rules = pa.table({"host": pa.array([], pa.string()),
+                            "robots_txt": pa.array([], pa.string())})
+    kept = crawl.robots_filter(ray.data.from_arrow(pages),
+                               ray.data.from_arrow(empty_rules)).take_all()
+    assert sorted(r["url"] for r in kept) == sorted(pages["url"].to_pylist())

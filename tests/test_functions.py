@@ -1385,3 +1385,28 @@ def test_token_budget_select_validation():
             _budget_ds([(i, 7, 1) for i in range(50)]),
             budget_tokens=10, max_boundary_rows=5,
         ).take_all()
+
+
+def test_dedup_keep_best_repartition_invariant():
+    import ray.data
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank while seven other animals watch from the grass")
+    tbl = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "text": [base, base + " longer tail", base,
+                 *[f"unique document number {i} with its own words zz{i}"
+                   for i in range(9)]],
+    })
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    a = rows(dd.dedup_keep_best(ray.data.from_arrow(tbl), threshold=0.5,
+                                concurrency=2, num_partitions=4))
+    b = rows(dd.dedup_keep_best(ray.data.from_arrow(tbl).repartition(5),
+                                threshold=0.5, concurrency=2,
+                                num_partitions=9))
+    assert a == b
+    # winner of the {0,1,2} cluster is doc 1 (most tokens)
+    assert 1 in {r[0] for r in a} and 0 not in {r[0] for r in a}
