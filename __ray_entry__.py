@@ -395,14 +395,15 @@ def oracle_sql() -> dict[str, str]:
                      '.example.com/page/' || doc_id AS url,
                      'host-' || (doc_id % 23) || '.example.com' AS host,
                      len(regexp_extract_all(text, '@NONWS@'))::BIGINT
-                       AS priority
+                       AS priority,
+                     CASE WHEN (doc_id % 23) % 4 = 0 THEN 2 ELSE 4 END AS k
               FROM documents),
             r AS (
-              SELECT url, host, priority,
+              SELECT url, host, priority, k,
                      row_number() OVER (PARTITION BY host
                                         ORDER BY priority DESC, url) AS rn
               FROM p)
-            SELECT url, host, priority, ((rn - 1) // 4 + 1)::BIGINT AS cycle
+            SELECT url, host, priority, ((rn - 1) // k + 1)::BIGINT AS cycle
             FROM r
         """,
         # Incremental index probe = all CROSS pairs (corpus × re-crawled

@@ -259,18 +259,22 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
 
 def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
                       priority_column: str = "priority",
-                      num_partitions: int = 32):
+                      num_partitions: int = 32,
+                      k_column: str | None = None):
     """Politeness-aware crawl-frontier scheduling — the fetch-planner
     step of a web crawler (Heritrix/Nutch "queue per host, k fetches per
     politeness cycle"): each host serves at most ``k_per_cycle`` urls per
     cycle; within a host, higher priority goes first (ties → url
     ascending), so a url's cycle is ``(host_rank - 1) // k + 1``.
 
-    Returns ``(url, host, priority, cycle)``.
+    ``k_column``: name of a per-ROW k override (constant within a host —
+    e.g. derived from the host's robots ``Crawl-delay`` via
+    :func:`parse_crawl_delay`); rows where it is null fall back to
+    ``k_per_cycle``.  Returns ``(url, host, priority, cycle)``.
 
     Scale shape: ONE exchange keyed by host carrying (url, host,
-    priority) — the page content never moves; per-partition work is a
-    vectorized sort + windowed cum-count (the domain_cap kernel,
+    priority[, k]) — the page content never moves; per-partition work is
+    a vectorized sort + windowed cum-count (the domain_cap kernel,
     assigning cycles instead of truncating at k).  Host is inherently
     skewed, but a partition holds only the hot host's narrow url rows.
     """
@@ -284,18 +288,24 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
 
     out_schema = pa.schema([("url", pa.string()), ("host", pa.string()),
                             ("priority", pa.int64()), ("cycle", pa.int64())])
+    mid_schema = pa.schema([("url", pa.string()), ("host", pa.string()),
+                            ("priority", pa.int64()), ("_k", pa.int64())])
 
     def narrow(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select([url_column, priority_column]))
+        cols = [url_column, priority_column] + (
+            [k_column] if k_column is not None else [])
+        df = pl.from_arrow(batch.select(cols))
+        k = (df[k_column].cast(pl.Int64) if k_column is not None
+             else pl.Series("_k", [None] * df.height, dtype=pl.Int64))
         return (
             pl.DataFrame({
                 "url": df[url_column],
                 "host": extract_hosts(df[url_column]),
                 "priority": df[priority_column].cast(pl.Int64),
+                "_k": k.fill_null(k_per_cycle).clip(lower_bound=1),
             })
             .to_arrow()
-            .cast(pa.schema([("url", pa.string()), ("host", pa.string()),
-                             ("priority", pa.int64())]))
+            .cast(mid_schema)
         )
 
     def schedule(part: pa.Table) -> pa.Table:
@@ -306,7 +316,7 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
             .sort(["priority", "url"], descending=[True, False])
             .with_columns(
                 ((pl.col("url").cum_count().over("host").cast(pl.Int64) - 1)
-                 // k_per_cycle + 1).alias("cycle"))
+                 // pl.col("_k") + 1).alias("cycle"))
             .select(["url", "host", "priority", "cycle"])
             .to_arrow().cast(out_schema)
         )
@@ -405,8 +415,27 @@ def parse_robots(txt: str, agent: str = "*") -> list[str]:
     Group precedence follows REP: a named agent obeys ONLY the groups
     naming it when any exist, and falls back to the ``*`` groups
     otherwise — the two never merge."""
-    groups: list[tuple[set, list]] = []
-    cur: tuple[set, list] | None = None
+    groups = _robots_groups(txt, agent)
+    return [p for _, ps, _ in groups for p in ps]
+
+
+def parse_crawl_delay(txt: str, agent: str = "*") -> int | None:
+    """``Crawl-delay`` seconds applying to ``agent`` (same group
+    precedence as :func:`parse_robots`); the LARGEST delay across the
+    applying groups wins (the conservative read); ``None`` when no
+    applying group sets one.  Fractional values round up; malformed
+    values are ignored."""
+    delays = [d for _, _, d in _robots_groups(txt, agent) if d is not None]
+    return max(delays) if delays else None
+
+
+def _robots_groups(txt: str, agent: str):
+    """The robots.txt groups applying to ``agent`` after REP precedence:
+    ``[(agents, disallow_prefixes, crawl_delay | None), ...]``."""
+    import math
+
+    groups: list[list] = []  # [agents, prefixes, delay]
+    cur: list | None = None
     last_was_agent = False
     for raw in (txt or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -419,18 +448,25 @@ def parse_robots(txt: str, agent: str = "*") -> list[str]:
         value = value.strip()
         if field == "user-agent":
             if not last_was_agent:
-                cur = (set(), [])  # a new group starts
+                cur = [set(), [], None]  # a new group starts
                 groups.append(cur)
             cur[0].add(value.lower())
             last_was_agent = True
             continue
         last_was_agent = False
-        if field == "disallow" and cur is not None and value:
+        if cur is None:
+            continue
+        if field == "disallow" and value:
             cur[1].append(value)
+        elif field == "crawl-delay":
+            try:
+                cur[2] = max(1, math.ceil(float(value)))
+            except ValueError:
+                pass
     a = agent.lower()
-    if a != "*" and any(a in ag for ag, _ in groups):
-        return [p for ag, ps in groups if a in ag for p in ps]
-    return [p for ag, ps in groups if "*" in ag for p in ps]
+    if a != "*" and any(a in g[0] for g in groups):
+        return [tuple(g) for g in groups if a in g[0]]
+    return [tuple(g) for g in groups if "*" in g[0]]
 
 
 def robots_filter(pages_ds, robots_ds, url_column: str = "url",

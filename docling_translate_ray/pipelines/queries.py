@@ -816,14 +816,38 @@ def frontier_view_batch(batch: pa.Table) -> pa.Table:
 
 def q_frontier_schedule(sf_dir: str):
     """Politeness-aware crawl-frontier scheduling (functions/crawl.
-    frontier_schedule): ≤4 fetches per host per cycle, higher priority
-    first — one host-keyed narrow exchange, cycle = (rank-1)//4 + 1."""
-    from docling_translate_ray.functions.crawl import frontier_schedule
+    frontier_schedule): ≤k fetches per host per cycle, higher priority
+    first — one host-keyed narrow exchange, cycle = (rank-1)//k + 1.
+    Hosts with ``h % 4 == 0`` carry a robots ``Crawl-delay: 3`` and get
+    k = 8 // 3 = 2 through :func:`parse_crawl_delay` + ``k_column``;
+    the rest run the default k = 4."""
+    import polars as pl
+
+    from docling_translate_ray.functions.crawl import (
+        frontier_schedule,
+        parse_crawl_delay,
+    )
+
+    # per-row k derived from the host's robots crawl-delay (base cycle
+    # budget 8 fetches; delay d => k = max(1, 8 // d)); null = default
+    slow = parse_crawl_delay("User-agent: *\nCrawl-delay: 3\n")
+
+    def with_k(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        # host index = doc_id % 23 is recoverable from the url tail? no —
+        # recompute from the priority view's own url shape
+        h = (df["url"].str.extract(r"host-(\d+)\.example", 1)
+             .cast(pl.Int64))
+        k = pl.select(
+            pl.when(h % 4 == 0)
+            .then(max(1, 8 // slow)).otherwise(None)
+            .cast(pl.Int64).alias("k"))["k"]
+        return batch.append_column("k", k.to_arrow().cast(pa.int64()))
 
     frontier = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         frontier_view_batch, batch_format="pyarrow"
-    )
-    return frontier_schedule(frontier, k_per_cycle=4)
+    ).map_batches(with_k, batch_format="pyarrow")
+    return frontier_schedule(frontier, k_per_cycle=4, k_column="k")
 
 
 def q_token_budget(sf_dir: str):

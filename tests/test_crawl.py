@@ -367,3 +367,40 @@ def test_robots_filter_no_rules_keeps_everything():
     kept = crawl.robots_filter(ray.data.from_arrow(pages),
                                ray.data.from_arrow(empty_rules)).take_all()
     assert sorted(r["url"] for r in kept) == sorted(pages["url"].to_pylist())
+
+
+def test_parse_crawl_delay_precedence_and_values():
+    txt = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /a\n\n"
+        "User-agent: mybot\nCrawl-delay: 0.4\n\n"   # ceil -> 1
+        "User-agent: slowbot\nCrawl-delay: ten\n"   # malformed -> ignored
+    )
+    assert crawl.parse_crawl_delay(txt) == 2
+    # named group OVERRIDES *, never merges
+    assert crawl.parse_crawl_delay(txt, agent="mybot") == 1
+    assert crawl.parse_crawl_delay(txt, agent="slowbot") is None
+    assert crawl.parse_crawl_delay("") is None
+    # multiple applying groups: the LARGEST (most polite) delay wins
+    two = "User-agent: *\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert crawl.parse_crawl_delay(two) == 7
+
+
+def test_frontier_schedule_per_host_k_column():
+    """k_column overrides the default per row: the slow host fits 1 url
+    per cycle, the default host 2; null k falls back to k_per_cycle."""
+    tbl = pa.table({
+        "url": [f"https://slow.example/p{i}" for i in range(3)]
+               + [f"https://fast.example/p{i}" for i in range(3)],
+        "priority": pa.array([30, 20, 10, 30, 20, 10], pa.int64()),
+        "k": pa.array([1, 1, 1, None, None, None], pa.int64()),
+    })
+    got = {r["url"]: r["cycle"] for r in crawl.frontier_schedule(
+        _ds(tbl, tbl.schema), k_per_cycle=2, k_column="k").take_all()}
+    assert got == {
+        "https://slow.example/p0": 1,
+        "https://slow.example/p1": 2,
+        "https://slow.example/p2": 3,
+        "https://fast.example/p0": 1,
+        "https://fast.example/p1": 1,
+        "https://fast.example/p2": 2,
+    }
