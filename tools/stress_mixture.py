@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from stress_curate import PlasmaPeak, ensure_corpus  # noqa: E402
+from stress_curate import PlasmaPeak  # noqa: E402
+from stress_incremental import ensure_unique_corpus  # noqa: E402
 
 
 def main() -> None:
@@ -51,7 +52,10 @@ def main() -> None:
     from docling_translate_ray.pipelines.extract import run_extract_job
     from docling_translate_ray.pipelines.mixture import build_mixture
 
-    pages = ensure_corpus(n_pages)
+    # unique urls REQUIRED: doc_id = hash(url); the raw stress corpus
+    # repeats urls across shards (per-shard page index restarts), which
+    # fans out every id-keyed join downstream (n_final > n_selected)
+    pages = ensure_unique_corpus(n_pages)
     work = f"/tmp/dtr_stress_mixture_{n_pages}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
