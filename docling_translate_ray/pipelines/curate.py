@@ -32,15 +32,25 @@ from docling_translate_ray.functions import text_stats as fts
 
 
 def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
-                minhash_threshold: float = 0.7, work_dir: str | None = None):
+                minhash_threshold: float = 0.7, work_dir: str | None = None,
+                retention: str = "min_id"):
     """Return (curated_ds, stats) — curated rows keep (id, text) plus the
     quality columns; ``stats`` has per-stage survivor counts.
+
+    ``retention`` picks which member of each NEAR-dup cluster survives:
+    ``"min_id"`` (the default — the canonical labeling, and the variant
+    the end-to-end SQL oracle checks) or ``"keep_best"`` (the Dolma /
+    FineWeb policy via :func:`..functions.dedup.dedup_keep_best` — most
+    whitespace tokens, ties to the smaller id).
 
     ``curated_ds`` is backed by durable parquet under ``work_dir`` (a temp
     dir by default — pass one to keep / resume-inspect the intermediates).
     The caller owns cleanup of a passed ``work_dir``; the default temp dir
     lives until process exit so the returned Dataset stays readable.
     """
+    if retention not in ("min_id", "keep_best"):
+        raise ValueError(
+            f"retention must be 'min_id' or 'keep_best' (got {retention!r})")
     import ray.data
 
     from docling_translate_ray.stages.shuffle import partition_join
@@ -96,23 +106,41 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     surv = ray.data.read_parquet(e_dir)
     stats["n_exact_unique"] = surv.count()
 
-    # near-dup drop set: members of clusters that are NOT the canonical doc
-    # — subtracted with a distributed ANTI join (labels are a Dataset end
-    # to end; the drop set never touches the driver)
-    labels = fdedup.minhash_lsh_dedup(
-        surv, column=column, id_column=id_column, threshold=minhash_threshold
-    )
-
-    def non_canonical(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.invert(pc.equal(batch[id_column], batch["canonical_id"]))
-        return batch.filter(keep).select([id_column])
-
-    drop_ids = labels.map_batches(non_canonical, batch_format="pyarrow")
     c_dir = os.path.join(work_dir, "curated")
     shutil.rmtree(c_dir, ignore_errors=True)
-    partition_join(surv, drop_ids, on=[id_column], how="anti").write_parquet(c_dir)
+    if retention == "keep_best":
+        # near-dup retention by quality: the survivor set from
+        # dedup_keep_best (longest member per cluster + all singletons),
+        # recovered as full rows with a distributed SEMI join
+        keep_ids = fdedup.dedup_keep_best(
+            surv, column=column, id_column=id_column,
+            threshold=minhash_threshold,
+        )
+
+        def ids_only(batch: pa.Table) -> pa.Table:
+            return batch.select([id_column])
+
+        partition_join(
+            surv, keep_ids.map_batches(ids_only, batch_format="pyarrow"),
+            on=[id_column], how="semi",
+        ).write_parquet(c_dir)
+    else:
+        # near-dup drop set: members of clusters that are NOT the
+        # canonical doc — subtracted with a distributed ANTI join (labels
+        # are a Dataset end to end; the drop set never touches the driver)
+        labels = fdedup.minhash_lsh_dedup(
+            surv, column=column, id_column=id_column,
+            threshold=minhash_threshold,
+        )
+
+        def non_canonical(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.equal(batch[id_column], batch["canonical_id"]))
+            return batch.filter(keep).select([id_column])
+
+        drop_ids = labels.map_batches(non_canonical, batch_format="pyarrow")
+        partition_join(surv, drop_ids, on=[id_column], how="anti").write_parquet(c_dir)
     curated = ray.data.read_parquet(c_dir)
     stats["n_curated"] = curated.count()
     return curated, stats

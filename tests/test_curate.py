@@ -66,3 +66,37 @@ def test_curate_drops_planted_duplicates():
     assert stats["n_quality_ok"] == 5          # "x" dropped
     assert stats["n_exact_unique"] == 4        # exact dup dropped, min id kept
     assert ids == [0, 3, 5]                    # near dup 2 dropped, canonical 0 kept
+
+
+def test_curate_keep_best_retention():
+    """retention='keep_best': the LONGEST member of the near-dup cluster
+    survives instead of the min id; everything else is unchanged."""
+    import pytest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while seven other animals watch from the tall green grass nearby"
+    )
+    rows = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": [
+                base,                                  # cluster member
+                base,                                  # exact dup → dropped
+                base.replace("seven", "eight") + " extra tail words",  # LONGEST
+                "completely different text about database query engines and arrow",
+                "x",                                   # fails quality
+                "another unrelated document with plenty of distinct words inside",
+            ],
+        }
+    )
+    curated, stats = curate_docs(ray.data.from_arrow(rows),
+                                 minhash_threshold=0.5,
+                                 retention="keep_best")
+    ids = sorted(r["doc_id"] for r in curated.select_columns(["doc_id"]).take_all())
+    assert stats["n_exact_unique"] == 4
+    assert ids == [2, 3, 5]        # the longest member wins, not min id 0
+    assert stats["n_curated"] == 3
+
+    with pytest.raises(ValueError):
+        curate_docs(ray.data.from_arrow(rows), retention="nope")
