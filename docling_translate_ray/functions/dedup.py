@@ -518,17 +518,33 @@ def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
         def verify_bcast(batch: pa.Table) -> pa.Table:
             import ray as _ray
 
-            cached = _VERIFY_TEXT_CACHE.get(ref_key) if cacheable else None
-            if cached is None:
-                t = _ray.get(ref)  # zero-copy shared-memory read
-                cached = (
-                    dict(zip(t[id_column].to_pylist(), t[column].to_pylist())),
-                    {},
-                )
-                if cacheable:
+            if cacheable:
+                cached = _VERIFY_TEXT_CACHE.get(ref_key)
+                if cached is None:
+                    t = _ray.get(ref)  # zero-copy shared-memory read
+                    cached = (
+                        dict(zip(t[id_column].to_pylist(),
+                                 t[column].to_pylist())),
+                        {},
+                    )
                     _VERIFY_TEXT_CACHE.clear()  # at most one candidate set
                     _VERIFY_TEXT_CACHE[ref_key] = cached
-            texts, shingles = cached
+                texts, shingles = cached
+            else:
+                # big candidate set: decoding the WHOLE table to a Python
+                # dict per batch is O(table) × batches (measured: the 104 s
+                # probe wall in tools/stress_full_loop.py).  Semi-join the
+                # batch's own ids against the zero-copy shared-memory table
+                # instead — per-batch cost scales with the batch.
+                import pyarrow.compute as pc
+
+                t = _ray.get(ref)  # zero-copy shared-memory read
+                need = pc.unique(pa.chunked_array(
+                    batch["id_a"].chunks + batch["id_b"].chunks))
+                sub = t.filter(pc.is_in(t[id_column], value_set=need))
+                texts = dict(zip(sub[id_column].to_pylist(),
+                                 sub[column].to_pylist()))
+                shingles = {}
 
             def sh(i: int) -> frozenset:
                 s = shingles.get(i)
@@ -546,7 +562,10 @@ def _verify_pairs_jaccard(pairs_ds, docs_ds, id_column: str, column: str,
             return pa.table({"id_a": pa.array(out_a, pa.int64()),
                              "id_b": pa.array(out_b, pa.int64())})
 
-        return pairs_ds.map_batches(verify_bcast, batch_format="pyarrow")
+        # big batches amortize the per-batch semi-join and maximize
+        # shingle-memo reuse inside a batch (sorted pairs repeat id_a)
+        return pairs_ds.map_batches(verify_bcast, batch_format="pyarrow",
+                                    batch_size=8192)
 
     def rename_to(idc: str, txtc: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -1540,12 +1559,20 @@ def minhash_index_probe(new_ds, index_dir: str, threshold: float = 0.7,
     if cand.count() <= 2_000_000:
         import polars as pl
 
-        pairs = ray.data.from_arrow(
+        uniq = (
             pl.from_arrow(collect_to_table(cand, empty_schema=pair_schema))
             .unique()
             .sort(["index_id", "new_id"])
             .to_arrow()
             .cast(pair_schema)
+        )
+        # one-block input would serialize the whole verify stage into a
+        # single task — slice into block-sized chunks (each list element
+        # becomes its own block)
+        step = 8192
+        pairs = ray.data.from_arrow(
+            [uniq.slice(i, step) for i in range(0, uniq.num_rows, step)]
+            or [uniq]
         )
     else:
         pairs = distinct(cand, ["index_id", "new_id"], num_partitions=16).materialize()
