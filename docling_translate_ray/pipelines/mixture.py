@@ -54,9 +54,20 @@ def build_mixture(ds, work_dir: str | None = None,
     os.makedirs(work_dir, exist_ok=True)
 
     # stage 1 — quality gate; rejected rows are written too (audit
-    # trail + n_input without a dedicated count pass), curate's pattern
+    # trail + n_input without a dedicated count pass), curate's pattern.
+    # md5(text) is computed HERE, while the text is already in memory:
+    # the rebalance stage only consumes the hash, so persisting it now
+    # means no later stage ever re-reads document text (measured at 960k
+    # pages: the rebalance leg dropped from re-reading ~2.4 GB of text
+    # to a narrow 3-column scan).
+    import hashlib
+
     def quality_flagged(batch: pa.Table) -> pa.Table:
         out = fts.quality_batch(batch, text_column)
+        out = out.append_column(
+            "_h", pa.array(
+                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                 for t in batch[text_column].to_pylist()], pa.string()))
         return out.append_column(
             "qok", out["quality_ok"].combine_chunks().cast(pa.int32()))
 
@@ -79,12 +90,22 @@ def build_mixture(ds, work_dir: str | None = None,
 
     stats["n_quality"] = survivors([id_column]).count()
 
-    # stage 2 — DSIR importance scores over the quality survivors
-    scores = dsir_score(
+    # stage 2 — DSIR importance scores over the quality survivors.
+    # Persisted before the budget selection: token_budget_select makes
+    # THREE passes over its input (score-cardinality table, boundary
+    # group, final filter), and an unpersisted `scores` is the whole
+    # lazy DSIR pass-2 pipeline — each pass would re-run the feature
+    # read + weigh + exchange (measured 3× the stage cost at 960k).
+    # The rows are narrow (3×int64), so the parquet hop is trivial.
+    scores_dir = os.path.join(work_dir, "scores")
+    shutil.rmtree(scores_dir, ignore_errors=True)
+    dsir_score(
         survivors([id_column, text_column, target_column]),
         scratch_dir=os.path.join(work_dir, "dsir_features"),
         target_column=target_column, id_column=id_column,
-        column=text_column, num_partitions=num_partitions)
+        column=text_column, num_partitions=num_partitions,
+    ).write_parquet(scores_dir)
+    scores = ray.data.read_parquet(scores_dir)
 
     # stage 3 — token-budget selection on the scores (narrow 3-int rows,
     # persisted: consumed by BOTH the rebalance semi-join and the final
@@ -99,24 +120,13 @@ def build_mixture(ds, work_dir: str | None = None,
     stats["n_selected"] = ray.data.read_parquet(sel_dir).count()
 
     # stage 4 — temperature rebalancing over the selected docs.  The
-    # rebalance only consumes md5(text), so hash BEFORE the semi-join:
-    # the join exchange then carries (id, lang, 32-char hash) rows
-    # instead of full document text, and lang_rebalance takes the hash
-    # straight through (hash_column=).
-    import hashlib
-
-    def hashed(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            id_column: batch[id_column],
-            lang_column: batch[lang_column],
-            "_h": pa.array(
-                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                 for t in batch[text_column].to_pylist()], pa.string()),
-        })
-
+    # rebalance only consumes md5(text), persisted as `_h` by the
+    # quality stage: the survivor scan here is 3 narrow columns (never
+    # the text), and the join exchange carries (id, lang, 32-char hash)
+    # rows, with lang_rebalance taking the hash straight through
+    # (hash_column=).
     rebal_in = partition_join(
-        survivors([id_column, lang_column, text_column]).map_batches(
-            hashed, batch_format="pyarrow"),
+        survivors([id_column, lang_column, "_h"]),
         ray.data.read_parquet(sel_dir, columns=[id_column]),
         on=[id_column], how="semi", num_partitions=num_partitions)
     rebal = lang_rebalance(rebal_in, quota_scale=quota_scale,
