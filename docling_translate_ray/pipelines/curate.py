@@ -13,8 +13,11 @@ memory or collects rows to the driver:
   (the same checkpoint pattern ``run_extract_job`` uses) — a multi-consumer
   stage (dedup winners + survivor join both read quality output) costs a
   cheap parquet re-read, not an object-store pin of the corpus;
-* survivor selection and near-dup drop are distributed **semi / anti
-  ``partition_join``s** on the id — no broadcast drop set, no driver loop;
+* survivor selection and near-dup drop go through
+  ``stages.shuffle.id_filter_join`` — broadcast ``is_in`` filter while
+  the id set fits a row budget (the corpus rows never cross an
+  exchange), distributed semi/anti ``partition_join`` past it — and the
+  id set is a Dataset end to end, never a driver loop;
 * per-stage counts come from parquet METADATA (``read_parquet().count()``
   is a metadata-only fast path), not extra data scans.
 """
@@ -53,7 +56,7 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
             f"retention must be 'min_id' or 'keep_best' (got {retention!r})")
     import ray.data
 
-    from docling_translate_ray.stages.shuffle import partition_join
+    from docling_translate_ray.stages.shuffle import id_filter_join
 
     if work_dir is None:
         import atexit
@@ -94,14 +97,16 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         quality = ray.data.read_parquet(q_dir).filter(expr="quality_ok")
         stats["n_quality_ok"] = 0
 
-    # exact dedup winners (content_md5 → min id), then a distributed SEMI
-    # join recovers the survivor rows (both sides re-read from parquet —
-    # never broadcast, never pinned)
+    # exact dedup winners (content_md5 → min id), then a SEMI filter
+    # recovers the survivor rows — broadcast-or-exchange
+    # (``id_filter_join``): under the row budget the winner ids travel
+    # once via ray.put and the full-text corpus rows never cross an
+    # exchange; past it, the distributed partition_join fallback
     winners = fdedup.exact_dedup(quality, column=column, id_column=id_column)
     e_dir = os.path.join(work_dir, "exact")
     shutil.rmtree(e_dir, ignore_errors=True)
-    partition_join(
-        quality, winners.select_columns([id_column]), on=[id_column], how="semi"
+    id_filter_join(
+        quality, winners, id_column=id_column, how="semi"
     ).write_parquet(e_dir)
     surv = ray.data.read_parquet(e_dir)
     stats["n_exact_unique"] = surv.count()
@@ -117,12 +122,8 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
             threshold=minhash_threshold,
         )
 
-        def ids_only(batch: pa.Table) -> pa.Table:
-            return batch.select([id_column])
-
-        partition_join(
-            surv, keep_ids.map_batches(ids_only, batch_format="pyarrow"),
-            on=[id_column], how="semi",
+        id_filter_join(
+            surv, keep_ids, id_column=id_column, how="semi"
         ).write_parquet(c_dir)
     else:
         # near-dup drop set: members of clusters that are NOT the
@@ -140,7 +141,9 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
             return batch.filter(keep).select([id_column])
 
         drop_ids = labels.map_batches(non_canonical, batch_format="pyarrow")
-        partition_join(surv, drop_ids, on=[id_column], how="anti").write_parquet(c_dir)
+        id_filter_join(
+            surv, drop_ids, id_column=id_column, how="anti"
+        ).write_parquet(c_dir)
     curated = ray.data.read_parquet(c_dir)
     stats["n_curated"] = curated.count()
     return curated, stats

@@ -44,7 +44,10 @@ def build_mixture(ds, work_dir: str | None = None,
     from docling_translate_ray.functions.dsir import dsir_score
     from docling_translate_ray.functions.packing import token_budget_select
     from docling_translate_ray.functions.sampling import lang_rebalance
-    from docling_translate_ray.stages.shuffle import partition_join
+    from docling_translate_ray.stages.shuffle import (
+        id_filter_join,
+        partition_join,
+    )
 
     if work_dir is None:
         import atexit
@@ -125,10 +128,10 @@ def build_mixture(ds, work_dir: str | None = None,
     # the text), and the join exchange carries (id, lang, 32-char hash)
     # rows, with lang_rebalance taking the hash straight through
     # (hash_column=).
-    rebal_in = partition_join(
+    rebal_in = id_filter_join(
         survivors([id_column, lang_column, "_h"]),
         ray.data.read_parquet(sel_dir, columns=[id_column]),
-        on=[id_column], how="semi", num_partitions=num_partitions)
+        id_column=id_column, how="semi", num_partitions=num_partitions)
     rebal = lang_rebalance(rebal_in, quota_scale=quota_scale,
                            key_column=lang_column, hash_column="_h",
                            id_column=id_column,

@@ -155,6 +155,44 @@ def partition_join(left_ds, right_ds, on: list[str], how: str = "left",
     return hash_partition_apply(both, on, block, num_partitions=num_partitions)
 
 
+def id_filter_join(ds, ids_ds, id_column: str = "doc_id", how: str = "semi",
+                   max_broadcast: int = 2_000_000, num_partitions: int = 32):
+    """Semi/anti filter of ``ds`` by an id set, broadcast-or-exchange
+    (the ``strategy='auto'`` pattern for survivor-selection / drop-set
+    subtraction): the id side — narrow int64 rows by construction — is
+    materialized ONCE (count + reuse, never recomputed); while it fits
+    ``max_broadcast`` rows (~8 B/row) it broadcasts via ``ray.put`` and
+    ``ds`` filters locally with a vectorized ``is_in``, so the corpus
+    side (typically full document rows) never crosses an exchange; past
+    the budget it falls back to the hash-partitioned
+    :func:`partition_join`, feeding it the already-materialized id side.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from docling_translate_ray.util import collect_to_table
+
+    assert how in ("semi", "anti")
+    ids_only = ids_ds.select_columns([id_column]).materialize()
+    if ids_only.count() > max_broadcast:
+        return partition_join(ds, ids_only, on=[id_column], how=how,
+                              num_partitions=num_partitions)
+    tbl = collect_to_table(
+        ids_only, empty_schema=pa.schema([(id_column, pa.int64())]))
+    ref = ray.put(tbl[id_column].combine_chunks())
+
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        mask = pc.is_in(batch[id_column], value_set=_ray.get(ref))
+        if how == "anti":
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
 def grouped_sum(
     ds,
     keys: list[str],

@@ -84,3 +84,40 @@ def test_grouped_sum_hot_key_immunity():
     cold_base = n - 600
     for i in (0, 599):
         assert got[f"cold{i}"] == (cold_base + i, 1)
+
+
+def test_id_filter_join_paths_agree_semi_anti():
+    """Broadcast path (under the row budget) and partition_join fallback
+    (budget forced to 0) must return identical rows for both semi and
+    anti, including the empty-id-set edge (semi -> nothing, anti ->
+    everything)."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import id_filter_join
+
+    rows = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": [f"doc {i}" for i in range(200)],
+    })
+    ds = ray.data.from_arrow(rows).repartition(8)
+    keep = pa.table({"doc_id": pa.array(range(0, 200, 3), pa.int64())})
+    ids = ray.data.from_arrow(keep)
+
+    for how, want in (
+        ("semi", set(range(0, 200, 3))),
+        ("anti", set(range(200)) - set(range(0, 200, 3))),
+    ):
+        bcast = _collect(id_filter_join(ds, ids, how=how))
+        dist = _collect(id_filter_join(ds, ids, how=how, max_broadcast=0))
+        assert set(bcast["doc_id"].to_pylist()) == want
+        assert (
+            pl.from_arrow(bcast).sort("doc_id").to_arrow()
+            == pl.from_arrow(dist).sort("doc_id").to_arrow()
+        )
+        # full rows survive, not just ids
+        assert set(bcast.column_names) == {"doc_id", "text"}
+
+    empty = ray.data.from_arrow(
+        pa.schema([("doc_id", pa.int64())]).empty_table())
+    assert id_filter_join(ds, empty, how="semi").count() == 0
+    assert id_filter_join(ds, empty, how="anti").count() == 200
