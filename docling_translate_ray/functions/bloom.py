@@ -137,7 +137,7 @@ def blocklist_filter(
     """
     import ray
 
-    from docling_translate_ray.stages.shuffle import partition_join
+    from docling_translate_ray.stages.shuffle import id_filter_join
 
     words_ref = ray.put(build_bloom(block_ds, column, m_bits, k).tobytes())
     negatives = docs_ds.map_batches(
@@ -148,8 +148,11 @@ def blocklist_filter(
         _bloom_split_fn(words_ref, column, m_bits, k, True),
         batch_format="pyarrow",
     )
-    confirmed = partition_join(
-        positives, block_ds.select_columns([column]), on=[column],
-        how="anti", num_partitions=num_partitions,
+    # exact confirm for bloom false positives: broadcast-or-exchange anti
+    # filter on the blocklist values (the blocklist is bounded — under the
+    # row budget it broadcasts once and the positives never shuffle)
+    confirmed = id_filter_join(
+        positives, block_ds, id_column=column, how="anti",
+        num_partitions=num_partitions,
     )
     return negatives.union(confirmed)

@@ -246,7 +246,7 @@ def cooccurrence_lift(ds, k: int = 50, min_count: int = 5,
     """
     import polars as pl
 
-    from docling_translate_ray.stages.shuffle import grouped_sum, partition_join
+    from docling_translate_ray.stages.shuffle import broadcast_join, grouped_sum
     from docling_translate_ray.util import collect_to_table
 
     def gram_partials(which: str):
@@ -316,8 +316,11 @@ def cooccurrence_lift(ds, k: int = 50, min_count: int = 5,
         return batch.filter(pc.greater_equal(batch["c_xy"], min_count))
 
     filtered = bigrams.map_batches(keep_frequent, batch_format="pyarrow")
-    joined = partition_join(
-        partition_join(
+    # unigram counts are vocab-sized: both attaches are
+    # broadcast-or-exchange (map-side under the row budget, hash
+    # partition_join fallback past it)
+    joined = broadcast_join(
+        broadcast_join(
             filtered,
             unigrams.map_batches(rename_uni("w1", "c1"), batch_format="pyarrow"),
             on=["w1"], how="inner", num_partitions=num_partitions,
@@ -553,9 +556,9 @@ def doc_salient_terms(ds, k: int = 5, column: str = "text",
     import polars as pl
 
     from docling_translate_ray.stages.shuffle import (
+        broadcast_join,
         grouped_sum,
         hash_partition_apply,
-        partition_join,
     )
 
     # pin the projection once: count() + the explode below would otherwise
@@ -597,7 +600,9 @@ def doc_salient_terms(ds, k: int = 5, column: str = "text",
         [pl.len().cast(pl.Int64).alias("_df")], {"df": "_df"},
         num_partitions=num_partitions,
     )
-    joined = partition_join(tf, df_counts, on=["term"], how="inner",
+    # df_counts is vocab-sized (one row per term): broadcast-or-exchange —
+    # map-side attach under the row budget, partition_join past it
+    joined = broadcast_join(tf, df_counts, on=["term"], how="inner",
                             num_partitions=num_partitions)
 
     def topk_block(part: pa.Table) -> pa.Table:

@@ -12,8 +12,9 @@ engine's operators:
 Same streaming-composition rules as ``pipelines/curate.py``: every
 stage writes durable parquet and the next re-reads it (multi-consumer
 stages cost a parquet re-read, not an object-store pin); survivor
-selection is a distributed semi ``partition_join`` on the id (no
-broadcast drop set, no driver loop); stage counts come from parquet
+selection is a broadcast-or-exchange semi filter on the id
+(``id_filter_join``) and the final attach a broadcast-or-exchange
+``broadcast_join`` — never a driver loop; stage counts come from parquet
 metadata.  The whole composite is one DuckDB oracle (quality formula +
 DSIR CTEs + budget window cumsum + sqrt-quota rank), so the driver
 hash-checks the END-TO-END recipe, not just its stages.
@@ -45,8 +46,8 @@ def build_mixture(ds, work_dir: str | None = None,
     from docling_translate_ray.functions.packing import token_budget_select
     from docling_translate_ray.functions.sampling import lang_rebalance
     from docling_translate_ray.stages.shuffle import (
+        broadcast_join,
         id_filter_join,
-        partition_join,
     )
 
     if work_dir is None:
@@ -137,8 +138,11 @@ def build_mixture(ds, work_dir: str | None = None,
                            id_column=id_column,
                            num_partitions=num_partitions)
 
-    # stage 5 — attach n_tokens / dsir_score to the final rows
-    final = partition_join(
+    # stage 5 — attach n_tokens / dsir_score to the final rows.  The
+    # selected side is narrow 3-int rows; under the broadcast budget it
+    # travels once via ray.put and the attach is map-side (no exchange),
+    # past it broadcast_join falls back to the hash-partitioned join.
+    final = broadcast_join(
         rebal, ray.data.read_parquet(sel_dir),
         on=[id_column], how="inner", num_partitions=num_partitions)
     return final, stats

@@ -178,8 +178,11 @@ def id_filter_join(ds, ids_ds, id_column: str = "doc_id", how: str = "semi",
     if ids_only.count() > max_broadcast:
         return partition_join(ds, ids_only, on=[id_column], how=how,
                               num_partitions=num_partitions)
+    isch = ids_only.schema()
+    id_type = (isch.types[isch.names.index(id_column)]
+               if isch is not None else pa.int64())
     tbl = collect_to_table(
-        ids_only, empty_schema=pa.schema([(id_column, pa.int64())]))
+        ids_only, empty_schema=pa.schema([(id_column, id_type)]))
     ref = ray.put(tbl[id_column].combine_chunks())
 
     def filter_batch(batch: pa.Table) -> pa.Table:
@@ -191,6 +194,68 @@ def id_filter_join(ds, ids_ds, id_column: str = "doc_id", how: str = "semi",
         return batch.filter(mask)
 
     return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def broadcast_join(left_ds, right_ds, on: list[str], how: str = "inner",
+                   max_broadcast: int = 2_000_000, num_partitions: int = 32):
+    """Map-side equi-join, broadcast-or-exchange: the RIGHT side is
+    materialized once (count + reuse); while it fits ``max_broadcast``
+    rows it travels via ``ray.put`` and every left batch polars-joins
+    against it locally — the left side (typically the big / wide corpus
+    side) never crosses an exchange.  Past the budget it falls back to
+    the hash-partitioned :func:`partition_join`, feeding it the
+    already-materialized right side.  Semantics and output schema are
+    identical to ``partition_join`` on the same inputs (parity-pinned in
+    ``tests/test_shuffle.py``): non-key columns disjoint, output columns
+    = left columns + right non-key columns, duplicate right keys fan
+    out, null keys never match.  At 100 TB this is the dimension-table
+    join (lang codes, per-term vocab stats, per-host aggregates under
+    the budget); corpus-sized right sides take the fallback.
+    """
+    assert how in ("inner", "left")
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    if lsch is None:
+        return left_ds
+    if rsch is None:  # mirror partition_join's empty-right contract
+        if how == "left":
+            return left_ds
+        raise ValueError(
+            "broadcast_join: right side has no schema (empty dataset) — an "
+            "inner join needs the right columns; filter/short-circuit upstream"
+        )
+    overlap = (set(lsch.names) & set(rsch.names)) - set(on)
+    assert not overlap, f"non-key columns must be disjoint, got {overlap}"
+
+    right = right_ds.materialize()
+    if right.count() > max_broadcast:
+        return partition_join(left_ds, right, on=on, how=how,
+                              num_partitions=num_partitions)
+
+    import ray
+
+    from docling_translate_ray.util import collect_to_table
+
+    rtbl = collect_to_table(
+        right, empty_schema=pa.schema(list(zip(rsch.names, rsch.types))))
+    ref = ray.put(rtbl)
+    lcols = list(lsch.names)
+    rextra = [c for c in rsch.names if c not in on]
+    out_schema = pa.schema(
+        [(c, t) for c, t in zip(lsch.names, lsch.types)]
+        + [(c, rsch.types[rsch.names.index(c)]) for c in rextra])
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import ray as _ray
+
+        r = pl.from_arrow(_ray.get(ref))
+        out = (pl.from_arrow(batch)
+               .join(r, on=on, how=how, maintain_order="left")
+               .select(lcols + rextra).to_arrow())
+        # polars emits large_string/large_binary; pin the exchange-path schema
+        return out.cast(out_schema)
+
+    return left_ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 def grouped_sum(

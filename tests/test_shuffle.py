@@ -121,3 +121,76 @@ def test_id_filter_join_paths_agree_semi_anti():
         pa.schema([("doc_id", pa.int64())]).empty_table())
     assert id_filter_join(ds, empty, how="semi").count() == 0
     assert id_filter_join(ds, empty, how="anti").count() == 200
+
+
+def test_broadcast_join_parity_with_partition_join():
+    """Broadcast path and partition_join must produce identical row
+    multisets for inner and left, including duplicate right keys
+    (fan-out), unmatched left rows (null fill), and null keys (never
+    match)."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import (
+        broadcast_join,
+        partition_join,
+    )
+
+    left = pa.table({
+        "k": pa.array([1, 2, 2, 3, None, 5], pa.int64()),
+        "v": ["a", "b", "c", "d", "e", "f"],
+    })
+    right = pa.table({
+        "k": pa.array([2, 2, 3, None], pa.int64()),
+        "w": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    lds = ray.data.from_arrow(left).repartition(4)
+
+    def norm(tbl: pa.Table) -> list:
+        return sorted(
+            pl.from_arrow(tbl).rows(),
+            key=lambda r: tuple((x is None, x) for x in r),
+        )
+
+    for how in ("inner", "left"):
+        bcast = _collect(broadcast_join(lds, ray.data.from_arrow(right),
+                                        on=["k"], how=how))
+        dist = _collect(partition_join(lds, ray.data.from_arrow(right),
+                                       on=["k"], how=how))
+        assert bcast.schema == dist.schema.remove_metadata() or (
+            bcast.column_names == dist.column_names)
+        assert norm(bcast) == norm(dist), how
+        # fallback path (budget forced to 0) = partition_join by construction
+        fb = _collect(broadcast_join(lds, ray.data.from_arrow(right),
+                                     on=["k"], how=how, max_broadcast=0))
+        assert norm(fb) == norm(dist), how
+
+    # null keys never match in either mode
+    inner = _collect(broadcast_join(lds, ray.data.from_arrow(right),
+                                    on=["k"], how="inner"))
+    assert None not in inner["k"].to_pylist()
+
+
+def test_broadcast_join_empty_right_contract():
+    """Empty-right contract mirrors partition_join: left-join returns the
+    left side untouched; inner raises (needs the right columns)."""
+    import pytest
+
+    from docling_translate_ray.stages.shuffle import broadcast_join
+
+    lds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                        "v": ["a"]}))
+    empty = ray.data.from_arrow(
+        pa.schema([("k", pa.int64()), ("w", pa.int64())]).empty_table())
+    # schema known but zero rows: broadcast path joins against an empty
+    # table — left keeps rows with null fill, inner returns nothing
+    assert broadcast_join(lds, empty, on=["k"], how="inner").count() == 0
+    lres = _collect(broadcast_join(lds, empty, on=["k"], how="left"))
+    assert lres["v"].to_pylist() == ["a"] and lres["w"].to_pylist() == [None]
+
+    # schema UNKNOWN (filter matched nothing upstream -> schema None)
+    nosch = ray.data.from_items([{"k": 1, "w": 2}]).filter(
+        lambda r: False).materialize()
+    if nosch.schema() is None:
+        assert broadcast_join(lds, nosch, on=["k"], how="left") is lds
+        with pytest.raises(ValueError):
+            broadcast_join(lds, nosch, on=["k"], how="inner")
