@@ -41,8 +41,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # new operators this session — never driver-checked, first in
-        # the window: quality-retention fuzzy dedup (keep best per
-        # cluster) and politeness-aware crawl-frontier scheduling
+        # the window: unicode normalization (NFC + control-strip +
+        # space-collapse, perturbed-row oracle), quality-retention fuzzy
+        # dedup (keep best per cluster) and politeness-aware
+        # crawl-frontier scheduling
+        "normalize_text": q.q_normalize_text,
         "dedup_keep_best": q.q_dedup_keep_best,
         "frontier_schedule": q.q_frontier_schedule,
         # round-3 additions: SemDeDup, DSIR importance scoring,
@@ -100,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         # aggregates / sort / window (A1-A6, O2)
         "events_hopping": q.q_events_hopping,
-        "top_users": q.q_top_users,
         "lineitem_pricing": q.q_lineitem_pricing,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
@@ -203,10 +205,15 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     * lang_map → segment_revenue / score_upper (same broadcast-small-
       side mapping shape); the full NLLB/DeepL code tables stay
       oracle-checked here and value-pinned in pytest
+    * top_users → heavy_hitters-family survivors (driver-hash-verified
+      r01 AND r02; same partial-count combiner → bounded local-topk
+      merge as top_words/top_events/heavy_hitters, all gated here) —
+      demoted round 3 to make window room for normalize_text
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "top_users": q.q_top_users,
         "events_by_type": q.q_events_by_type,
         "top_users_per_type": q.q_top_users_per_type,
         "cosine_pairs": q.q_cosine_pairs,
@@ -273,6 +280,27 @@ _NTOK_EXPR = "len(regexp_extract_all(text, '@NONWS@'))"
 
 def oracle_sql() -> dict[str, str]:
     raw = {
+        # unicode normalization: DuckDB nfc_normalize matches polars
+        # str.normalize("NFC") codepoint-for-codepoint; the regex steps
+        # stay in ASCII classes where RE2/rust-regex/DuckDB agree.  The
+        # CASE perturbation (decomposed accent + C0 byte + space runs on
+        # every 7th doc) mirrors the Ray side so the row is non-vacuous.
+        "normalize_text": r"""
+            WITH perturbed AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'e' || chr(769) || '  ' || chr(1)
+                                 || text || '  '
+                            ELSE text END AS ptext
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(regexp_replace(ptext,
+                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+                        ' {2,}', ' ', 'g'), ' ') AS text_norm,
+                   (text_norm IS DISTINCT FROM ptext) AS changed
+            FROM perturbed
+        """,
         "extract_pages": f"""
             SELECT 'doc://' || doc_id AS url,
                    'ok' AS status,

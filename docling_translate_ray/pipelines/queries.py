@@ -1122,6 +1122,35 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, test, n=5)
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode normalization pass (functions/normalize.normalize_docs):
+    NFC + control-strip + space-run collapse + trim, with a null-safe
+    ``changed`` flag.  The corpus text is clean ASCII, so every 7th doc
+    is deterministically perturbed IN the query (decomposed accent +
+    C0 byte + double spaces — the same CASE expression on the SQL side)
+    to keep the driver row non-vacuous: the normalizer must both fix
+    the perturbed rows and leave the rest byte-identical."""
+    import polars as pl
+
+    from docling_translate_ray.functions.normalize import normalize_docs
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.when(pl.col("doc_id") % 7 == 0)
+                .then(pl.lit("e\u0301  \x01") + pl.col("text") + pl.lit("  "))
+                .otherwise(pl.col("text"))
+                .alias("text"))
+            .to_arrow()
+        )
+        return out.cast(batch.schema)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        perturb, batch_format="pyarrow")
+    return normalize_docs(docs)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (concatenate-then-chunk at capacity 512) via the
     distributed exclusive prefix sum in functions/packing.py; tiny
