@@ -20,6 +20,8 @@ import sys
 import threading
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _gen_shard(args) -> None:
     import pyarrow.parquet as pq
