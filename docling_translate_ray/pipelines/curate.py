@@ -19,7 +19,10 @@ memory or collects rows to the driver:
   exchange), distributed semi/anti ``partition_join`` past it — and the
   id set is a Dataset end to end, never a driver loop;
 * per-stage counts come from parquet METADATA (``read_parquet().count()``
-  is a metadata-only fast path), not extra data scans.
+  is a metadata-only fast path), not extra data scans;
+* with ``resume=True`` each completed stage (``.done`` marker, written
+  only after its parquet write returns) is SKIPPED — a killed run
+  re-pays only the stage it died in (``state.stages.StageRunner``).
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from docling_translate_ray.functions import text_stats as fts
 
 def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
                 minhash_threshold: float = 0.7, work_dir: str | None = None,
-                retention: str = "min_id"):
+                retention: str = "min_id", resume: bool = False):
     """Return (curated_ds, stats) — curated rows keep (id, text) plus the
     quality columns; ``stats`` has per-stage survivor counts.
 
@@ -50,6 +53,11 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     dir by default — pass one to keep / resume-inspect the intermediates).
     The caller owns cleanup of a passed ``work_dir``; the default temp dir
     lives until process exit so the returned Dataset stays readable.
+
+    ``resume=True`` (requires an explicit ``work_dir``) skips stages whose
+    ``.done`` marker exists — a killed run re-pays only the stage it died
+    in, and nothing upstream (``state.stages.StageRunner``; mismatched
+    parameters are refused, never silently recomputed).
     """
     if retention not in ("min_id", "keep_best"):
         raise ValueError(
@@ -57,8 +65,11 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     import ray.data
 
     from docling_translate_ray.stages.shuffle import id_filter_join
+    from docling_translate_ray.state.stages import StageRunner
 
     if work_dir is None:
+        if resume:
+            raise ValueError("resume=True needs an explicit work_dir")
         import atexit
 
         work_dir = tempfile.mkdtemp(prefix="dtr_curate_")
@@ -66,7 +77,10 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         # call — but not the process (corpus-sized intermediates would
         # accumulate across invocations otherwise)
         atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
-    os.makedirs(work_dir, exist_ok=True)
+    runner = StageRunner(work_dir, resume=resume, params={
+        "pipeline": "curate", "id_column": id_column, "column": column,
+        "minhash_threshold": minhash_threshold, "retention": retention,
+    })
 
     def quality_flagged(batch: pa.Table) -> pa.Table:
         out = fts.quality_batch(batch, column)
@@ -79,11 +93,9 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
             "qok", out["quality_ok"].combine_chunks().cast(pa.int32())
         )
 
-    q_dir = os.path.join(work_dir, "quality")
-    shutil.rmtree(q_dir, ignore_errors=True)
-    ds.map_batches(quality_flagged, batch_format="pyarrow").write_parquet(
-        q_dir, partition_cols=["qok"]
-    )
+    q_dir = runner.stage("quality", lambda d: ds.map_batches(
+        quality_flagged, batch_format="pyarrow"
+    ).write_parquet(d, partition_cols=["qok"]))
     stats: dict[str, int] = {
         # both counts are parquet-metadata reads of what the ONE quality
         # pass wrote: whole dir = input, qok=1 partition = survivors
@@ -102,33 +114,33 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     # (``id_filter_join``): under the row budget the winner ids travel
     # once via ray.put and the full-text corpus rows never cross an
     # exchange; past it, the distributed partition_join fallback
-    winners = fdedup.exact_dedup(quality, column=column, id_column=id_column)
-    e_dir = os.path.join(work_dir, "exact")
-    shutil.rmtree(e_dir, ignore_errors=True)
-    id_filter_join(
-        quality, winners, id_column=id_column, how="semi"
-    ).write_parquet(e_dir)
+    def build_exact(d: str) -> None:
+        winners = fdedup.exact_dedup(
+            quality, column=column, id_column=id_column)
+        id_filter_join(
+            quality, winners, id_column=id_column, how="semi"
+        ).write_parquet(d)
+
+    e_dir = runner.stage("exact", build_exact)
     surv = ray.data.read_parquet(e_dir)
     stats["n_exact_unique"] = surv.count()
 
-    c_dir = os.path.join(work_dir, "curated")
-    shutil.rmtree(c_dir, ignore_errors=True)
-    if retention == "keep_best":
-        # near-dup retention by quality: the survivor set from
-        # dedup_keep_best (longest member per cluster + all singletons),
-        # recovered as full rows with a distributed SEMI join
-        keep_ids = fdedup.dedup_keep_best(
-            surv, column=column, id_column=id_column,
-            threshold=minhash_threshold,
-        )
-
-        id_filter_join(
-            surv, keep_ids, id_column=id_column, how="semi"
-        ).write_parquet(c_dir)
-    else:
+    def build_curated(d: str) -> None:
+        if retention == "keep_best":
+            # near-dup retention by quality: the survivor set from
+            # dedup_keep_best (longest member per cluster + all
+            # singletons), recovered as full rows with a SEMI filter
+            keep_ids = fdedup.dedup_keep_best(
+                surv, column=column, id_column=id_column,
+                threshold=minhash_threshold,
+            )
+            id_filter_join(
+                surv, keep_ids, id_column=id_column, how="semi"
+            ).write_parquet(d)
+            return
         # near-dup drop set: members of clusters that are NOT the
-        # canonical doc — subtracted with a distributed ANTI join (labels
-        # are a Dataset end to end; the drop set never touches the driver)
+        # canonical doc — subtracted with an ANTI filter (labels are a
+        # Dataset end to end; the drop set never touches the driver)
         labels = fdedup.minhash_lsh_dedup(
             surv, column=column, id_column=id_column,
             threshold=minhash_threshold,
@@ -143,7 +155,9 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         drop_ids = labels.map_batches(non_canonical, batch_format="pyarrow")
         id_filter_join(
             surv, drop_ids, id_column=id_column, how="anti"
-        ).write_parquet(c_dir)
+        ).write_parquet(d)
+
+    c_dir = runner.stage("curated", build_curated)
     curated = ray.data.read_parquet(c_dir)
     stats["n_curated"] = curated.count()
     return curated, stats

@@ -15,7 +15,9 @@ stages cost a parquet re-read, not an object-store pin); survivor
 selection is a broadcast-or-exchange semi filter on the id
 (``id_filter_join``) and the final attach a broadcast-or-exchange
 ``broadcast_join`` — never a driver loop; stage counts come from parquet
-metadata.  The whole composite is one DuckDB oracle (quality formula +
+metadata; ``resume=True`` skips completed persisted stages via their
+``.done`` markers (``state.stages.StageRunner``, curate's contract).
+The whole composite is one DuckDB oracle (quality formula +
 DSIR CTEs + budget window cumsum + sqrt-quota rank), so the driver
 hash-checks the END-TO-END recipe, not just its stages.
 """
@@ -35,10 +37,15 @@ def build_mixture(ds, work_dir: str | None = None,
                   target_column: str = "is_target",
                   budget_pct: int = 50, quota_scale: int = 8,
                   id_column: str = "doc_id", text_column: str = "text",
-                  lang_column: str = "lang", num_partitions: int = 32):
+                  lang_column: str = "lang", num_partitions: int = 32,
+                  resume: bool = False):
     """Return ``(mixture_ds, stats)``: the selected mixture rows
     ``(doc_id, lang, n_tokens, dsir_score)`` and per-stage counts.
     ``ds`` must carry ``(id, text, lang, target_column)``.
+
+    ``resume=True`` (requires an explicit ``work_dir``) skips completed
+    persisted stages via their ``.done`` markers — curate's contract
+    (``state.stages.StageRunner``); parameter mismatches are refused.
     """
     import ray.data
 
@@ -49,13 +56,21 @@ def build_mixture(ds, work_dir: str | None = None,
         broadcast_join,
         id_filter_join,
     )
+    from docling_translate_ray.state.stages import StageRunner
 
     if work_dir is None:
+        if resume:
+            raise ValueError("resume=True needs an explicit work_dir")
         import atexit
 
         work_dir = tempfile.mkdtemp(prefix="dtr_mixture_")
         atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
-    os.makedirs(work_dir, exist_ok=True)
+    runner = StageRunner(work_dir, resume=resume, params={
+        "pipeline": "mixture", "target_column": target_column,
+        "budget_pct": budget_pct, "quota_scale": quota_scale,
+        "id_column": id_column, "text_column": text_column,
+        "lang_column": lang_column,
+    })
 
     # stage 1 — quality gate; rejected rows are written too (audit
     # trail + n_input without a dedicated count pass), curate's pattern.
@@ -75,10 +90,9 @@ def build_mixture(ds, work_dir: str | None = None,
         return out.append_column(
             "qok", out["quality_ok"].combine_chunks().cast(pa.int32()))
 
-    q_dir = os.path.join(work_dir, "quality")
-    shutil.rmtree(q_dir, ignore_errors=True)
-    ds.map_batches(quality_flagged, batch_format="pyarrow").write_parquet(
-        q_dir, partition_cols=["qok"])
+    q_dir = runner.stage("quality", lambda d: ds.map_batches(
+        quality_flagged, batch_format="pyarrow"
+    ).write_parquet(d, partition_cols=["qok"]))
     stats = {"n_input": ray.data.read_parquet(q_dir).count()}
     ok_dir = os.path.join(q_dir, "qok=1")
     if not os.path.isdir(ok_dir):  # nothing survived quality
@@ -101,26 +115,22 @@ def build_mixture(ds, work_dir: str | None = None,
     # lazy DSIR pass-2 pipeline — each pass would re-run the feature
     # read + weigh + exchange (measured 3× the stage cost at 960k).
     # The rows are narrow (3×int64), so the parquet hop is trivial.
-    scores_dir = os.path.join(work_dir, "scores")
-    shutil.rmtree(scores_dir, ignore_errors=True)
-    dsir_score(
+    scores_dir = runner.stage("scores", lambda d: dsir_score(
         survivors([id_column, text_column, target_column]),
         scratch_dir=os.path.join(work_dir, "dsir_features"),
         target_column=target_column, id_column=id_column,
         column=text_column, num_partitions=num_partitions,
-    ).write_parquet(scores_dir)
+    ).write_parquet(d))
     scores = ray.data.read_parquet(scores_dir)
 
     # stage 3 — token-budget selection on the scores (narrow 3-int rows,
     # persisted: consumed by BOTH the rebalance semi-join and the final
     # attach)
-    sel_dir = os.path.join(work_dir, "selected")
-    shutil.rmtree(sel_dir, ignore_errors=True)
-    token_budget_select(
+    sel_dir = runner.stage("selected", lambda d: token_budget_select(
         scores, budget_pct=budget_pct, score_column="dsir_score",
         token_column="n_tokens", id_column=id_column,
         num_partitions=num_partitions,
-    ).write_parquet(sel_dir)
+    ).write_parquet(d))
     stats["n_selected"] = ray.data.read_parquet(sel_dir).count()
 
     # stage 4 — temperature rebalancing over the selected docs.  The

@@ -100,3 +100,84 @@ def test_curate_keep_best_retention():
 
     with pytest.raises(ValueError):
         curate_docs(ray.data.from_arrow(rows), retention="nope")
+
+
+def _poison_ds():
+    """A lazy Dataset that raises if any stage actually consumes it."""
+    def boom(batch: pa.Table) -> pa.Table:
+        raise RuntimeError("resume must not re-consume the input")
+
+    return ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(boom, batch_format="pyarrow")
+
+
+def _rows(ds) -> list:
+    import polars as pl
+
+    t = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in ds.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    return sorted(pl.from_arrow(t).select(sorted(t.column_names)).rows())
+
+
+def test_curate_resume_skips_completed_stages(tmp_path):
+    import os
+
+    import pytest
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    w = str(tmp_path / "curate_w")
+    first, stats1 = curate_docs(ds, work_dir=w)
+    want = _rows(first)
+
+    # full resume: every stage skipped — the poisoned input is never read
+    again, stats2 = curate_docs(_poison_ds(), work_dir=w, resume=True)
+    assert stats2 == stats1 and _rows(again) == want
+
+    # crash in the LAST stage: only it rebuilds (from the exact-stage
+    # parquet) — the input is still never read
+    os.remove(os.path.join(w, "curated.done"))
+    third, stats3 = curate_docs(_poison_ds(), work_dir=w, resume=True)
+    assert stats3 == stats1 and _rows(third) == want
+
+    # crash in the FIRST stage: everything rebuilds (downstream markers
+    # must not shadow a rebuilt upstream), and the real input is required
+    os.remove(os.path.join(w, "quality.done"))
+    with pytest.raises(Exception):
+        curate_docs(_poison_ds(), work_dir=w, resume=True)
+    fourth, stats4 = curate_docs(ds, work_dir=w, resume=True)
+    assert stats4 == stats1 and _rows(fourth) == want
+
+    # parameter mismatch is refused, not silently recomputed
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_docs(ds, work_dir=w, resume=True, retention="keep_best")
+    # resume without a work_dir is meaningless
+    with pytest.raises(ValueError, match="work_dir"):
+        curate_docs(ds, resume=True)
+
+
+def test_mixture_resume_skips_completed_stages(tmp_path):
+    import pyarrow.compute as pc
+
+    from docling_translate_ray.pipelines.mixture import build_mixture
+
+    def add_t(b: pa.Table) -> pa.Table:
+        return b.append_column("is_target", pc.equal(b["source"], "src1"))
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).map_batches(add_t, batch_format="pyarrow")
+    w = str(tmp_path / "mix_w")
+    first, stats1 = build_mixture(ds, work_dir=w)
+
+    def poison(b: pa.Table) -> pa.Table:
+        raise RuntimeError("resume must not re-consume the input")
+
+    again, stats2 = build_mixture(
+        ds.map_batches(poison, batch_format="pyarrow"),
+        work_dir=w, resume=True)
+    assert stats2 == stats1 and _rows(again) == _rows(first)
