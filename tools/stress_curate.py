@@ -137,6 +137,16 @@ def main() -> None:
     curated, stats = curate_docs(docs, work_dir=os.path.join(work, "curate"))
     t_curate = time.perf_counter() - t1
 
+    # Resume demo: simulate a crash in the LAST curate stage (drop its
+    # .done marker) and resume — the resumed wall should be roughly the
+    # near-dup stage alone, with quality + exact paid from markers
+    os.remove(os.path.join(work, "curate", "curated.done"))
+    t1b = time.perf_counter()
+    curated, stats_resumed = curate_docs(
+        docs, work_dir=os.path.join(work, "curate"), resume=True)
+    t_curate_resume = time.perf_counter() - t1b
+    assert stats_resumed == stats, (stats_resumed, stats)
+
     # Phase C: C4-style line-level dedup over the curated survivors,
     # written durable (parquet→parquet; driver sees only the row count)
     t2 = time.perf_counter()
@@ -146,11 +156,14 @@ def main() -> None:
     t_line = time.perf_counter() - t2
 
     mon.stop()
-    total = time.perf_counter() - t0
+    # the resume demo is evidence, not pipeline work — keep it out of
+    # the throughput denominator
+    total = time.perf_counter() - t0 - t_curate_resume
     print(json.dumps({
         "pages": n_pages, "num_cpus": cpus,
         "extract_sec": round(t_extract, 1),
         "curate_sec": round(t_curate, 1),
+        "curate_resume_last_stage_sec": round(t_curate_resume, 1),
         "line_dedup_sec": round(t_line, 1),
         "total_sec": round(total, 1),
         "docs_per_sec_total": round(n_pages / total, 1),
