@@ -183,7 +183,11 @@ def id_filter_join(ds, ids_ds, id_column: str = "doc_id", how: str = "semi",
                if isch is not None else pa.int64())
     tbl = collect_to_table(
         ids_only, empty_schema=pa.schema([(id_column, id_type)]))
-    ref = ray.put(tbl[id_column].combine_chunks())
+    # drop nulls from the value set: pc.is_in would otherwise MATCH null
+    # keys against a null set entry (skip_nulls defaults to False),
+    # while the polars join on the exchange path never matches nulls —
+    # the two paths must stay row-identical (parity-pinned in tests)
+    ref = ray.put(tbl[id_column].combine_chunks().drop_null())
 
     def filter_batch(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -213,9 +217,15 @@ def broadcast_join(left_ds, right_ds, on: list[str], how: str = "inner",
     the budget); corpus-sized right sides take the fallback.
     """
     assert how in ("inner", "left")
-    lsch, rsch = left_ds.schema(), right_ds.schema()
+    lsch = left_ds.schema()
     if lsch is None:
         return left_ds
+    # materialize FIRST, read the schema from the materialized dataset
+    # (free) — right_ds.schema() on a lazy shuffle output would execute
+    # the pipeline once just to learn the schema, then materialize()
+    # would run it again
+    right = right_ds.materialize()
+    rsch = right.schema()
     if rsch is None:  # mirror partition_join's empty-right contract
         if how == "left":
             return left_ds
@@ -226,8 +236,11 @@ def broadcast_join(left_ds, right_ds, on: list[str], how: str = "inner",
     overlap = (set(lsch.names) & set(rsch.names)) - set(on)
     assert not overlap, f"non-key columns must be disjoint, got {overlap}"
 
-    right = right_ds.materialize()
-    if right.count() > max_broadcast:
+    # row cap AND byte cap: a row-count budget alone would broadcast a
+    # 1.9M-row table of text-sized columns; size_bytes() on a
+    # materialized dataset is metadata, not a scan
+    if (right.count() > max_broadcast
+            or (right.size_bytes() or 0) > 256 * 1024 * 1024):
         return partition_join(left_ds, right, on=on, how=how,
                               num_partitions=num_partitions)
 

@@ -67,6 +67,19 @@ class StageRunner:
             os.remove(marker)
         shutil.rmtree(d, ignore_errors=True)
         build(d)
-        with open(marker, "w") as f:
+        # durable-marker write: temp + fsync + rename + directory fsync,
+        # so a power crash can never journal the marker ahead of the
+        # stage data it vouches for (process-kill crashes are safe either
+        # way — the marker write is the last step)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             f.write("")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)
+        dfd = os.open(self.work_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return d

@@ -194,3 +194,25 @@ def test_broadcast_join_empty_right_contract():
         assert broadcast_join(lds, nosch, on=["k"], how="left") is lds
         with pytest.raises(ValueError):
             broadcast_join(lds, nosch, on=["k"], how="inner")
+
+
+def test_id_filter_join_null_keys_parity():
+    """Null ids in either side must behave like the exchange path: null
+    keys never match (semi drops them, anti keeps them) even when the id
+    SET also contains nulls (pc.is_in would otherwise match null-to-null;
+    the broadcast path drops set nulls on purpose)."""
+    from docling_translate_ray.stages.shuffle import id_filter_join
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, None], pa.int64()),
+        "v": ["a", "b", "c"],
+    })
+    ds = ray.data.from_arrow(rows)
+    ids = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([2, None], pa.int64())}))
+
+    for how, want in (("semi", {"b"}), ("anti", {"a", "c"})):
+        bcast = _collect(id_filter_join(ds, ids, how=how))
+        dist = _collect(id_filter_join(ds, ids, how=how, max_broadcast=0))
+        assert set(bcast["v"].to_pylist()) == want, how
+        assert set(dist["v"].to_pylist()) == want, how
