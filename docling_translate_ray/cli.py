@@ -6,7 +6,7 @@ re-expressed as a Ray job driver::
         [--miss-policy empty|identity] [--strategy auto|broadcast|join]
         [--speed-mode fast|balanced|accurate] [--fast]
         [--n-buckets 64] [--no-resume] [--source-kind pages|docs_text|files]
-        [--num-cpus N]
+        [--num-cpus N] [--pipeline extract|curate|mixture] [--retention ...]
 
 This is the ONE library entry point that may own a Ray session (guarded —
 under ``ray job submit`` the session already exists and is reused).
@@ -50,6 +50,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-span-text", action="store_true",
                    help="slim output: drop the text field from span structs "
                         "(offsets + extracted_text remain)")
+    p.add_argument("--pipeline", choices=["extract", "curate", "mixture"],
+                   default="extract",
+                   help="extract = the flagship job over pages parquet; "
+                        "curate / mixture = the composite pipelines over a "
+                        "docs parquet dir (doc_id, text[, lang, is_target]); "
+                        "OUT_DIR is the composite work_dir — stage resume is "
+                        "on unless --no-resume")
+    p.add_argument("--retention", choices=["min_id", "keep_best"],
+                   default="min_id",
+                   help="curate only: near-dup cluster survivor policy")
     args = p.parse_args(argv)
 
     import ray
@@ -62,6 +72,34 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.pipeline in ("curate", "mixture"):
+        import ray.data
+
+        ds = ray.data.read_parquet(args.input)
+        if args.pipeline == "curate":
+            from docling_translate_ray.pipelines.curate import curate_docs
+
+            curated, stats = curate_docs(
+                ds.select_columns(["doc_id", "text"]),
+                work_dir=args.out, retention=args.retention,
+                resume=not args.no_resume)
+            stats["curated_dir"] = args.out + "/curated"
+        else:
+            from docling_translate_ray.pipelines.mixture import build_mixture
+
+            final, stats = build_mixture(
+                ds, work_dir=args.out, resume=not args.no_resume)
+            # the last leg (rebalance + attach) is lazy — make it durable
+            final_dir = args.out + "/final"
+            import shutil
+
+            shutil.rmtree(final_dir, ignore_errors=True)
+            final.write_parquet(final_dir)
+            stats["final_dir"] = final_dir
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
 
     from docling_translate_ray.pipelines.extract import run_extract_job
 
