@@ -60,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--retention", choices=["min_id", "keep_best"],
                    default="min_id",
                    help="curate only: near-dup cluster survivor policy")
+    p.add_argument("--normalize", action="store_true",
+                   help="curate only: insert the unicode-normalization "
+                        "pass as stage 0 (pre-hash cleanup)")
     args = p.parse_args(argv)
 
     import ray
@@ -83,7 +86,7 @@ def main(argv: list[str] | None = None) -> int:
             curated, stats = curate_docs(
                 ds.select_columns(["doc_id", "text"]),
                 work_dir=args.out, retention=args.retention,
-                resume=not args.no_resume)
+                resume=not args.no_resume, normalize=args.normalize)
             stats["curated_dir"] = args.out + "/curated"
         else:
             from docling_translate_ray.pipelines.mixture import build_mixture

@@ -39,7 +39,8 @@ from docling_translate_ray.functions import text_stats as fts
 
 def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
                 minhash_threshold: float = 0.7, work_dir: str | None = None,
-                retention: str = "min_id", resume: bool = False):
+                retention: str = "min_id", resume: bool = False,
+                normalize: bool = False):
     """Return (curated_ds, stats) — curated rows keep (id, text) plus the
     quality columns; ``stats`` has per-stage survivor counts.
 
@@ -58,6 +59,12 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     ``.done`` marker exists — a killed run re-pays only the stage it died
     in, and nothing upstream (``state.stages.StageRunner``; mismatched
     parameters are refused, never silently recomputed).
+
+    ``normalize=True`` inserts the unicode-normalization pass
+    (``functions.normalize``) as stage 0, BEFORE any hashing — visually
+    identical pages (decomposed accents, stray control bytes, doubled
+    spaces) then hash equal in every downstream exact/near-dup stage
+    instead of escaping all of them.
     """
     if retention not in ("min_id", "keep_best"):
         raise ValueError(
@@ -80,7 +87,26 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     runner = StageRunner(work_dir, resume=resume, params={
         "pipeline": "curate", "id_column": id_column, "column": column,
         "minhash_threshold": minhash_threshold, "retention": retention,
+        "normalize": normalize,
     })
+
+    if normalize:
+        # stage 0 — unicode normalization BEFORE any hashing (pure
+        # per-batch pass, no exchange); downstream stages read the
+        # normalized parquet so every md5/minhash keys normalized text
+        from docling_translate_ray.functions.normalize import normalize_expr
+
+        def normalized_rows(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            out = (pl.from_arrow(batch)
+                   .with_columns(normalize_expr(column).alias(column))
+                   .to_arrow())
+            return out.cast(batch.schema)
+
+        n_dir = runner.stage("normalized", lambda d: ds.map_batches(
+            normalized_rows, batch_format="pyarrow").write_parquet(d))
+        ds = ray.data.read_parquet(n_dir)
 
     def quality_flagged(batch: pa.Table) -> pa.Table:
         out = fts.quality_batch(batch, column)

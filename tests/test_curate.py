@@ -181,3 +181,28 @@ def test_mixture_resume_skips_completed_stages(tmp_path):
         ds.map_batches(poison, batch_format="pyarrow"),
         work_dir=w, resume=True)
     assert stats2 == stats1 and _rows(again) == _rows(first)
+
+
+def test_curate_normalize_stage_collapses_unicode_variants():
+    """normalize=True (stage 0) makes visually identical docs hash equal:
+    a decomposed-accent + control-byte + doubled-space variant of the
+    same text must fall to the SAME exact-dedup winner, while with
+    normalize=False all variants survive as distinct."""
+    base = "the quick brown cafe\u0301 fox jumps over the lazy dog again"
+    variants = [
+        base,
+        base.replace("e\u0301", "\xe9"),  # composed form
+        base.replace(" fox", "  fox") + "\x01",   # doubled space + C0 byte
+    ]
+    rows = pa.table({
+        "doc_id": pa.array(range(len(variants)), pa.int64()),
+        "text": pa.array(variants, pa.string()),
+    })
+    ds = ray.data.from_arrow(rows)
+
+    _, stats_raw = curate_docs(ds)
+    assert stats_raw["n_exact_unique"] == 3   # untouched: all distinct
+
+    _, stats_norm = curate_docs(ds, normalize=True)
+    assert stats_norm["n_exact_unique"] == 1  # all collapse to one winner
+    assert stats_norm["n_curated"] == 1
