@@ -201,7 +201,9 @@ def id_filter_join(ds, ids_ds, id_column: str = "doc_id", how: str = "semi",
 
 
 def broadcast_join(left_ds, right_ds, on: list[str], how: str = "inner",
-                   max_broadcast: int = 2_000_000, num_partitions: int = 32):
+                   max_broadcast: int = 2_000_000,
+                   max_broadcast_bytes: int = 256 * 1024 * 1024,
+                   num_partitions: int = 32):
     """Map-side equi-join, broadcast-or-exchange: the RIGHT side is
     materialized once (count + reuse); while it fits ``max_broadcast``
     rows it travels via ``ray.put`` and every left batch polars-joins
@@ -240,7 +242,7 @@ def broadcast_join(left_ds, right_ds, on: list[str], how: str = "inner",
     # 1.9M-row table of text-sized columns; size_bytes() on a
     # materialized dataset is metadata, not a scan
     if (right.count() > max_broadcast
-            or (right.size_bytes() or 0) > 256 * 1024 * 1024):
+            or (right.size_bytes() or 0) > max_broadcast_bytes):
         return partition_join(left_ds, right, on=on, how=how,
                               num_partitions=num_partitions)
 

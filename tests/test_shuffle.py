@@ -216,3 +216,23 @@ def test_id_filter_join_null_keys_parity():
         dist = _collect(id_filter_join(ds, ids, how=how, max_broadcast=0))
         assert set(bcast["v"].to_pylist()) == want, how
         assert set(dist["v"].to_pylist()) == want, how
+
+
+def test_broadcast_join_byte_cap_falls_back():
+    """A right side that passes the row budget but exceeds the BYTE cap
+    must take the partition_join fallback and still return identical
+    rows (row-count-only gating would broadcast wide tables)."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import broadcast_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(range(50), pa.int64()), "v": ["x"] * 50}))
+    wide = ray.data.from_arrow(pa.table({
+        "k": pa.array(range(50), pa.int64()),
+        "w": ["y" * 4096] * 50}))
+    a = _collect(broadcast_join(left, wide, on=["k"], how="inner"))
+    b = _collect(broadcast_join(left, wide, on=["k"], how="inner",
+                                max_broadcast_bytes=1))
+    assert sorted(pl.from_arrow(a).rows()) == sorted(pl.from_arrow(b).rows())
+    assert a.num_rows == 50
