@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rebalance": q.q_lang_rebalance,
         "bitext_mine": q.q_bitext_mine,
         "bpe_pair_counts": q.q_bpe_pair_counts,
+        "bpe_train": q.q_bpe_train,
         "mixture": q.q_mixture,
         # never driver-checked before round 3 — first in the window
         "image_near_dup": q.q_image_near_dup,
@@ -102,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_commonness": q.q_word_commonness,
         "pagerank": q.q_pagerank,
         # aggregates / sort / window (A1-A6, O2)
-        "events_hopping": q.q_events_hopping,
         "lineitem_pricing": q.q_lineitem_pricing,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
@@ -209,11 +209,16 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       r01 AND r02; same partial-count combiner → bounded local-topk
       merge as top_words/top_events/heavy_hitters, all gated here) —
       demoted round 3 to make window room for normalize_text
+    * events_hopping → windowed_watermark_disorder (same window-assign
+      kernel family, watermark + late-row path included; tumbling =
+      degenerate hop stays oracle-checked here) — driver-hash-verified
+      r02, demoted round 3 to make window room for bpe_train
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
         "top_users": q.q_top_users,
+        "events_hopping": q.q_events_hopping,
         "events_by_type": q.q_events_by_type,
         "top_users_per_type": q.q_top_users_per_type,
         "cosine_pairs": q.q_cosine_pairs,

@@ -91,6 +91,8 @@ def extra_queries(sf_dir: str) -> dict:
         "lang_rebalance": lambda: _consume(q.q_lang_rebalance(sf_dir)),
         "bitext_mine": lambda: _consume(q.q_bitext_mine(sf_dir)),
         "bpe_pair_counts": lambda: q.q_bpe_pair_counts(sf_dir).num_rows,
+        "bpe_train": lambda: q.q_bpe_train(sf_dir).num_rows,
+        "normalize_text": lambda: _consume(q.q_normalize_text(sf_dir)),
         "mixture": lambda: _consume(q.q_mixture(sf_dir)),
         # round-3 late additions: retention-policy fuzzy dedup, crawl
         # scheduling signals, and the WARC first mile

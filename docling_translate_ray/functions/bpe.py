@@ -105,3 +105,211 @@ def bpe_pair_counts(ds, k: int = 50, column: str = "text",
         .to_arrow()
     )
     return normalize_arrow_types(top)
+
+
+_SYMS_SCHEMA = pa.schema([
+    ("w", pa.string()),
+    ("f", pa.int64()),
+    ("syms", pa.list_(pa.string())),
+])
+
+_PAIRS_SCHEMA = pa.schema([
+    ("left", pa.string()),
+    ("right", pa.string()),
+    ("_n", pa.int64()),
+])
+
+
+def _word_freq_partial(column: str):
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "t": pl.Series(batch[column].to_pylist(),
+                           dtype=pl.String).fill_null("")
+        })
+        words = (
+            df.select(pl.col("t").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("f"))
+        )
+        return words.to_arrow().cast(
+            pa.schema([("w", pa.string()), ("f", pa.int64())]))
+
+    return fn
+
+
+def _count_pairs_batch(batch: pa.Table) -> pa.Table:
+    acc: dict[tuple[str, str], int] = {}
+    fs = batch["f"].to_pylist()
+    for syms, f in zip(batch["syms"].to_pylist(), fs):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            acc[p] = acc.get(p, 0) + f
+    if not acc:
+        return _PAIRS_SCHEMA.empty_table()
+    return pa.table({
+        "left": pa.array([p[0] for p in acc], pa.string()),
+        "right": pa.array([p[1] for p in acc], pa.string()),
+        "_n": pa.array(list(acc.values()), pa.int64()),
+    })
+
+
+def merge_word(syms: list[str], a: str, b: str, ab: str) -> list[str]:
+    """Canonical greedy left-to-right non-overlapping BPE merge of one
+    symbol sequence ("a a a a" merging (a,a) -> "aa aa", never
+    "aa a a")."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(ds, n_merges: int = 10, column: str = "text",
+              scratch_dir: str | None = None,
+              num_partitions: int = 32) -> pa.Table:
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016) —
+    returns the ordered merge table
+    ``(merge_rank, left, right, n_occurrences)``.
+
+    Scale shape: the CORPUS is touched exactly once (the word-frequency
+    build — one vocabulary-sized ``grouped_sum``); every training
+    iteration then works on the persisted ``(word, freq, symbols)``
+    table, which is vocab-sized and SHRINKS as fully-merged words drop
+    out.  Per iteration: one pair-count exchange (combiner-first, one
+    row per (block, pair)), a k-bounded top-1 merge on the driver
+    (ties broken lexicographically on (left, right) — deterministic and
+    partitioning-invariant, pinned by tests), and a map-only merge
+    application writing the next generation.  The driver holds ONLY the
+    merge table (``n_merges`` rows); symbol generations alternate
+    between two parquet dirs, so peak scratch is 2× the vocab table.
+
+    Canonical greedy-merge semantics (:func:`merge_word`), NOT the
+    space-joined ``replace`` shortcut — the two diverge on runs of a
+    repeated symbol ("a a a a": canonical gives ``aa aa``, string
+    replace gives ``aa a a``).  Pinned against a pure-Python reference
+    in ``tests/test_functions.py``; the first iteration's ranking is
+    additionally oracle-covered via ``bpe_pair_counts``.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import polars as pl
+
+    import ray.data
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+    from docling_translate_ray.util import collect_to_table
+
+    own_scratch = scratch_dir is None
+    if own_scratch:
+        scratch_dir = tempfile.mkdtemp(prefix="dtr_bpe_")
+    os.makedirs(scratch_dir, exist_ok=True)
+
+    # the ONLY corpus pass: word frequencies, then the initial symbol
+    # table (one row per unique word; single-symbol words are dropped —
+    # they can never contribute a pair)
+    wf = grouped_sum(
+        ds.map_batches(_word_freq_partial(column), batch_format="pyarrow"),
+        ["w"],
+        [pl.col("f").sum().alias("_f")], {"f": "_f"},
+        num_partitions=num_partitions,
+    )
+
+    def to_syms(batch: pa.Table) -> pa.Table:
+        ws = batch["w"].to_pylist()
+        fs = batch["f"].to_pylist()
+        rows = [(w, f, list(w)) for w, f in zip(ws, fs) if len(w) > 1]
+        if not rows:
+            return _SYMS_SCHEMA.empty_table()
+        return pa.table({
+            "w": pa.array([r[0] for r in rows], pa.string()),
+            "f": pa.array([r[1] for r in rows], pa.int64()),
+            "syms": pa.array([r[2] for r in rows], pa.list_(pa.string())),
+        })
+
+    gens = [os.path.join(scratch_dir, "gen0"), os.path.join(scratch_dir, "gen1")]
+    shutil.rmtree(gens[0], ignore_errors=True)
+    wf.map_batches(to_syms, batch_format="pyarrow").write_parquet(gens[0])
+
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(n_merges):
+            cur = ray.data.read_parquet(gens[r % 2])
+            counts = grouped_sum(
+                cur.map_batches(_count_pairs_batch, batch_format="pyarrow"),
+                ["left", "right"],
+                [pl.col("_n").sum().alias("_n")], {"n": "_n"},
+                num_partitions=num_partitions,
+            )
+
+            def local_top1(batch: pa.Table) -> pa.Table:
+                return (
+                    pl.from_arrow(batch)
+                    .sort(["n", "left", "right"],
+                          descending=[True, False, False])
+                    .head(1)
+                    .to_arrow()
+                )
+
+            cand = collect_to_table(
+                counts.map_batches(local_top1, batch_format="pyarrow"),
+                empty_schema=pa.schema([("left", pa.string()),
+                                        ("right", pa.string()),
+                                        ("n", pa.int64())]),
+            )
+            if cand.num_rows == 0:
+                break
+            best = (
+                pl.from_arrow(cand)
+                .sort(["n", "left", "right"], descending=[True, False, False])
+                .row(0)
+            )
+            a, b, n = best[cand.column_names.index("left")], \
+                best[cand.column_names.index("right")], \
+                best[cand.column_names.index("n")]
+            if n < 2:  # nothing repeats — further merges are noise
+                break
+            merges.append((r, a, b, int(n)))
+            ab = a + b
+
+            def apply_merge(batch: pa.Table) -> pa.Table:
+                ws = batch["w"].to_pylist()
+                fs = batch["f"].to_pylist()
+                rows = []
+                for w, f, syms in zip(ws, fs, batch["syms"].to_pylist()):
+                    if a in syms and b in syms:
+                        syms = merge_word(syms, a, b, ab)
+                    if len(syms) > 1:  # fully merged words drop out
+                        rows.append((w, f, syms))
+                if not rows:
+                    return _SYMS_SCHEMA.empty_table()
+                return pa.table({
+                    "w": pa.array([x[0] for x in rows], pa.string()),
+                    "f": pa.array([x[1] for x in rows], pa.int64()),
+                    "syms": pa.array([x[2] for x in rows],
+                                     pa.list_(pa.string())),
+                })
+
+            nxt = gens[(r + 1) % 2]
+            shutil.rmtree(nxt, ignore_errors=True)
+            cur.map_batches(apply_merge, batch_format="pyarrow").write_parquet(nxt)
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch_dir, ignore_errors=True)
+
+    return pa.table({
+        "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "n_occurrences": pa.array([m[3] for m in merges], pa.int64()),
+    })

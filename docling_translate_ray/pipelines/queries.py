@@ -2086,6 +2086,19 @@ def q_bpe_pair_counts(sf_dir: str):
     return bpe_pair_counts(_read(sf_dir, "documents", ["text"]), k=50)
 
 
+def q_bpe_train(sf_dir: str):
+    """Full iterative BPE tokenizer training (functions/bpe.bpe_train):
+    8 greedy merges over the documents corpus — corpus touched once
+    (word-freq build), then vocab-sized iterations; rows-only driver
+    check (the merge loop is the pagerank/kmeans class of iterative
+    ops), value-pinned in pytest against a pure-Python reference and
+    partition-invariant; iteration 1's ranking is oracle-covered by
+    ``bpe_pair_counts``."""
+    from docling_translate_ray.functions.bpe import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
+
+
 def q_bitext_mine(sf_dir: str):
     """Mutual-top-1 bitext mining (functions/bitext) between the even-id
     and odd-id halves of the embeddings table (a deterministic stand-in

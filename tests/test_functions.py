@@ -1410,3 +1410,72 @@ def test_dedup_keep_best_repartition_invariant():
     assert a == b
     # winner of the {0,1,2} cluster is doc 1 (most tokens)
     assert 1 in {r[0] for r in a} and 0 not in {r[0] for r in a}
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python canonical BPE trainer (Sennrich) — the lockstep
+    reference for bpe_train: same tokenizer, same tie-break, same
+    greedy merge."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            wf[w] += 1
+    vocab = {w: list(w) for w in wf if len(w) > 1}
+    merges = []
+    for r in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wf[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((r, a, b, n))
+        from docling_translate_ray.functions.bpe import merge_word
+
+        vocab = {w: s2 for w, s in vocab.items()
+                 for s2 in [merge_word(s, a, b, a + b)] if len(s2) > 1}
+    return merges
+
+
+def test_bpe_train_matches_reference_and_is_partition_invariant():
+    import pyarrow as pa
+
+    import ray.data
+
+    from docling_translate_ray.functions.bpe import bpe_train
+
+    texts = [
+        "aaaa aaa aa the the the cat sat on the mat",  # repeated-run words
+        "the then there these theme",                  # shared prefixes
+        "中中中 中文 中文 中文 🙂🙂 🙂🙂",               # CJK + emoji pairs
+        "tie tie dye dye",                             # count ties -> lexicographic
+        None, "", "x",                                 # null/empty/1-symbol words
+    ]
+    want = _bpe_reference(texts, 8)
+    assert len(want) >= 5  # the fixture genuinely trains several merges
+
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(texts, pa.string())})).repartition(nparts)
+        got = bpe_train(ds, n_merges=8, num_partitions=4)
+        rows = list(zip(got["merge_rank"].to_pylist(),
+                        got["left"].to_pylist(),
+                        got["right"].to_pylist(),
+                        got["n_occurrences"].to_pylist()))
+        assert rows == want, (nparts, rows, want)
+
+    # canonical run semantics: merging (a,a) over "aaaa" must produce
+    # the aa+aa split, i.e. the FIRST merge of the run-heavy fixture
+    # counts "aaaa"->2 + "aaa"->1 + "aa"->1 pairs at rank where (a,a)
+    # appears — already covered by reference equality above; pin the
+    # kernel directly too:
+    from docling_translate_ray.functions.bpe import merge_word
+
+    assert merge_word(list("aaaa"), "a", "a", "aa") == ["aa", "aa"]
+    assert merge_word(list("aaa"), "a", "a", "aa") == ["aa", "a"]
