@@ -173,8 +173,40 @@ def merge_word(syms: list[str], a: str, b: str, ab: str) -> list[str]:
     return out
 
 
+def _bpe_local(words: list[str], freqs: list[int],
+               n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Driver-local merge loop over a collected vocab table — the exact
+    algorithm of the distributed path (same tie-break, same greedy
+    kernel), without the per-iteration task/exchange overhead."""
+    vocab = {w: list(w) for w, f in zip(words, freqs) if len(w) > 1}
+    wf = dict(zip(words, freqs))
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((r, a, b, n))
+        ab = a + b
+        nxt = {}
+        for w, syms in vocab.items():
+            s2 = merge_word(syms, a, b, ab) if (a in syms and b in syms) else syms
+            if len(s2) > 1:
+                nxt[w] = s2
+        vocab = nxt
+    return merges
+
+
 def bpe_train(ds, n_merges: int = 10, column: str = "text",
               scratch_dir: str | None = None,
+              max_local_vocab: int = 2_000_000,
               num_partitions: int = 32) -> pa.Table:
     """Full iterative BPE tokenizer training (Sennrich et al. 2016) —
     returns the ordered merge table
@@ -198,6 +230,13 @@ def bpe_train(ds, n_merges: int = 10, column: str = "text",
     replace gives ``aa a a``).  Pinned against a pure-Python reference
     in ``tests/test_functions.py``; the first iteration's ranking is
     additionally oracle-covered via ``bpe_pair_counts``.
+
+    Small-side-local / large-side-distributed (the dedup-closure
+    convention): a vocab under ``max_local_vocab`` rows is collected
+    once and the merge loop runs on the driver (identical algorithm,
+    zero per-iteration task overhead — at toy scale the distributed
+    loop is pure Ray latency); above the budget the loop runs
+    distributed as described.  Path equality is test-pinned.
     """
     import os
     import shutil
@@ -223,7 +262,22 @@ def bpe_train(ds, n_merges: int = 10, column: str = "text",
         ["w"],
         [pl.col("f").sum().alias("_f")], {"f": "_f"},
         num_partitions=num_partitions,
-    )
+    ).materialize()
+
+    if wf.count() <= max_local_vocab:
+        tbl = collect_to_table(
+            wf, empty_schema=pa.schema([("w", pa.string()),
+                                        ("f", pa.int64())]))
+        if own_scratch:
+            shutil.rmtree(scratch_dir, ignore_errors=True)
+        merges = _bpe_local(tbl["w"].to_pylist(), tbl["f"].to_pylist(),
+                            n_merges)
+        return pa.table({
+            "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "n_occurrences": pa.array([m[3] for m in merges], pa.int64()),
+        })
 
     def to_syms(batch: pa.Table) -> pa.Table:
         ws = batch["w"].to_pylist()

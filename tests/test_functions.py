@@ -1460,10 +1460,13 @@ def test_bpe_train_matches_reference_and_is_partition_invariant():
     want = _bpe_reference(texts, 8)
     assert len(want) >= 5  # the fixture genuinely trains several merges
 
-    for nparts in (1, 7):
+    # local path (default budget), distributed path (budget forced to 0),
+    # and partition variation must all agree with the reference
+    for nparts, max_local in ((1, 2_000_000), (7, 0), (7, 2_000_000)):
         ds = ray.data.from_arrow(pa.table({
             "text": pa.array(texts, pa.string())})).repartition(nparts)
-        got = bpe_train(ds, n_merges=8, num_partitions=4)
+        got = bpe_train(ds, n_merges=8, num_partitions=4,
+                        max_local_vocab=max_local)
         rows = list(zip(got["merge_rank"].to_pylist(),
                         got["left"].to_pylist(),
                         got["right"].to_pylist(),
