@@ -121,9 +121,9 @@ _PAIRS_SCHEMA = pa.schema([
 
 
 def _word_freq_partial(column: str):
-    import polars as pl
-
     def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
         df = pl.DataFrame({
             "t": pl.Series(batch[column].to_pylist(),
                            dtype=pl.String).fill_null("")
