@@ -99,6 +99,16 @@ def main() -> None:
         n_final += b.num_rows
     t_mixture = time.perf_counter() - t1
 
+    # Resume demo: simulate a crash in the token-budget stage (drop its
+    # .done marker) — quality + DSIR scores are paid from markers, only
+    # selection onward reruns; stats must be identical
+    os.remove(os.path.join(work, "mix", "selected.done"))
+    t1b = time.perf_counter()
+    _, stats_resumed = build_mixture(
+        docs, work_dir=os.path.join(work, "mix"), resume=True)
+    t_mixture_resume = time.perf_counter() - t1b
+    assert stats_resumed == stats, (stats_resumed, stats)
+
     mon.stop()
     mon.join()  # no timeout: Thread.join(timeout) trips over the _stop
     # Event shadowing CPython's private Thread._stop on timeout paths
@@ -107,6 +117,7 @@ def main() -> None:
         "n_pages": n_pages, "num_cpus": cpus,
         "extract_sec": round(t_extract, 1),
         "mixture_sec": round(t_mixture, 1),
+        "mixture_resume_from_selection_sec": round(t_mixture_resume, 1),
         "total_sec": round(t_extract + t_mixture, 1),
         "doc_count": res["doc_count"], "ok_count": res["ok_count"],
         "n_input": stats["n_input"], "n_quality": stats["n_quality"],
