@@ -7,10 +7,12 @@ from broken decoders, double-spaced boilerplate) hash equal instead of
 escaping every exact/near-dup family.
 
 Engine parity (the oracle story): polars ``str.normalize("NFC")``
-matches DuckDB ``nfc_normalize`` codepoint-for-codepoint (pyarrow's
-``utf8_normalize`` is a no-op in this build — measured, not assumed),
-and the two regex steps stay inside ASCII classes where RE2/rust-regex/
-DuckDB agree byte-for-byte.  Adversarial fixtures (combining accents,
+matches DuckDB ``nfc_normalize`` codepoint-for-codepoint — audited over
+EVERY assigned codepoint plus base×combining pairs and Hangul jamo
+composition, zero divergences (hotspots pinned as a regression test);
+pyarrow's ``utf8_normalize`` is a no-op in this build (measured, not
+assumed), and the two regex steps stay inside ASCII classes where
+RE2/rust-regex/DuckDB agree byte-for-byte.  Adversarial fixtures (combining accents,
 NBSP, half-width forms, C0 bytes) are pinned in
 ``tests/test_normalize.py``.
 

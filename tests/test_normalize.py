@@ -81,3 +81,24 @@ def test_fuzz_totality_and_idempotence():
     once = _run(texts)["text_norm"].tolist()
     assert all(v is not None for v in once)
     assert _run(once)["text_norm"].tolist() == once
+
+
+def test_nfc_engines_agree_on_composition_hotspots():
+    """polars (rust unicode-normalization) and DuckDB (utf8proc) NFC must
+    agree or the oracle breaks on exotic text.  A full sweep over every
+    assigned codepoint + base×combining pairs + Hangul jamo triples found
+    ZERO divergences (session-4 audit); this pins the composition
+    hotspots as a fast regression guard against version skew."""
+    import duckdb
+    import polars as pl
+
+    bases = [chr(c) for c in list(range(0x41, 0x7B))
+             + [0x3B1, 0x430, 0x1100, 0x1161, 0x3042, 0x4E2D]]
+    marks = [chr(c) for c in range(0x300, 0x370)]
+    vals = [b + m for b in bases for m in marks]
+    vals += [chr(0x1100 + i) + chr(0x1161 + j) + chr(0x11A8)
+             for i in range(19) for j in range(21)]
+    p = pl.Series(vals).str.normalize("NFC").to_list()
+    d = [r[0] for r in duckdb.connect().execute(
+        "SELECT nfc_normalize(v) FROM (SELECT unnest(?) v)", [vals]).fetchall()]
+    assert p == d
