@@ -292,3 +292,54 @@ def test_warc_writer_roundtrips_arbitrary_payload(body_text):
     for kw in ({}, {"gzip_per_record": True}):
         assert list(warc.parse_warc_records(
             warc.build_warc_bytes(recs, **kw))) == recs
+
+
+# --- session-4 surfaces: normalize chain + BPE merge kernel -----------------
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_normalize_expr_idempotent_and_oracle_parity(texts):
+    """For ARBITRARY unicode text the polars normalize chain must (a) be
+    a fixpoint after one application and (b) agree byte-for-byte with
+    the DuckDB oracle expression — the two properties the driver gate
+    rests on."""
+    import duckdb
+    import polars as pl
+
+    from docling_translate_ray.functions.normalize import normalize_expr
+
+    once = (pl.DataFrame({"t": pl.Series(texts, dtype=pl.String)})
+            .select(normalize_expr("t").alias("t")))["t"].to_list()
+    twice = (pl.DataFrame({"t": pl.Series(once, dtype=pl.String)})
+             .select(normalize_expr("t").alias("t")))["t"].to_list()
+    assert twice == once
+    sql = [r[0] for r in duckdb.connect().execute(
+        r"""SELECT trim(regexp_replace(nfc_normalize(regexp_replace(v,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+            ' {2,}', ' ', 'g'), ' ')
+            FROM (SELECT unnest(?) v)""", [texts]).fetchall()]
+    assert once == sql
+
+
+@given(st.lists(st.sampled_from(["a", "b", "ab", "c", "中"]),
+                min_size=0, max_size=12),
+       st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c"), ("b", "a")]))
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_word_invariants(syms, pair):
+    """merge_word must preserve the concatenation (re-joining the output
+    reproduces the input string), never emit an empty symbol, and leave
+    no adjacent (a,b) that started inside a replaced window."""
+    from docling_translate_ray.functions.bpe import merge_word
+
+    a, b = pair
+    out = merge_word(syms, a, b, a + b)
+    assert "".join(out) == "".join(syms)
+    assert all(s for s in out) or not syms
+    # greedy left-to-right: scanning the OUTPUT, an (a, b) adjacency can
+    # only remain if its left symbol was itself produced by this merge
+    # (e.g. pair (b, a) over "b a b a" -> "ba ba" legitimately contains
+    # no raw (b, a)); for the self-pair case specifically, no two
+    # adjacent raw 'a's may both have been mergeable
+    if a == b:
+        for i in range(len(out) - 1):
+            assert not (out[i] == a and out[i + 1] == b)
