@@ -203,7 +203,10 @@ _CHILD_CODE = r"""
 import json, shutil, sys, time
 import ray
 ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
-         logging_level="ERROR")
+         logging_level="ERROR",
+         runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"},
+                      "worker_process_setup_hook":
+                      "docling_translate_ray.util.warm_imports"})
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 # NOTE: the read floor stays at Ray's default 200 here ON PURPOSE: the
@@ -489,7 +492,9 @@ def main() -> None:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR",
+                 runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"},
+                      "worker_process_setup_hook": "docling_translate_ray.util.warm_imports"})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

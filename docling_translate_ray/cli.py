@@ -71,7 +71,9 @@ def main(argv: list[str] | None = None) -> int:
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+        ray.init(address="local", **kwargs,
+         runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"},
+                      "worker_process_setup_hook": "docling_translate_ray.util.warm_imports"})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

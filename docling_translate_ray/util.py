@@ -21,6 +21,31 @@ def collect_to_table(ds, empty_schema=None):
     return pa.concat_tables(batches, promote_options="default")
 
 
+def warm_imports() -> None:
+    """``worker_process_setup_hook`` for SESSION OWNERS (conftest, bench,
+    check_contract, stress tools — never the library): import the heavy
+    native-extension modules once per worker process BEFORE any UDF
+    deserializes.  Guards the flake class where two tasks race the first
+    ``import polars`` inside a fresh worker and one observes a
+    partially-initialized module ("polars has no attribute Series" —
+    seen twice across the round-3 gate runs, never reproduced on
+    demand).  Usage::
+
+        ray.init(..., runtime_env={
+            "env_vars": {"PYTHONPATH": "/root/repo"},
+            "worker_process_setup_hook":
+                "docling_translate_ray.util.warm_imports"})
+
+    The ``PYTHONPATH`` entry is required: the hook is resolved by import
+    string BEFORE the worker gains the driver's module search path, so
+    without it every worker dies with ModuleNotFoundError at startup.
+    """
+    import duckdb  # noqa: F401
+    import numpy  # noqa: F401
+    import polars  # noqa: F401
+    import pyarrow.compute  # noqa: F401
+
+
 def auto_pool_size(frac: float = 0.5, reserve: int = 1, cap: int = 16) -> int:
     """Size an actor pool to the cluster, leaving headroom.
 

@@ -13,6 +13,9 @@ def ray_session():
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"},
+                     "worker_process_setup_hook":
+                     "docling_translate_ray.util.warm_imports"},
     )
     from ray.data import DataContext
 

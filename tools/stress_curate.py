@@ -82,7 +82,9 @@ def main() -> None:
     import ray
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR",
+             runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"},
+                      "worker_process_setup_hook": "docling_translate_ray.util.warm_imports"})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
