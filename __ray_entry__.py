@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (42 as of round 3) with documented
+    :func:`queries_legacy` (44 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (92 entries total, 84 DuckDB-oracled)."""
+    (94 entries total, 85 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "train_shards": q.q_train_shards,
+        "bpe_encode": q.q_bpe_encode,
         "normalize_text": q.q_normalize_text,
         "dedup_keep_best": q.q_dedup_keep_best,
         "frontier_schedule": q.q_frontier_schedule,
@@ -84,7 +86,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first mile (sources/warc.py; same DAG + identical oracle as
         # the retired extract_pages window entry)
         "warc_extract": q.q_warc_extract,
-        "unique_sentences": q.q_unique_sentences,
         "score_upper": q.q_score_upper,
         "extract_lineage": q.q_extract_lineage,
         # dedup family
@@ -102,8 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank": q.q_search_rank,
         "word_commonness": q.q_word_commonness,
         "pagerank": q.q_pagerank,
-        # aggregates / sort / window (A1-A6, O2)
-        "lineitem_pricing": q.q_lineitem_pricing,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
         "user_sessions": q.q_user_sessions,
@@ -213,10 +212,21 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       kernel family, watermark + late-row path included; tumbling =
       degenerate hop stays oracle-checked here) — driver-hash-verified
       r02, demoted round 3 to make window room for bpe_train
+    * unique_sentences → exact_dedup (same combiner-first distinct
+      exchange; dedup adds the md5→min-id winner select) + score_upper
+      (whose phase-2 unique-build runs the SAME unique_sentences kernel
+      inside the composite) — driver-hash-verified r01 AND r02, demoted
+      round 3 to make window room for train_shards
+    * lineitem_pricing → segment_revenue (same scaled-integer cents
+      sums through the _grouped_sum combiner→exchange; the join is the
+      harder variant) + events_by_type (gated here) — driver-hash-
+      verified r01, demoted round 3 to make window room for bpe_encode
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "unique_sentences": q.q_unique_sentences,
+        "lineitem_pricing": q.q_lineitem_pricing,
         "top_users": q.q_top_users,
         "events_hopping": q.q_events_hopping,
         "events_by_type": q.q_events_by_type,
@@ -285,6 +295,25 @@ _NTOK_EXPR = "len(regexp_extract_all(text, '@NONWS@'))"
 
 def oracle_sql() -> dict[str, str]:
     raw = {
+        # training-shard layout: the md5-of-salted-id shuffle key and
+        # hex-prefix shard pick are engine-portable by construction;
+        # order_check is rank-weighted so the hash match proves the
+        # exact within-shard key ORDER, not just shard membership
+        "train_shards": """
+            WITH k AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     md5('shard:' || doc_id) AS key
+              FROM documents),
+            r AS (
+              SELECT substring(key, 1, 1) AS shard, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY substring(key, 1, 1)
+                                        ORDER BY key) AS rk
+              FROM k)
+            SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   sum(rk * (doc_id % 9973))::BIGINT AS order_check
+            FROM r GROUP BY shard
+        """,
         # unicode normalization: DuckDB nfc_normalize matches polars
         # str.normalize("NFC") codepoint-for-codepoint; the regex steps
         # stay in ASCII classes where RE2/rust-regex/DuckDB agree.  The

@@ -105,6 +105,11 @@ def extra_queries(sf_dir: str) -> dict:
         "crawl_cycle": lambda: _consume(q.q_crawl_cycle(sf_dir)),
         "sitemap_seeds": lambda: _consume(q.q_sitemap_seeds(sf_dir)),
         "host_reputation": lambda: _consume(q.q_host_reputation(sf_dir)),
+        # session-5 additions: deterministic training-shard layout and
+        # trained-tokenizer application (train inside = the bpe_train cost
+        # plus the encode actor pool)
+        "train_shards": lambda: _consume(q.q_train_shards(sf_dir)),
+        "bpe_encode": lambda: _consume(q.q_bpe_encode(sf_dir)),
     }
 
 

@@ -204,6 +204,103 @@ def _bpe_local(words: list[str], freqs: list[int],
     return merges
 
 
+class BPEEncoder:
+    """Actor-pool tokenizer application — encode the corpus with a trained
+    merge table (the inference half of :func:`bpe_train`): per document,
+    split on whitespace (the lockstep ``\\S+`` tokenizer), start each word
+    as its code points, and apply the merges IN RANK ORDER with the same
+    canonical greedy kernel (:func:`merge_word`) training used — so any
+    word seen in training encodes to exactly its final training-time
+    symbol sequence.  Stateful stage: the merge table (tiny — one row per
+    merge) is held per actor and a word→length memo accumulates ACROSS
+    batches in ``__init__`` state, so repeated web-text vocabulary is
+    encoded once per actor, not once per occurrence.
+
+    Emits per doc: ``(id, n_words, n_chars_nonws, n_bpe_tokens)`` —
+    ``n_bpe_tokens`` is the sequence length under the tokenizer, the
+    number that drives packing/budgeting downstream.
+    """
+
+    OUT_SCHEMA = pa.schema([
+        ("doc_id", pa.int64()),
+        ("n_words", pa.int64()),
+        ("n_chars_nonws", pa.int64()),
+        ("n_bpe_tokens", pa.int64()),
+    ])
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 id_column: str = "doc_id", column: str = "text"):
+        self.merges = [(a, b, a + b) for a, b in merges]
+        self.id_column = id_column
+        self.column = column
+        self._memo: dict[str, int] = {}
+
+    def _encoded_len(self, w: str) -> int:
+        n = self._memo.get(w)
+        if n is None:
+            syms = list(w)
+            for a, b, ab in self.merges:
+                if len(syms) > 1 and a in syms and b in syms:
+                    syms = merge_word(syms, a, b, ab)
+            n = self._memo[w] = len(syms)
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch[self.id_column]).cast(pl.Int64),
+            "t": pl.Series(batch[self.column].to_pylist(),
+                           dtype=pl.String).fill_null(""),
+        }).with_columns(
+            pl.col("t").str.extract_all(r"\S+")
+            .cast(pl.List(pl.String)).alias("ws")
+        )
+        # encode each batch-UNIQUE word once (actor memo carries across
+        # batches), then map word -> symbol count vectorized
+        uniq = (
+            df.select(pl.col("ws").explode().alias("w"))
+            .drop_nulls("w").unique()["w"].to_list()
+        )
+        lens = {w: self._encoded_len(w) for w in uniq}
+        out = (
+            df.with_columns(
+                pl.col("ws").list.len().cast(pl.Int64).alias("n_words"),
+                pl.col("ws").list.join("").str.len_chars().cast(pl.Int64)
+                .alias("n_chars_nonws"),
+                pl.col("ws")
+                .list.eval(
+                    pl.element().replace_strict(lens, return_dtype=pl.Int64)
+                )
+                .list.sum().fill_null(0).cast(pl.Int64)
+                .alias("n_bpe_tokens"),
+            )
+            .select(["doc_id", "n_words", "n_chars_nonws", "n_bpe_tokens"])
+        )
+        return out.to_arrow().cast(self.OUT_SCHEMA)
+
+
+def bpe_encode(ds, merges, id_column: str = "doc_id", column: str = "text",
+               concurrency: int | None = None):
+    """Apply a trained merge table to the corpus via an actor pool of
+    :class:`BPEEncoder`; ``merges`` is the table :func:`bpe_train`
+    returns (or a list of ``(left, right)`` pairs).  Returns a Dataset
+    ``(doc_id, n_words, n_chars_nonws, n_bpe_tokens)``."""
+    from docling_translate_ray.util import auto_pool_size
+
+    if isinstance(merges, pa.Table):
+        merges = list(zip(merges["left"].to_pylist(),
+                          merges["right"].to_pylist()))
+    return ds.map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs={
+            "merges": merges, "id_column": id_column, "column": column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or auto_pool_size(),
+    )
+
+
 def bpe_train(ds, n_merges: int = 10, column: str = "text",
               scratch_dir: str | None = None,
               max_local_vocab: int = 2_000_000,

@@ -2099,6 +2099,35 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLICATION (functions/bpe.bpe_encode): train 8 merges
+    with ``bpe_train``, then encode the whole corpus with the trained
+    table through the BPEEncoder actor pool (per-actor word→length memo
+    carries across batches).  Rows-only driver check — the output
+    depends on the iterative training loop (the bpe_train/pagerank
+    class); encode semantics are value-pinned in pytest against a
+    pure-Python reference and the memo/no-memo paths are parity-pinned."""
+    from docling_translate_ray.functions.bpe import bpe_encode, bpe_train
+
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
+    return bpe_encode(_read(sf_dir, "documents", ["doc_id", "text"]), merges)
+
+
+def q_train_shards(sf_dir: str):
+    """Deterministic global-shuffle training-shard layout
+    (functions/shards.train_shards): md5-of-salted-doc-id shuffle key,
+    hex-prefix shard pick (16 shards), within-shard full-key order.
+    Returns per-shard (n_docs, total_chars, order_check); order_check
+    is rank-weighted, so the DuckDB ``row_number() OVER (PARTITION BY
+    shard ORDER BY key)`` oracle proves the exact within-shard
+    sequence, not just membership."""
+    from docling_translate_ray.functions.shards import train_shards
+
+    return train_shards(
+        _read(sf_dir, "documents", ["doc_id", "text"]), hex_digits=1
+    )
+
+
 def q_bitext_mine(sf_dir: str):
     """Mutual-top-1 bitext mining (functions/bitext) between the even-id
     and odd-id halves of the embeddings table (a deterministic stand-in

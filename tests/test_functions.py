@@ -1482,3 +1482,93 @@ def test_bpe_train_matches_reference_and_is_partition_invariant():
 
     assert merge_word(list("aaaa"), "a", "a", "aa") == ["aa", "aa"]
     assert merge_word(list("aaa"), "a", "a", "aa") == ["aa", "a"]
+
+
+def _bpe_encode_reference(texts, merges):
+    """Pure-Python lockstep reference for bpe_encode: per word, apply the
+    trained merges in rank order with the canonical greedy kernel."""
+    from docling_translate_ray.functions.bpe import merge_word
+
+    out = []
+    for t in texts:
+        words = (t or "").split()
+        n_bpe = 0
+        for w in words:
+            syms = list(w)
+            for a, b in merges:
+                if len(syms) > 1 and a in syms and b in syms:
+                    syms = merge_word(syms, a, b, a + b)
+            n_bpe += len(syms)
+        out.append((len(words), sum(len(w) for w in words), n_bpe))
+    return out
+
+
+def test_bpe_encode_matches_reference_and_training_state():
+    import pyarrow as pa
+
+    import ray.data
+
+    from docling_translate_ray.functions.bpe import (
+        BPEEncoder, bpe_encode, bpe_train, merge_word,
+    )
+
+    texts = [
+        "aaaa aaa aa the the the cat sat on the mat",
+        "the then there these theme",
+        "中中中 中文 中文 中文 🙂🙂 🙂🙂",
+        "tie tie dye dye",
+        None, "", "x",
+    ]
+    train_ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())}))
+    merges_tbl = bpe_train(train_ds, n_merges=8)
+    merges = list(zip(merges_tbl["left"].to_pylist(),
+                      merges_tbl["right"].to_pylist()))
+    assert len(merges) >= 5
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = sorted(
+        (r["doc_id"], r["n_words"], r["n_chars_nonws"], r["n_bpe_tokens"])
+        for r in bpe_encode(ray.data.from_arrow(docs).repartition(3),
+                            merges_tbl, concurrency=2).take_all()
+    )
+    want = [(i, *row) for i, row in
+            enumerate(_bpe_encode_reference(texts, merges))]
+    assert got == want
+
+    # a word from the training set must encode to its training-time
+    # final symbol count: "the" is fully merged after 8 merges here
+    enc = BPEEncoder(merges)
+    assert enc._encoded_len("the") == 1
+    # merges shrink, never grow, the sequence; unseen words still encode
+    assert 1 <= enc._encoded_len("thethe") <= len("thethe")
+    assert enc._encoded_len("zq") == 2  # pair never trained
+
+    # memo path: second call hits the cache and must agree
+    first = enc._encoded_len("theme")
+    assert enc._encoded_len("theme") == first
+    # direct kernel sanity on the canonical run semantics
+    assert merge_word(list("aaaa"), "a", "a", "aa") == ["aa", "aa"]
+
+
+def test_bpe_encode_empty_and_table_or_pairs_input():
+    import pyarrow as pa
+
+    import ray.data
+
+    from docling_translate_ray.functions.bpe import bpe_encode
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["ab ab", None], pa.string()),
+    })
+    # list-of-pairs input is accepted like the bpe_train table
+    rows = sorted(
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in bpe_encode(ray.data.from_arrow(docs), [("a", "b")],
+                            concurrency=1).take_all()
+    )
+    assert rows == [(1, 2), (2, 0)]  # "ab ab" -> 2 merged tokens; null -> 0
