@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (44 as of round 3) with documented
+    :func:`queries_legacy` (45 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (94 entries total, 85 DuckDB-oracled)."""
+    (95 entries total, 86 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
         "train_shards": q.q_train_shards,
+        "quality_tiers": q.q_quality_tiers,
         "bpe_encode": q.q_bpe_encode,
         "normalize_text": q.q_normalize_text,
         "dedup_keep_best": q.q_dedup_keep_best,
@@ -92,8 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "minhash_near_dup": q.q_minhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
-        # similarity search
-        "knn_topk": q.q_knn_topk,
         # text analysis
         "token_count_bpe": q.q_token_count_bpe,
         "gopher_quality": q.q_gopher_quality,
@@ -221,10 +220,16 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       sums through the _grouped_sum combiner→exchange; the join is the
       harder variant) + events_by_type (gated here) — driver-hash-
       verified r01, demoted round 3 to make window room for bpe_encode
+    * knn_topk → knn_ivf (whose full-probe run is exact by construction
+      and is hash-checked against the IDENTICAL knn_topk oracle SQL; the
+      brute-force broadcast-matrix kernel stays oracle-checked here and
+      pinned in pytest) — driver-hash-verified r01 AND r02, demoted
+      round 3 to make window room for quality_tiers
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "knn_topk": q.q_knn_topk,
         "unique_sentences": q.q_unique_sentences,
         "lineitem_pricing": q.q_lineitem_pricing,
         "top_users": q.q_top_users,
@@ -1523,6 +1528,32 @@ def oracle_sql() -> dict[str, str]:
         # unigram corpus-frequency fluency score: integer-exact analog of the
         # CCNet/KenLM perplexity filter (commonness_sum = Σ tf·corpus_count;
         # the float mean is one division of identical int64s on both sides)
+        # CCNet-style tier extraction: word_commonness CTE -> integer
+        # mean -> quantile_disc terciles -> CASE; // floors in both
+        # engines (scores are positive), quantile_disc's discrete index
+        # rule equals the kernel's max(1, ceil(q*n)) pick
+        "quality_tiers": """
+            WITH tf AS (
+              SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '@NONWS@')) AS word
+                FROM documents)
+              GROUP BY doc_id, word),
+            corpus AS (
+              SELECT term, sum(tf)::BIGINT AS corpus_n FROM tf GROUP BY term),
+            m AS (
+              SELECT tf.doc_id,
+                     (sum(tf.tf * corpus.corpus_n)::BIGINT
+                      // sum(tf.tf)::BIGINT) AS int_mean
+              FROM tf JOIN corpus USING (term) GROUP BY tf.doc_id),
+            b AS (SELECT quantile_disc(int_mean, 1.0/3) AS b1,
+                         quantile_disc(int_mean, 2.0/3) AS b2 FROM m)
+            SELECT m.doc_id, m.int_mean,
+                   CASE WHEN m.int_mean <= b.b1 THEN 'tail'
+                        WHEN m.int_mean <= b.b2 THEN 'middle'
+                        ELSE 'head' END AS tier
+            FROM m, b
+        """,
         "word_commonness": """
             WITH tf AS (
               SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (

@@ -110,6 +110,7 @@ def extra_queries(sf_dir: str) -> dict:
         # plus the encode actor pool)
         "train_shards": lambda: _consume(q.q_train_shards(sf_dir)),
         "bpe_encode": lambda: _consume(q.q_bpe_encode(sf_dir)),
+        "quality_tiers": lambda: _consume(q.q_quality_tiers(sf_dir)),
     }
 
 

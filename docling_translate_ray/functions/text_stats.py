@@ -722,6 +722,101 @@ def word_commonness(ds, column: str = "text", id_column: str = "doc_id",
     return totals.map_batches(add_mean, batch_format="pyarrow")
 
 
+def quality_tiers(ds, column: str = "text", id_column: str = "doc_id",
+                  extract: str | None = None, num_partitions: int = 32):
+    """CCNet-style corpus tiering (Wenzek et al. 2020: bucket a crawl
+    into head/middle/tail by language-model score terciles, then train
+    on the head) — the "tier extraction" step of a web-text pipeline,
+    on this engine's integer-exact fluency score.
+
+    Per doc: ``int_mean = commonness_sum // n_tokens`` (the
+    :func:`word_commonness` integers; floor division keeps every
+    boundary comparison in int64 — no float quantiles anywhere).
+    Tercile boundaries use the ``quantile_disc`` discrete rule
+    (1-based index ``max(1, ceil(q·n))`` — the :func:`token_quantiles`
+    convention, verified against DuckDB), then
+    ``tier = tail | middle | head`` by ``int_mean <= boundary``.
+    Zero-token docs have no score and are absent (oracle mirrors).
+
+    Scale shape: the scored table is a NARROW two-int64 projection of
+    the corpus, materialized once between the two passes it feeds
+    (boundary histogram + assignment) — the accepted two-pass-scan cost,
+    same as ``packing.pack_sequences``' counts projection.  The
+    boundary histogram exchange is keyed by the score VALUE (cardinality
+    = distinct integer means, vocabulary-scale, never corpus-scale); the
+    driver holds only the cumsummed histogram; assignment is a pure
+    per-batch map against two broadcast int64s.
+
+    ``extract="head"`` (or any tier) returns only that tier's docs —
+    the actual extraction; default returns every doc labeled.
+    Output: (id, int_mean, tier).
+    """
+    import math
+
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+    from docling_translate_ray.util import collect_to_table
+
+    tiers = ("tail", "middle", "head")
+    if extract is not None and extract not in tiers:
+        raise ValueError(f"extract must be one of {tiers} (got {extract!r})")
+
+    def to_int_mean(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col(id_column),
+            (pl.col("commonness_sum") // pl.col("n_tokens"))
+            .alias("int_mean"),
+        ).to_arrow().cast(pa.schema([(id_column, pa.int64()),
+                                     ("int_mean", pa.int64())]))
+
+    scored = (
+        word_commonness(ds, column=column, id_column=id_column,
+                        num_partitions=num_partitions)
+        .map_batches(to_int_mean, batch_format="pyarrow")
+        .materialize()
+    )
+
+    hist = collect_to_table(
+        grouped_sum(
+            scored, ["int_mean"],
+            [pl.len().cast(pl.Int64).alias("_n")], {"n_docs": "_n"},
+            num_partitions=16,
+        ),
+        empty_schema=pa.schema([("int_mean", pa.int64()),
+                                ("n_docs", pa.int64())]),
+    )
+    out_schema = pa.schema([(id_column, pa.int64()),
+                            ("int_mean", pa.int64()),
+                            ("tier", pa.string())])
+    if hist.num_rows == 0:
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
+    df = pl.from_arrow(hist).sort("int_mean")
+    values = df["int_mean"].to_list()
+    cums = df["n_docs"].cum_sum().to_list()
+    total = cums[-1]
+    b1, b2 = (
+        next(v for v, c in zip(values, cums)
+             if c >= max(1, math.ceil(q * total)))
+        for q in (1.0 / 3, 2.0 / 3)
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.when(pl.col("int_mean") <= b1).then(pl.lit("tail"))
+            .when(pl.col("int_mean") <= b2).then(pl.lit("middle"))
+            .otherwise(pl.lit("head")).alias("tier")
+        )
+        if extract is not None:
+            df = df.filter(pl.col("tier") == extract)
+        return df.to_arrow().cast(out_schema)
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
 # language-ID heuristic: unicode-script ranges for CJK/Hangul, stopword hit
 # rates for latin languages.  Deterministic; rows-only oracle.
 _STOPWORDS = {

@@ -2128,6 +2128,15 @@ def q_train_shards(sf_dir: str):
     )
 
 
+def q_quality_tiers(sf_dir: str):
+    """CCNet-style head/middle/tail corpus tiering
+    (functions/text_stats.quality_tiers): integer fluency score
+    (commonness_sum // n_tokens), quantile_disc tercile boundaries,
+    per-doc tier label — the tier-extraction step; oracle embeds the
+    word_commonness CTE + quantile_disc + the same CASE."""
+    return fts.quality_tiers(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_bitext_mine(sf_dir: str):
     """Mutual-top-1 bitext mining (functions/bitext) between the even-id
     and odd-id halves of the embeddings table (a deterministic stand-in

@@ -1572,3 +1572,101 @@ def test_bpe_encode_empty_and_table_or_pairs_input():
                             concurrency=1).take_all()
     )
     assert rows == [(1, 2), (2, 0)]  # "ab ab" -> 2 merged tokens; null -> 0
+
+
+def _tiers_oracle(tbl):
+    """DuckDB lockstep for quality_tiers (same SQL as the driver oracle,
+    RE2 \\S stand-in is fine here: the fixture is ASCII)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return sorted(tuple(r.values()) for r in con.execute("""
+        WITH tf AS (
+          SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[^ \t\n]+')) AS word
+            FROM documents)
+          GROUP BY doc_id, word),
+        corpus AS (
+          SELECT term, sum(tf)::BIGINT AS corpus_n FROM tf GROUP BY term),
+        m AS (
+          SELECT tf.doc_id,
+                 (sum(tf.tf * corpus.corpus_n)::BIGINT
+                  // sum(tf.tf)::BIGINT) AS int_mean
+          FROM tf JOIN corpus USING (term) GROUP BY tf.doc_id),
+        b AS (SELECT quantile_disc(int_mean, 1.0/3) AS b1,
+                     quantile_disc(int_mean, 2.0/3) AS b2 FROM m)
+        SELECT m.doc_id, m.int_mean,
+               CASE WHEN m.int_mean <= b.b1 THEN 'tail'
+                    WHEN m.int_mean <= b.b2 THEN 'middle'
+                    ELSE 'head' END AS tier
+        FROM m, b
+    """).fetch_arrow_table().to_pylist())
+
+
+def test_quality_tiers_matches_duckdb_and_extract_mode():
+    import pyarrow as pa
+
+    import ray.data
+
+    from docling_translate_ray.functions.text_stats import quality_tiers
+
+    # adversarial: heavy tie mass at the boundaries (many identical
+    # docs), a zero-token doc (must be absent), rare-junk tail docs
+    texts = (
+        ["the the the common words here"] * 4
+        + ["middling text with some shared words here"] * 6
+        + [f"zzq{i}x qqj{i}w jjk{i}v" for i in range(8)]
+        + ["", "   ", None]
+    )
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    want = _tiers_oracle(tbl)
+    assert {w[2] for w in want} == {"tail", "middle", "head"}
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    got = rows(quality_tiers(ray.data.from_arrow(tbl)))
+    assert got == want
+    # layout invariance
+    got2 = rows(quality_tiers(ray.data.from_arrow(tbl).repartition(5),
+                              num_partitions=7))
+    assert got2 == want
+    # zero-token docs are absent
+    absent = {len(texts) - 3, len(texts) - 2, len(texts) - 1}
+    assert absent.isdisjoint({r[0] for r in got})
+
+    # extraction mode returns exactly the labeled subset
+    head = rows(quality_tiers(ray.data.from_arrow(tbl), extract="head"))
+    assert head == [w for w in want if w[2] == "head"] and head
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_tiers(ray.data.from_arrow(tbl), extract="best")
+
+
+def test_quality_tiers_empty_and_degenerate():
+    import pyarrow as pa
+
+    import ray.data
+
+    from docling_translate_ray.functions.text_stats import quality_tiers
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert quality_tiers(ray.data.from_arrow(empty)).take_all() == []
+
+    # all docs identical -> one distinct score -> everything is one tier
+    # ("tail": int_mean <= b1 == b2) — quantile_disc agrees by the rule
+    same = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c"] * 3, pa.string()),
+    })
+    got = quality_tiers(ray.data.from_arrow(same)).take_all()
+    assert {r["tier"] for r in got} == {"tail"}
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
