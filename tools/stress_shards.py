@@ -61,11 +61,12 @@ def main() -> None:
         return pa.table({
             "doc_id": pa.array([i * 3 + 1 for i in ids], pa.int64()),
             "text": pa.array(
-                [f"doc {i} " + (f"w{i % 997} token body " * 30) for i in ids],
+                [f"doc {i} " + (f"w{i % 997} token body " * (10 + i % 41))
+                 for i in ids],
                 pa.string()),
         })
 
-    corpus_dir = f"/tmp/stress_shards_corpus_{n_docs}"
+    corpus_dir = f"/tmp/stress_shards_corpus_v2_{n_docs}"
     if not os.path.exists(corpus_dir):
         ray.data.range(n_docs).map_batches(
             gen, batch_format="pyarrow").write_parquet(corpus_dir)
