@@ -263,17 +263,23 @@ class BPEEncoder:
             .drop_nulls("w").unique()["w"].to_list()
         )
         lens = {w: self._encoded_len(w) for w in uniq}
+        # an all-empty batch leaves the mapping empty, and replace_strict
+        # over an empty mapping degrades the list dtype to str despite
+        # return_dtype (fuzz-found) — every count is 0 by construction
+        bpe_expr = (
+            pl.lit(0, dtype=pl.Int64) if not lens else
+            pl.col("ws")
+            .list.eval(
+                pl.element().replace_strict(lens, return_dtype=pl.Int64)
+            )
+            .list.sum().fill_null(0).cast(pl.Int64)
+        )
         out = (
             df.with_columns(
                 pl.col("ws").list.len().cast(pl.Int64).alias("n_words"),
                 pl.col("ws").list.join("").str.len_chars().cast(pl.Int64)
                 .alias("n_chars_nonws"),
-                pl.col("ws")
-                .list.eval(
-                    pl.element().replace_strict(lens, return_dtype=pl.Int64)
-                )
-                .list.sum().fill_null(0).cast(pl.Int64)
-                .alias("n_bpe_tokens"),
+                bpe_expr.alias("n_bpe_tokens"),
             )
             .select(["doc_id", "n_words", "n_chars_nonws", "n_bpe_tokens"])
         )

@@ -343,3 +343,98 @@ def test_bpe_merge_word_invariants(syms, pair):
     if a == b:
         for i in range(len(out) - 1):
             assert not (out[i] == a and out[i + 1] == b)
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_tercile_pick_rule_matches_quantile_disc(vals):
+    """quality_tiers' boundary rule (value at 1-based index
+    max(1, ceil(q·n)) over the cumsummed histogram) must equal DuckDB
+    quantile_disc for BOTH terciles on any integer multiset — the exact
+    float-ceil edge is the risk this fuzz pins."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": pa.array(vals, pa.int64())}))
+    want = con.execute(
+        "SELECT quantile_disc(v, 1.0/3), quantile_disc(v, 2.0/3) FROM t"
+    ).fetchone()
+
+    hist: dict[int, int] = {}
+    for v in vals:
+        hist[v] = hist.get(v, 0) + 1
+    values = sorted(hist)
+    cums, c = [], 0
+    for v in values:
+        c += hist[v]
+        cums.append(c)
+    total = c
+    got = tuple(
+        next(v for v, cc in zip(values, cums)
+             if cc >= max(1, math.ceil(q * total)))
+        for q in (1.0 / 3, 2.0 / 3)
+    )
+    assert got == want
+
+
+@given(
+    st.lists(st.one_of(st.none(),
+                       st.text(alphabet=st.sampled_from(list("abc🙂 \t")),
+                               max_size=40)),
+             min_size=1, max_size=12),
+    st.lists(st.tuples(st.sampled_from(list("abc")),
+                       st.sampled_from(list("abc"))), max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_encoder_bounds_fuzz(texts, merges):
+    """BPEEncoder totality + bounds on arbitrary text and merge tables:
+    every word contributes >=1 and <=len(word) tokens, so
+    n_words <= n_bpe_tokens <= n_chars_nonws (0 for empty docs), for ANY
+    merge list (including merges of symbols produced by earlier merges)."""
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.bpe import BPEEncoder
+
+    # chain some composite merges so multi-char symbols appear
+    full_merges = list(merges) + [("ab", "c"), ("a", "bc")]
+    enc = BPEEncoder(full_merges)
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = enc(batch)
+    for r in out.to_pylist():
+        t = texts[r["doc_id"]] or ""
+        words = t.split()
+        assert r["n_words"] == len(words)
+        assert r["n_chars_nonws"] == sum(len(w) for w in words)
+        assert len(words) <= r["n_bpe_tokens"] <= r["n_chars_nonws"] \
+            or (not words and r["n_bpe_tokens"] == 0)
+    # memoized second pass is identical
+    assert enc(batch).equals(out)
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=50),
+       st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_shard_key_partial_fuzz(ids, hex_digits):
+    """train_shards' keying partial: key = md5('shard:'||id) hex, shard
+    = its prefix — engine-portable by construction; _w stays in [0,9973)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.shards import _keyed_partial
+
+    batch = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * len(ids), pa.string()),
+    })
+    out = _keyed_partial("doc_id", "text", "shard", hex_digits, False)(batch)
+    for i, r in zip(ids, out.to_pylist()):
+        k = hashlib.md5(f"shard:{i}".encode()).hexdigest()
+        assert r["key"] == k and r["shard"] == k[:hex_digits]
+        assert 0 <= r["_w"] < 9973 and r["n_chars"] == 1
