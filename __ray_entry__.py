@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "lm_score": q.q_lm_score,
         "train_shards": q.q_train_shards,
         "quality_tiers": q.q_quality_tiers,
         "bpe_encode": q.q_bpe_encode,
@@ -100,7 +101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "search_rank": q.q_search_rank,
-        "word_commonness": q.q_word_commonness,
         "pagerank": q.q_pagerank,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
@@ -220,6 +220,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       sums through the _grouped_sum combiner→exchange; the join is the
       harder variant) + events_by_type (gated here) — driver-hash-
       verified r01, demoted round 3 to make window room for bpe_encode
+    * word_commonness → quality_tiers (driver-window entry that runs the
+      SAME word_commonness substrate as its scoring stage and embeds the
+      full word_commonness CTE in its oracle) + lm_score (the harder
+      bigram variant of the same single-context-key exchange-collapse
+      plan) — driver-hash-verified r02, demoted round 3 to make window
+      room for lm_score
     * knn_topk → knn_ivf (whose full-probe run is exact by construction
       and is hash-checked against the IDENTICAL knn_topk oracle SQL; the
       brute-force broadcast-matrix kernel stays oracle-checked here and
@@ -229,6 +235,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "word_commonness": q.q_word_commonness,
         "knn_topk": q.q_knn_topk,
         "unique_sentences": q.q_unique_sentences,
         "lineitem_pricing": q.q_lineitem_pricing,
@@ -1697,6 +1704,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_tokens,
                    sum(f.cnt * s.s)::BIGINT AS dsir_score
             FROM feat f JOIN s ON f.b = s.b
+            GROUP BY f.doc_id
+        """,
+        # integer-exact bigram LM (functions/lm.py): adjacent-token
+        # pairs via lockstep double-unnest of two list slices; S =
+        # ((c2+1)*1e6) // (c1+V) in HUGEINT with c1 = bigram-context
+        # count and V = distinct context types; lm_avg = floor mean
+        "lm_score": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM tok WHERE len(ws) >= 2),
+            feat AS (
+              SELECT doc_id, w1, w2, count(*)::BIGINT AS cnt
+              FROM bg GROUP BY 1, 2, 3),
+            c2 AS (
+              SELECT w1, w2, sum(cnt)::BIGINT AS c2
+              FROM feat GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+            v AS (SELECT count(DISTINCT w1)::HUGEINT AS v FROM feat),
+            s AS (
+              SELECT c2.w1, c2.w2,
+                     (((c2.c2 + 1)::HUGEINT * 1000000)
+                      // (c1.c1 + v.v))::BIGINT AS s
+              FROM c2 JOIN c1 ON c2.w1 = c1.w1, v)
+            SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_bigrams,
+                   sum(f.cnt * s.s)::BIGINT AS lm_score,
+                   (sum(f.cnt * s.s) // sum(f.cnt))::BIGINT AS lm_avg
+            FROM feat f JOIN s ON f.w1 = s.w1 AND f.w2 = s.w2
             GROUP BY f.doc_id
         """,
         # composite mixture builder: quality gate (the `quality` oracle

@@ -111,6 +111,9 @@ def extra_queries(sf_dir: str) -> dict:
         "train_shards": lambda: _consume(q.q_train_shards(sf_dir)),
         "bpe_encode": lambda: _consume(q.q_bpe_encode(sf_dir)),
         "quality_tiers": lambda: _consume(q.q_quality_tiers(sf_dir)),
+        # session-6: integer-exact bigram-LM fluency scoring (the CCNet
+        # perplexity-filter analog)
+        "lm_score": lambda: _consume(q.q_lm_score(sf_dir)),
     }
 
 

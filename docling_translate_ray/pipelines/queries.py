@@ -2184,3 +2184,18 @@ def q_search_rank(sf_dir: str):
     fidx.build_inverted_index(docs, idx_dir, num_partitions=16)
     return fidx.search_rank(idx_dir, [t for t in _INDEX_LOOKUP_TERMS],
                             n_docs=docs.count())
+
+
+def q_lm_score(sf_dir: str):
+    """Integer-exact bigram-LM fluency scoring (functions/lm
+    .bigram_lm_score) over the documents table — the CCNet/KenLM
+    perplexity-filter analog at the bigram level: per-doc
+    Σ cnt·S[w1,w2] with add-one-smoothed scaled conditional
+    probabilities; oracle replays the c2/c1/V CTEs in HUGEINT."""
+    import hashlib as _hl
+
+    from docling_translate_ray.functions.lm import bigram_lm_score
+
+    scratch = "/tmp/dtr_lm_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    return bigram_lm_score(
+        _read(sf_dir, "documents", ["doc_id", "text"]), scratch_dir=scratch)
