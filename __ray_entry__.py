@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
         "lm_score": q.q_lm_score,
+        "bitext_align": q.q_bitext_align,
         "train_shards": q.q_train_shards,
         "quality_tiers": q.q_quality_tiers,
         "bpe_encode": q.q_bpe_encode,
@@ -95,7 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q.q_minhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
         # text analysis
-        "token_count_bpe": q.q_token_count_bpe,
         "gopher_quality": q.q_gopher_quality,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "pack_sequences": q.q_pack_sequences,
@@ -220,6 +220,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       sums through the _grouped_sum combiner→exchange; the join is the
       harder variant) + events_by_type (gated here) — driver-hash-
       verified r01, demoted round 3 to make window room for bpe_encode
+    * token_count_bpe → bpe_encode (the REAL trained-tokenizer
+      application over the same corpus — the regex approximation is
+      strictly subsumed) + gopher_quality (same pure per-batch
+      vectorized map shape); the BPE-ish regex count stays
+      oracle-checked here — driver-hash-verified r01 AND r02, demoted
+      round 3 to make window room for bitext_align
     * word_commonness → quality_tiers (driver-window entry that runs the
       SAME word_commonness substrate as its scoring stage and embeds the
       full word_commonness CTE in its oracle) + lm_score (the harder
@@ -235,6 +241,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "token_count_bpe": q.q_token_count_bpe,
         "word_commonness": q.q_word_commonness,
         "knn_topk": q.q_knn_topk,
         "unique_sentences": q.q_unique_sentences,
@@ -2094,7 +2101,9 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): extract_lineage (xxhash
         # bucketing), media_features (codec actor pool), image_near_dup /
         # audio_near_dup (BMP/WAV decode + perceptual fingerprints;
-        # value-pinned by brute-force pytest oracles).  Everything else in
+        # value-pinned by brute-force pytest oracles), bitext_align
+        # (float-cost Gale-Church DP; golden beads + invariants pinned
+        # in tests/test_bitext_align.py).  Everything else in
         # queries() — including embedding_near_dup (planted-twin view) and
         # knn_ivf (full probe == exact), both rows-only before round 3 —
         # is oracle-backed above.  Legacy (merged) entries keep their

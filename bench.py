@@ -114,6 +114,8 @@ def extra_queries(sf_dir: str) -> dict:
         # session-6: integer-exact bigram-LM fluency scoring (the CCNet
         # perplexity-filter analog)
         "lm_score": lambda: _consume(q.q_lm_score(sf_dir)),
+        # session-6: Gale-Church sentence alignment over mined pairs
+        "bitext_align": lambda: _consume(q.q_bitext_align(sf_dir)),
     }
 
 

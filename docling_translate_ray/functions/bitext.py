@@ -100,3 +100,140 @@ def bitext_mine(ds_src, ds_tgt, id_column: str = "vec_id",
 
     return partition_join(best_st, best_ts, on=["src_id", "tgt_id"],
                           how="semi", num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Gale-Church sentence alignment — the stage AFTER mining: given paired
+# documents, align their sentence sequences into beads.
+
+_GC_PENALTY = {  # -100·log(P(match type)/P(1-1)), Gale & Church 1993 tbl 5
+    (1, 1): 0, (1, 0): 450, (0, 1): 450,
+    (2, 1): 230, (1, 2): 230, (2, 2): 440,
+}
+_GC_MOVES = ((1, 1), (1, 0), (0, 1), (2, 1), (1, 2), (2, 2))
+_GC_C = 1.0     # expected tgt chars per src char
+_GC_S2 = 6.8    # variance per src char
+_GC_BIG = 2500  # cost floor for vanishing probabilities
+
+_BEAD_SCHEMA = pa.schema([
+    ("pair_id", pa.int64()),
+    ("bead_id", pa.int64()),
+    ("src_lo", pa.int64()),
+    ("src_n", pa.int64()),
+    ("tgt_lo", pa.int64()),
+    ("tgt_n", pa.int64()),
+    ("bead", pa.string()),
+])
+
+
+def _gc_match_cost(l1: int, l2: int) -> float:
+    """-100·log P(length delta) under the Gale-Church normal model."""
+    import math
+
+    if l1 == 0 and l2 == 0:
+        return 0.0
+    mean = (l1 + l2 / _GC_C) / 2.0
+    z = (_GC_C * l1 - l2) / math.sqrt(_GC_S2 * mean)
+    pd = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2.0))))
+    if pd > 0.0:
+        return min(-100.0 * math.log(pd), _GC_BIG)
+    return _GC_BIG
+
+
+def _gc_align_one(src_lens: list[int], tgt_lens: list[int]):
+    """Full O(n·m) DP over one sentence-length pair; returns beads as
+    (src_lo, src_n, tgt_lo, tgt_n) in reading order.  Ties break to the
+    earliest move in ``_GC_MOVES`` (strict improvement required), so the
+    output is deterministic."""
+    n, m = len(src_lens), len(tgt_lens)
+    inf = float("inf")
+    cost = [[inf] * (m + 1) for _ in range(n + 1)]
+    back = [[None] * (m + 1) for _ in range(n + 1)]
+    cost[0][0] = 0.0
+    ps = [0]
+    for v in src_lens:
+        ps.append(ps[-1] + v)
+    pt = [0]
+    for v in tgt_lens:
+        pt.append(pt[-1] + v)
+    for i in range(n + 1):
+        for j in range(m + 1):
+            base = cost[i][j]
+            if base == inf:
+                continue
+            for di, dj in _GC_MOVES:
+                ni, nj = i + di, j + dj
+                if ni > n or nj > m:
+                    continue
+                c = (base + _GC_PENALTY[(di, dj)]
+                     + _gc_match_cost(ps[ni] - ps[i], pt[nj] - pt[j]))
+                if c < cost[ni][nj]:
+                    cost[ni][nj] = c
+                    back[ni][nj] = (di, dj)
+    beads = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        di, dj = back[i][j]
+        i, j = i - di, j - dj
+        beads.append((i, di, j, dj))
+    beads.reverse()
+    return beads
+
+
+def gale_church_align(ds, id_column: str = "pair_id",
+                      src_column: str = "src_sents",
+                      tgt_column: str = "tgt_sents",
+                      max_sentences: int = 5_000):
+    """Align each row's two sentence lists into Gale-Church beads.
+
+    Model: Gale & Church 1993, "A Program for Aligning Sentences in
+    Bilingual Corpora" — dynamic programming over CHARACTER lengths
+    with a normal model of length ratios (c=1, s²=6.8) and the paper's
+    prior penalties for 1-1/1-0/0-1/2-1/1-2/2-2 beads.  Costs are
+    floats but the DP runs wholly inside one task per pair with strict-
+    improvement tie-breaking, so results are deterministic and
+    partition-invariant; cross-engine float lockstep is NOT required
+    because no hash-compared oracle exists for a DP (driver entry is
+    rows-only; pytest pins golden beads + structural invariants).
+
+    Physical shape: pure per-batch ``map_batches`` — each pair's DP is
+    an independent unit of work (the row loop IS the work, not a
+    disguised aggregation), so the operator scales linearly with pairs
+    and never shuffles.  The DP is O(n·m) per pair; ``max_sentences``
+    fences the exact tool loudly (the repo's convention) — production
+    alignment of book-length pairs pre-splits on anchors first.
+
+    Output: ``(pair_id, bead_id, src_lo, src_n, tgt_lo, tgt_n, bead)``
+    where bead ∈ {"1-1","1-0","0-1","2-1","1-2","2-2"} and the beads
+    partition both sentence ranges in order.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        srcs = batch[src_column].to_pylist()
+        tgts = batch[tgt_column].to_pylist()
+        out = {k: [] for k in ("pair_id", "bead_id", "src_lo", "src_n",
+                               "tgt_lo", "tgt_n", "bead")}
+        for pid, ss, ts in zip(ids, srcs, tgts):
+            ss = ss or []
+            ts = ts or []
+            if len(ss) > max_sentences or len(ts) > max_sentences:
+                raise ValueError(
+                    f"gale_church_align: pair {pid} has "
+                    f"{len(ss)}×{len(ts)} sentences (> max_sentences="
+                    f"{max_sentences}) — the O(n·m) exact DP is fenced; "
+                    "pre-split on anchor points first")
+            beads = _gc_align_one([len(s or "") for s in ss],
+                                  [len(t or "") for t in ts])
+            for b, (slo, sn, tlo, tn) in enumerate(beads):
+                out["pair_id"].append(pid)
+                out["bead_id"].append(b)
+                out["src_lo"].append(slo)
+                out["src_n"].append(sn)
+                out["tgt_lo"].append(tlo)
+                out["tgt_n"].append(tn)
+                out["bead"].append(f"{sn}-{tn}")
+        return pa.table(out, schema=_BEAD_SCHEMA)
+
+    return ds.select_columns([id_column, src_column, tgt_column]).map_batches(
+        fn, batch_format="pyarrow")

@@ -2199,3 +2199,41 @@ def q_lm_score(sf_dir: str):
     scratch = "/tmp/dtr_lm_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     return bigram_lm_score(
         _read(sf_dir, "documents", ["doc_id", "text"]), scratch_dir=scratch)
+
+
+def q_bitext_align(sf_dir: str):
+    """Gale-Church sentence alignment (functions/bitext
+    .gale_church_align) over deterministic pseudo-bitext pairs built
+    from the documents table: src = the doc's words chunked into
+    5-word sentences; tgt = a per-doc deterministic perturbation
+    (doc_id % 3: identity / first-two-merged / first-dropped) so the
+    output provably contains 1-1, 2-1 and deletion beads — non-vacuous
+    rows-only evidence (a float-cost DP has no SQL oracle; golden beads
+    and structural invariants are pinned in tests/test_bitext_align.py)."""
+    from docling_translate_ray.functions.bitext import gale_church_align
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        pair_id, srcs, tgts = [], [], []
+        for d, t in zip(ids, texts):
+            ws = (t or "").split()
+            sents = [" ".join(ws[i:i + 5]) for i in range(0, len(ws), 5)]
+            tgt = list(sents)
+            if d % 3 == 1 and len(tgt) >= 2:
+                tgt = [tgt[0] + " " + tgt[1]] + tgt[2:]
+            elif d % 3 == 2 and len(tgt) >= 1:
+                tgt = tgt[1:]
+            pair_id.append(d)
+            srcs.append(sents)
+            tgts.append(tgt)
+        return pa.table({
+            "pair_id": pa.array(pair_id, pa.int64()),
+            "src_sents": pa.array(srcs, pa.list_(pa.string())),
+            "tgt_sents": pa.array(tgts, pa.list_(pa.string())),
+        })
+
+    return gale_church_align(
+        docs.map_batches(build_pairs, batch_format="pyarrow"))
