@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl-frontier scheduling
         "lm_score": q.q_lm_score,
         "bitext_align": q.q_bitext_align,
+        "profile_orders": q.q_profile_orders,
         "train_shards": q.q_train_shards,
         "quality_tiers": q.q_quality_tiers,
         "bpe_encode": q.q_bpe_encode,
@@ -107,8 +108,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q.q_user_sessions,
         # composite curation pipeline
         "curate": q.q_curate,
-        # multimodal plumbing
-        "media_features": q.q_media_features,
     }
 
 
@@ -220,6 +219,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       sums through the _grouped_sum combiner→exchange; the join is the
       harder variant) + events_by_type (gated here) — driver-hash-
       verified r01, demoted round 3 to make window room for bpe_encode
+    * media_features → image_near_dup / audio_near_dup (in-window
+      entries that drive the SAME multimodal actor-pool plumbing and
+      the REAL BMP/WAV codec kernels, with brute-force pytest oracles
+      pinning the fingerprints — strictly stronger evidence than this
+      rows-only featurizer row) — driver rows-only-verified r01 AND
+      r02, demoted round 3 to make window room for profile_orders
     * token_count_bpe → bpe_encode (the REAL trained-tokenizer
       application over the same corpus — the regex approximation is
       strictly subsumed) + gopher_quality (same pure per-batch
@@ -241,6 +246,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
         "word_commonness": q.q_word_commonness,
         "knn_topk": q.q_knn_topk,
@@ -1744,6 +1750,35 @@ def oracle_sql() -> dict[str, str]:
                    (sum(f.cnt * s.s) // sum(f.cnt))::BIGINT AS lm_avg
             FROM feat f JOIN s ON f.w1 = s.w1 AND f.w2 = s.w2
             GROUP BY f.doc_id
+        """,
+        # single-pass column profiler (functions/profile.py): one row
+        # per profiled column; min/max in the canonical VARCHAR form
+        "profile_orders": """
+            SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count(o_orderkey))::BIGINT AS null_cnt,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*)::BIGINT,
+                   (count(*) - count(o_custkey))::BIGINT,
+                   count(DISTINCT o_custkey)::BIGINT,
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*)::BIGINT,
+                   (count(*) - count(o_orderstatus))::BIGINT,
+                   count(DISTINCT o_orderstatus)::BIGINT,
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*)::BIGINT,
+                   (count(*) - count(o_orderpriority))::BIGINT,
+                   count(DISTINCT o_orderpriority)::BIGINT,
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
         """,
         # composite mixture builder: quality gate (the `quality` oracle
         # formula) -> DSIR scores over the survivors (same CTEs as

@@ -116,6 +116,8 @@ def extra_queries(sf_dir: str) -> dict:
         "lm_score": lambda: _consume(q.q_lm_score(sf_dir)),
         # session-6: Gale-Church sentence alignment over mined pairs
         "bitext_align": lambda: _consume(q.q_bitext_align(sf_dir)),
+        # session-6: single-pass column profiler
+        "profile_orders": lambda: _consume(q.q_profile_orders(sf_dir)),
     }
 
 

@@ -2237,3 +2237,15 @@ def q_bitext_align(sf_dir: str):
 
     return gale_church_align(
         docs.map_batches(build_pairs, batch_format="pyarrow"))
+
+
+def q_profile_orders(sf_dir: str):
+    """Single-pass column profiling (functions/profile.profile_columns)
+    of the orders table's integer/string columns: per column row count,
+    null count, exact distinct count, canonical-string min/max."""
+    from docling_translate_ray.functions.profile import profile_columns
+
+    return profile_columns(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
