@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (45 as of round 3) with documented
+    :func:`queries_legacy` (48 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (95 entries total, 86 DuckDB-oracled)."""
+    (98 entries total, 88 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {

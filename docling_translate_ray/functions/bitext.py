@@ -183,7 +183,8 @@ def _gc_align_one(src_lens: list[int], tgt_lens: list[int]):
 def gale_church_align(ds, id_column: str = "pair_id",
                       src_column: str = "src_sents",
                       tgt_column: str = "tgt_sents",
-                      max_sentences: int = 5_000):
+                      max_sentences: int = 5_000,
+                      emit_text: bool = False):
     """Align each row's two sentence lists into Gale-Church beads.
 
     Model: Gale & Church 1993, "A Program for Aligning Sentences in
@@ -205,15 +206,24 @@ def gale_church_align(ds, id_column: str = "pair_id",
 
     Output: ``(pair_id, bead_id, src_lo, src_n, tgt_lo, tgt_n, bead)``
     where bead ∈ {"1-1","1-0","0-1","2-1","1-2","2-2"} and the beads
-    partition both sentence ranges in order.
+    partition both sentence ranges in order.  With ``emit_text=True``
+    two more columns carry the space-joined bead text (``src_text``,
+    ``tgt_text``) — the aligned sentence pairs a translation-training
+    corpus actually consumes (deletion/insertion beads emit the empty
+    string on the absent side, so downstream keeps or drops them by
+    ``bead``).
     """
+    schema = _BEAD_SCHEMA
+    if emit_text:
+        schema = pa.schema(list(_BEAD_SCHEMA)
+                           + [pa.field("src_text", pa.string()),
+                              pa.field("tgt_text", pa.string())])
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_pylist()
         srcs = batch[src_column].to_pylist()
         tgts = batch[tgt_column].to_pylist()
-        out = {k: [] for k in ("pair_id", "bead_id", "src_lo", "src_n",
-                               "tgt_lo", "tgt_n", "bead")}
+        out = {k: [] for k in schema.names}
         for pid, ss, ts in zip(ids, srcs, tgts):
             ss = ss or []
             ts = ts or []
@@ -233,7 +243,12 @@ def gale_church_align(ds, id_column: str = "pair_id",
                 out["tgt_lo"].append(tlo)
                 out["tgt_n"].append(tn)
                 out["bead"].append(f"{sn}-{tn}")
-        return pa.table(out, schema=_BEAD_SCHEMA)
+                if emit_text:
+                    out["src_text"].append(
+                        " ".join(s or "" for s in ss[slo:slo + sn]))
+                    out["tgt_text"].append(
+                        " ".join(t or "" for t in ts[tlo:tlo + tn]))
+        return pa.table(out, schema=schema)
 
     return ds.select_columns([id_column, src_column, tgt_column]).map_batches(
         fn, batch_format="pyarrow")

@@ -94,6 +94,20 @@ def test_dataset_beads_and_schema():
         _check_partition(beads, n_src, n_tgt)
 
 
+def test_emit_text_pairs():
+    import ray.data
+
+    out = gale_church_align(
+        ray.data.from_arrow(_pairs_table()), emit_text=True).to_pandas()
+    assert {"src_text", "tgt_text"} <= set(out.columns)
+    p1 = out[out.pair_id == 1].sort_values("bead_id")
+    assert list(p1["src_text"]) == ["one two three four", "five six"]
+    assert list(p1["tgt_text"]) == ["one two three four", "five six"]
+    # deletion/insertion beads emit empty on the absent side
+    p2 = out[out.pair_id == 2].iloc[0]
+    assert p2.src_text == "" and p2.tgt_text == "orphan"
+
+
 def test_max_sentences_fence():
     import ray.data
 
