@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q.q_lm_score,
         "bitext_align": q.q_bitext_align,
         "profile_orders": q.q_profile_orders,
+        "url_pair_mine": q.q_url_pair_mine,
         "train_shards": q.q_train_shards,
         "quality_tiers": q.q_quality_tiers,
         "bpe_encode": q.q_bpe_encode,
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_mask": q.q_dup_span_mask,
         # text analysis
         "gopher_quality": q.q_gopher_quality,
-        "lang_token_quantiles": q.q_lang_token_quantiles,
         "pack_sequences": q.q_pack_sequences,
         "decontaminate": q.q_decontaminate,
         "search_rank": q.q_search_rank,
@@ -219,6 +219,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       sums through the _grouped_sum combiner→exchange; the join is the
       harder variant) + events_by_type (gated here) — driver-hash-
       verified r01, demoted round 3 to make window room for bpe_encode
+    * lang_token_quantiles → quality_tiers (in-window entry built on the
+      SAME histogram-combiner + boundary-pick quantile kernel, driven
+      end-to-end through tier labeling) + token_quantiles (gated here,
+      same kernel unkeyed); the per-lang keying stays oracle-checked
+      here — driver-hash-verified r01 AND r02, demoted round 3 to make
+      window room for url_pair_mine
     * media_features → image_near_dup / audio_near_dup (in-window
       entries that drive the SAME multimodal actor-pool plumbing and
       the REAL BMP/WAV codec kernels, with brute-force pytest oracles
@@ -246,6 +252,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
         "word_commonness": q.q_word_commonness,
@@ -1751,6 +1758,33 @@ def oracle_sql() -> dict[str, str]:
             FROM feat f JOIN s ON f.w1 = s.w1 AND f.w2 = s.w2
             GROUP BY f.doc_id
         """,
+        # CCAligned/STRAND URL-pattern bitext document alignment
+        # (functions/urltools.url_pair_mine): @LANGSEG@ is the frozen
+        # language-segment regex (identical string on both engines —
+        # no lookaround); min-id representative per (site_key, lang);
+        # DuckDB regexp_extract returns '' on no-match where polars
+        # returns null — both filtered
+        "url_pair_mine": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://s' || ((doc_id // 3) % 211) || '.example/'
+                       || lang || '/a' || (doc_id // 3) AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     regexp_replace(url, '@LANGSEG@', '/*\2', 'g')
+                       AS site_key,
+                     regexp_extract(url, '@LANGSEG@', 1) AS url_lang
+              FROM u),
+            r AS (
+              SELECT site_key, url_lang, min(doc_id) AS rep
+              FROM c WHERE url_lang IS NOT NULL AND url_lang <> ''
+              GROUP BY 1, 2)
+            SELECT s.site_key, s.rep AS src_id, t.rep AS tgt_id,
+                   t.url_lang AS tgt_lang
+            FROM r s JOIN r t ON s.site_key = t.site_key
+            WHERE s.url_lang = 'en' AND t.url_lang <> 'en'
+        """,
         # single-pass column profiler (functions/profile.py): one row
         # per profiled column; min/max in the canonical VARCHAR form
         "profile_orders": """
@@ -2144,5 +2178,8 @@ def oracle_sql() -> dict[str, str]:
         # is oracle-backed above.  Legacy (merged) entries keep their
         # oracles here for tools/check_contract.py.
     }
+    from docling_translate_ray.functions.urltools import URL_LANG_SEG_RE
+
     return {k: v.replace("@NONWS@", _NONWS).replace("@WSCLASS@", _WS_CLASS)
+            .replace("@LANGSEG@", URL_LANG_SEG_RE)
             for k, v in raw.items()}

@@ -118,6 +118,8 @@ def extra_queries(sf_dir: str) -> dict:
         "bitext_align": lambda: _consume(q.q_bitext_align(sf_dir)),
         # session-6: single-pass column profiler
         "profile_orders": lambda: _consume(q.q_profile_orders(sf_dir)),
+        # session-6: CCAligned-style URL-pattern bitext doc alignment
+        "url_pair_mine": lambda: _consume(q.q_url_pair_mine(sf_dir)),
     }
 
 

@@ -238,3 +238,103 @@ def host_reputation(ds, url_column: str = "url", text_column: str = "text",
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL-pattern bitext document alignment (CCAligned / STRAND first stage)
+
+# frozen language-segment set: the corpus's lang_map codes.  Longest
+# codes first so both regex engines (rust-regex / RE2) pick identical
+# alternation matches; no lookaround anywhere.
+URL_LANG_CODES = (
+    "zh-TW en ko ja zh fr de es it pt ru ar hi th vi id nl pl tr uk "
+    "cs sv da fi el he hu ro bg no"
+).split()
+_LANG_ALT = "|".join(
+    sorted(URL_LANG_CODES, key=len, reverse=True)).replace("-", r"\-")
+# a language PATH SEGMENT: '/'+code followed by '/' or end-of-path.
+# Greedy leftmost non-overlapping global replace — identical semantics
+# in polars (rust-regex) and the DuckDB oracle (RE2): consecutive lang
+# segments share the boundary slash, so only the first of a '/en/ko/'
+# run is starred (the spec, pinned in tests).
+URL_LANG_SEG_RE = "/(" + _LANG_ALT + ")(/|$)"
+
+
+def url_pair_mine(ds, url_column: str = "url", id_column: str = "doc_id",
+                  src_lang: str = "en", num_partitions: int = 32):
+    """Mine cross-language document pairs from URL structure — the
+    CCAligned (El-Kishky et al. 2020) / STRAND (Resnik 1999) first
+    stage: two URLs that differ ONLY in a language path segment very
+    likely hold the same content in two languages.
+
+    Spec (the oracle mirrors it regex-for-regex):
+
+    * ``site_key`` = url with every language segment replaced by
+      ``/*`` (keeping the boundary), global leftmost replace;
+    * ``url_lang`` = the FIRST language segment in the url (NULL when
+      none — such urls can never pair);
+    * one representative per (site_key, lang): the MINIMUM id (keeps
+      the pairing linear in keys — never quadratic in documents);
+    * output one row per (site_key, target-language representative)
+      where the key also has a ``src_lang`` representative:
+      ``(site_key, src_id, tgt_id, tgt_lang)``.
+
+    Scale shape: vectorized regex kernels per batch + a per-batch
+    min-id combiner, then ONE exchange keyed on ``site_key`` alone —
+    the (key, lang) minimization and the src×tgt pairing are both
+    key-local.  Payload: one short key + code + int per (batch, key,
+    lang).  The text never moves; downstream feeds the id pairs to
+    ``gale_church_align`` after a semi-join fetch.
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    out_schema = pa.schema([
+        ("site_key", pa.string()),
+        ("src_id", pa.int64()),
+        ("tgt_id", pa.int64()),
+        ("tgt_lang", pa.string()),
+    ])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch.select([id_column, url_column]))
+            .rename({id_column: "_id", url_column: "_u"})
+            .with_columns(pl.col("_id").cast(pl.Int64),
+                          pl.col("_u").fill_null(""))
+            .with_columns(
+                pl.col("_u").str.replace_all(URL_LANG_SEG_RE, "/*${2}")
+                .alias("site_key"),
+                pl.col("_u").str.extract(URL_LANG_SEG_RE, 1)
+                .alias("url_lang"),
+            )
+            .filter(pl.col("url_lang").is_not_null())
+            .group_by(["site_key", "url_lang"])
+            .agg(pl.col("_id").min().alias("rep"))
+        )
+        return df.to_arrow().cast(pa.schema(
+            [("site_key", pa.string()), ("url_lang", pa.string()),
+             ("rep", pa.int64())]))
+
+    def pair_block(part: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(part)
+            .group_by(["site_key", "url_lang"])
+            .agg(pl.col("rep").min())
+        )
+        src = (df.filter(pl.col("url_lang") == src_lang)
+               .select("site_key", pl.col("rep").alias("src_id")))
+        tgt = (df.filter(pl.col("url_lang") != src_lang)
+               .select("site_key", pl.col("rep").alias("tgt_id"),
+                       pl.col("url_lang").alias("tgt_lang")))
+        return (
+            src.join(tgt, on="site_key", how="inner")
+            .select(["site_key", "src_id", "tgt_id", "tgt_lang"])
+            .to_arrow().cast(out_schema)
+        )
+
+    return hash_partition_apply(
+        ds.select_columns([id_column, url_column]).map_batches(
+            combiner, batch_format="pyarrow"),
+        ["site_key"], pair_block, num_partitions=num_partitions)

@@ -2249,3 +2249,27 @@ def q_profile_orders(sf_dir: str):
         _read(sf_dir, "orders",
               ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+def q_url_pair_mine(sf_dir: str):
+    """CCAligned/STRAND-style URL-pattern bitext document alignment
+    (functions/urltools.url_pair_mine) over deterministic multilingual
+    site URLs built from the documents table (groups of 3 consecutive
+    doc_ids share one site+path, each under its own real lang segment):
+    star the language segment, one representative per (site_key, lang),
+    pair the en representative with every other-language representative.
+    Oracle mirrors the regexes and the min-id pairing rule-for-rule."""
+    import polars as pl
+
+    from docling_translate_ray.functions.urltools import url_pair_mine
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            ("https://s" + ((pl.col("doc_id") // 3) % 211).cast(pl.String)
+             + ".example/" + pl.col("lang") + "/a"
+             + (pl.col("doc_id") // 3).cast(pl.String)).alias("url"))
+        return df.select(["doc_id", "url"]).to_arrow()
+
+    return url_pair_mine(docs.map_batches(synth, batch_format="pyarrow"))

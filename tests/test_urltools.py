@@ -155,3 +155,83 @@ def test_url_dedup_partition_invariant():
     b = url_dedup(ray.data.from_arrow(t).repartition(7), num_partitions=16).take_all()
     key = lambda r: r["canonical_url"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+# ---------------------------------------------------------------------------
+# url_pair_mine (CCAligned/STRAND URL-pattern document alignment)
+
+
+def _mine(rows, **kw):
+    import pyarrow as pa
+    import ray.data
+
+    from docling_translate_ray.functions.urltools import url_pair_mine
+
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = url_pair_mine(ray.data.from_arrow(tbl), **kw).to_pandas()
+    return sorted(map(tuple, out.values.tolist()))
+
+
+def test_url_pair_mine_basic_pairing():
+    rows = [
+        (1, "https://a.example/en/page"),
+        (2, "https://a.example/ko/page"),
+        (3, "https://a.example/de/page"),
+        (4, "https://b.example/ko/page"),   # no en rep -> no pair
+        (5, "https://a.example/plain"),     # no lang segment -> ignored
+    ]
+    got = _mine(rows)
+    assert got == [
+        ("https://a.example/*/page", 1, 2, "ko"),
+        ("https://a.example/*/page", 1, 3, "de"),
+    ]
+
+
+def test_url_pair_mine_min_id_representative():
+    rows = [
+        (9, "https://a.example/en/p"),
+        (4, "https://a.example/en/p"),   # duplicate en -> rep = 4
+        (7, "https://a.example/fr/p"),
+        (6, "https://a.example/fr/p"),   # duplicate fr -> rep = 6
+    ]
+    assert _mine(rows) == [("https://a.example/*/p", 4, 6, "fr")]
+
+
+def test_url_pair_mine_spec_edges_duckdb_lockstep():
+    """Edge urls (consecutive lang segments, lang at end-of-path,
+    zh-TW longest-first) — polars and DuckDB must star the SAME key."""
+    import duckdb
+    import polars as pl
+
+    from docling_translate_ray.functions.urltools import URL_LANG_SEG_RE
+
+    urls = [
+        "https://a.example/en/ko/page",   # only first of the run starred
+        "https://a.example/docs/en",      # segment at end
+        "https://a.example/zh-TW/p",      # longest-first alternation
+        "https://a.example/entry/p",      # 'en' not a whole segment
+        "https://a.example/zh/p",
+    ]
+    got = pl.Series(urls).str.replace_all(
+        URL_LANG_SEG_RE, "/*${2}").to_list()
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT regexp_replace(?, ?, '/*\\2', 'g')",
+        [u, URL_LANG_SEG_RE]).fetchone()[0] for u in urls]
+    assert got == want
+    assert got[0] == "https://a.example/*/ko/page"
+    assert got[1] == "https://a.example/docs/*"
+    assert got[2] == "https://a.example/*/p"
+    assert got[3] == "https://a.example/entry/p"
+
+
+def test_url_pair_mine_partition_invariance():
+    rows = [(i, f"https://s{i % 5}.example/"
+                + ("en" if i % 3 == 0 else "fr") + f"/a{i % 7}")
+            for i in range(60)]
+    a = _mine(rows, num_partitions=1)
+    b = _mine(rows, num_partitions=8)
+    assert a == b and len(a) > 0
