@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (48 as of round 3) with documented
+    :func:`queries_legacy` (50 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (98 entries total, 88 DuckDB-oracled)."""
+    (100 entries total, 89 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
         "bitext_align": q.q_bitext_align,
         "profile_orders": q.q_profile_orders,
@@ -92,7 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the retired extract_pages window entry)
         "warc_extract": q.q_warc_extract,
         "score_upper": q.q_score_upper,
-        "extract_lineage": q.q_extract_lineage,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_near_dup": q.q_minhash_near_dup,
@@ -248,6 +248,13 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       brute-force broadcast-matrix kernel stays oracle-checked here and
       pinned in pytest) — driver-hash-verified r01 AND r02, demoted
       round 3 to make window room for quality_tiers
+    * extract_lineage → warc_extract (in-window entry driving the SAME
+      extract DAG whose per-stage lineage this query aggregates) +
+      curate / mixture / bitext_pipeline (composites whose stage counts
+      exercise the same durable-stats contract); the lineage sums stay
+      pinned by test_lineage_sums_match_output and gated rows-only here
+      — driver rows-only-verified r01 AND r02, demoted round 3 to make
+      window room for bitext_pipeline (the end-to-end bitext composite)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -301,6 +308,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "langid": q.q_langid,
         "chunk_docs": q.q_chunk_docs,
         "lang_map": q.q_lang_map,
+        "extract_lineage": q.q_extract_lineage,
     }
 
 
@@ -2172,7 +2180,10 @@ def oracle_sql() -> dict[str, str]:
         # audio_near_dup (BMP/WAV decode + perceptual fingerprints;
         # value-pinned by brute-force pytest oracles), bitext_align
         # (float-cost Gale-Church DP; golden beads + invariants pinned
-        # in tests/test_bitext_align.py).  Everything else in
+        # in tests/test_bitext_align.py), bitext_pipeline (composite
+        # ending in that same DP; its mining stage is oracle-backed via
+        # url_pair_mine and its contract via
+        # tests/test_bitext_pipeline.py).  Everything else in
         # queries() — including embedding_near_dup (planted-twin view) and
         # knn_ivf (full probe == exact), both rows-only before round 3 —
         # is oracle-backed above.  Legacy (merged) entries keep their

@@ -120,6 +120,9 @@ def extra_queries(sf_dir: str) -> dict:
         "profile_orders": lambda: _consume(q.q_profile_orders(sf_dir)),
         # session-6: CCAligned-style URL-pattern bitext doc alignment
         "url_pair_mine": lambda: _consume(q.q_url_pair_mine(sf_dir)),
+        # session-7: the full bitext factory composite (mine → semi-
+        # filtered sentencize → align), staged through durable parquet
+        "bitext_pipeline": lambda: _consume(q.q_bitext_pipeline(sf_dir)),
     }
 
 

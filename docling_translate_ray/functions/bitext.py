@@ -184,7 +184,8 @@ def gale_church_align(ds, id_column: str = "pair_id",
                       src_column: str = "src_sents",
                       tgt_column: str = "tgt_sents",
                       max_sentences: int = 5_000,
-                      emit_text: bool = False):
+                      emit_text: bool = False,
+                      passthrough: list[str] | None = None):
     """Align each row's two sentence lists into Gale-Church beads.
 
     Model: Gale & Church 1993, "A Program for Aligning Sentences in
@@ -211,20 +212,26 @@ def gale_church_align(ds, id_column: str = "pair_id",
     ``tgt_text``) — the aligned sentence pairs a translation-training
     corpus actually consumes (deletion/insertion beads emit the empty
     string on the absent side, so downstream keeps or drops them by
-    ``bead``).
+    ``bead``).  ``passthrough`` columns are replicated onto every bead
+    row of their pair (join-free lineage for composite pipelines).
     """
-    schema = _BEAD_SCHEMA
-    if emit_text:
-        schema = pa.schema(list(_BEAD_SCHEMA)
-                           + [pa.field("src_text", pa.string()),
-                              pa.field("tgt_text", pa.string())])
+    passthrough = list(passthrough or [])
 
     def fn(batch: pa.Table) -> pa.Table:
+        schema = _BEAD_SCHEMA
+        if emit_text:
+            schema = pa.schema(list(schema)
+                               + [pa.field("src_text", pa.string()),
+                                  pa.field("tgt_text", pa.string())])
+        if passthrough:
+            schema = pa.schema(
+                list(schema) + [batch.schema.field(c) for c in passthrough])
         ids = batch[id_column].to_pylist()
         srcs = batch[src_column].to_pylist()
         tgts = batch[tgt_column].to_pylist()
+        pcols = {c: batch[c].to_pylist() for c in passthrough}
         out = {k: [] for k in schema.names}
-        for pid, ss, ts in zip(ids, srcs, tgts):
+        for ridx, (pid, ss, ts) in enumerate(zip(ids, srcs, tgts)):
             ss = ss or []
             ts = ts or []
             if len(ss) > max_sentences or len(ts) > max_sentences:
@@ -248,7 +255,10 @@ def gale_church_align(ds, id_column: str = "pair_id",
                         " ".join(s or "" for s in ss[slo:slo + sn]))
                     out["tgt_text"].append(
                         " ".join(t or "" for t in ts[tlo:tlo + tn]))
+                for c in passthrough:
+                    out[c].append(pcols[c][ridx])
         return pa.table(out, schema=schema)
 
-    return ds.select_columns([id_column, src_column, tgt_column]).map_batches(
-        fn, batch_format="pyarrow")
+    return ds.select_columns(
+        [id_column, src_column, tgt_column] + passthrough
+    ).map_batches(fn, batch_format="pyarrow")

@@ -2239,6 +2239,35 @@ def q_bitext_align(sf_dir: str):
         docs.map_batches(build_pairs, batch_format="pyarrow"))
 
 
+def q_bitext_pipeline(sf_dir: str):
+    """The full bitext factory composite (pipelines/bitext
+    .run_bitext_job): URL-pattern pair mining → broadcast-or-exchange
+    semi-filtered sentencization → Gale-Church alignment with text
+    emission and join-free lineage passthrough, staged through durable
+    parquet with resume markers.  Corpus: the q_url_pair_mine
+    deterministic multilingual-site view of the documents table, text
+    included.  Rows-only driver evidence (the DP has no SQL oracle);
+    the mining stage is oracle-backed via url_pair_mine, the bead
+    semantics via tests/test_bitext_align.py, the composite contract
+    via tests/test_bitext_pipeline.py."""
+    import polars as pl
+
+    from docling_translate_ray.pipelines.bitext import run_bitext_job
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            ("https://s" + ((pl.col("doc_id") // 3) % 211).cast(pl.String)
+             + ".example/" + pl.col("lang") + "/a"
+             + (pl.col("doc_id") // 3).cast(pl.String)).alias("url"))
+        return df.select(["doc_id", "url", "text"]).to_arrow()
+
+    beads, _stats = run_bitext_job(
+        docs.map_batches(synth, batch_format="pyarrow"), num_partitions=16)
+    return beads
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,
