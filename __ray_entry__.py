@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (50 as of round 3) with documented
+    :func:`queries_legacy` (51 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (100 entries total, 89 DuckDB-oracled)."""
+    (101 entries total, 90 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
         "bitext_align": q.q_bitext_align,
@@ -105,7 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
-        "user_sessions": q.q_user_sessions,
         # composite curation pipeline
         "curate": q.q_curate,
     }
@@ -255,6 +255,14 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       pinned by test_lineage_sums_match_output and gated rows-only here
       — driver rows-only-verified r01 AND r02, demoted round 3 to make
       window room for bitext_pipeline (the end-to-end bitext composite)
+    * user_sessions → windowed_watermark_disorder (in-window entry from
+      the same event-time window-assignment family, watermark + late
+      rows included) + purchase_attribution (the same user-keyed
+      co-partitioned ordered-scan kernel over the events table,
+      functions/asof.py); the session-gap rule itself stays
+      oracle-checked here and pinned in pytest — driver-hash-verified
+      r01 AND r02, demoted round 3 to make window room for
+      boilerplate_strip (jusText-style main-content extraction)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -309,6 +317,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q.q_chunk_docs,
         "lang_map": q.q_lang_map,
         "extract_lineage": q.q_extract_lineage,
+        "user_sessions": q.q_user_sessions,
     }
 
 
@@ -1765,6 +1774,39 @@ def oracle_sql() -> dict[str, str]:
                    (sum(f.cnt * s.s) // sum(f.cnt))::BIGINT AS lm_avg
             FROM feat f JOIN s ON f.w1 = s.w1 AND f.w2 = s.w2
             GROUP BY f.doc_id
+        """,
+        # jusText-style boilerplate removal: the view wraps each doc's
+        # words into 12-word <p> blocks, fully link-wraps every 5th
+        # block (link density 1), and adds <nav> / "Read more" teaser /
+        # <footer>.  The oracle replays the planted truth: kept = 12-
+        # word chunks with (i-1) % 5 <> 4 and >= 5 words, page order;
+        # n_blocks = chunks + the 3 planted chrome blocks
+        "boilerplate_strip": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, i,
+                     array_to_string(ws[(i-1)*12+1 : i*12], ' ') AS ctext,
+                     len(ws[(i-1)*12+1 : i*12]) AS nw
+              FROM w, unnest(range(1, CAST(ceil(len(ws) / 12.0) AS BIGINT)
+                                      + 1)) AS t(i)),
+            k AS (
+              SELECT doc_id, i, ctext FROM c
+              WHERE (i-1) % 5 <> 4 AND nw >= 5),
+            a AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(ctext, chr(10) || chr(10) ORDER BY i)
+                       AS clean_text
+              FROM k GROUP BY doc_id),
+            nb AS (SELECT doc_id, count(*) AS nc FROM c GROUP BY doc_id)
+            SELECT w.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(nb.nc, 0) + 3 AS n_blocks,
+                   coalesce(a.n_kept, 0) AS n_kept
+            FROM w
+            LEFT JOIN a USING (doc_id)
+            LEFT JOIN nb USING (doc_id)
         """,
         # CCAligned/STRAND URL-pattern bitext document alignment
         # (functions/urltools.url_pair_mine): @LANGSEG@ is the frozen

@@ -123,6 +123,8 @@ def extra_queries(sf_dir: str) -> dict:
         # session-7: the full bitext factory composite (mine → semi-
         # filtered sentencize → align), staged through durable parquet
         "bitext_pipeline": lambda: _consume(q.q_bitext_pipeline(sf_dir)),
+        # session-7: jusText-style block-level boilerplate removal
+        "boilerplate_strip": lambda: _consume(q.q_boilerplate_strip(sf_dir)),
     }
 
 

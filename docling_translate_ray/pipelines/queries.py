@@ -2268,6 +2268,46 @@ def q_bitext_pipeline(sf_dir: str):
     return beads
 
 
+def q_boilerplate_strip(sf_dir: str):
+    """jusText-style block-level boilerplate removal (functions/
+    boilerplate.strip_boilerplate) over a deterministic blocked-HTML
+    view of the documents table: each doc's words wrap into 12-word
+    ``<p>`` blocks, every 5th block is fully link-wrapped (link
+    density 1 → dropped by the ≥½ rule), plus a ``<nav>`` menu, a
+    2-word "Read more" teaser (``min_words`` rule) and a ``<footer>``
+    (tag rule).  The oracle replays the planted construction: kept =
+    12-word chunks with chunk_index % 5 ≠ 4 and ≥ 5 words, joined in
+    page order."""
+    from docling_translate_ray.functions.boilerplate import strip_boilerplate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        htmls = []
+        for d, t in zip(ids, texts):
+            ws = (t or "").split()
+            parts = [f'<nav><a href="/">Home</a> | '
+                     f'<a href="/c{d % 7}">Cat {d % 7}</a></nav>']
+            for ci in range((len(ws) + 11) // 12):
+                s = " ".join(ws[ci * 12:ci * 12 + 12])
+                if ci % 5 == 4:
+                    parts.append(f'<p><a href="/l{ci}">{s}</a></p>')
+                else:
+                    parts.append(f"<p>{s}</p>")
+            parts.append("<p>Read more</p>")
+            parts.append(
+                f"<footer>© host{d % 211} all rights reserved</footer>")
+            htmls.append("<html><body>" + "".join(parts) + "</body></html>")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    return strip_boilerplate(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,

@@ -1,0 +1,162 @@
+"""Tests for functions/boilerplate.strip_boilerplate — the jusText-style
+block classifier: golden decisions per rule, the exact link-density
+boundary, a naive-reference fuzz, and Dataset-level behavior."""
+
+import re
+
+import pyarrow as pa
+
+from docling_translate_ray.functions.boilerplate import (
+    BLOCK_TAGS,
+    DROP_TAGS,
+    strip_boilerplate,
+)
+
+
+def _run(rows, min_words=5):
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "html": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = strip_boilerplate(ray.data.from_arrow(t), min_words=min_words)
+    got = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return got
+
+
+def _naive(html, min_words=5):
+    """Reference implementation: sequential scan, no vectorization."""
+    blocks = []
+    pat = re.compile(
+        "|".join(rf"<{t}\b[^>]*>.*?</{t}>" for t in BLOCK_TAGS), re.S)
+    for m in pat.finditer(html or ""):
+        raw = m.group(0)
+        tag = re.match(r"<([a-z]+)", raw).group(1)
+        inner = re.sub(r"^<[a-z]+[^>]*>", "", raw)
+        inner = re.sub(r"</[a-z]+>$", "", inner)
+        text = re.sub(r"<[^>]+>", "", inner)
+        link = sum(
+            len(re.sub(r"<[^>]+>", "", a))
+            for a in re.findall(r"<a\b[^>]*>.*?</a>", inner, re.S))
+        keep = (tag not in DROP_TAGS
+                and len(re.findall(r"\S+", text)) >= min_words
+                and 2 * link < len(text))
+        blocks.append((text, keep))
+    kept = [t for t, k in blocks if k]
+    return {"clean_text": "\n\n".join(kept), "n_blocks": len(blocks),
+            "n_kept": len(kept)}
+
+
+def test_golden_rules():
+    html = (
+        '<html><body>'
+        '<nav><a href="/">Home</a> | <a href="/c">Cat</a></nav>'
+        '<p>alpha beta gamma delta epsilon zeta</p>'
+        '<p><a href="/x">one two three four five six</a></p>'
+        '<li>item with enough words to keep it here</li>'
+        '<p>Read more</p>'
+        '<aside>sidebar junk links</aside>'
+        '<header>site title words here plenty of them</header>'
+        '<footer>© host all rights reserved</footer>'
+        '</body></html>')
+    [got] = _run([(1, html)])
+    assert got["n_blocks"] == 8
+    assert got["n_kept"] == 2
+    assert got["clean_text"] == (
+        "alpha beta gamma delta epsilon zeta\n\n"
+        "item with enough words to keep it here")
+
+
+def test_link_density_boundary():
+    # text "aaaa bbbb" (9 chars); link over "aaaa" → 2·4 < 9 → KEPT;
+    # link over "aaaaa" in "aaaaa bbb" (9 chars) → 2·5 ≥ 9 → DROPPED
+    kept = '<p><a href="#">aaaa</a> bbbb cccc dddd eeee</p>'
+    # 24 link chars of 49 total (2·24 < 49) → kept
+    assert _naive(kept)["n_kept"] == 1
+    [got] = _run([(1, kept)])
+    assert got["n_kept"] == 1
+    dropped = '<p><a href="#">aaaa bbbb cccc dddd</a> eeee</p>'
+    # 19 link chars of 24... compute: text 24 chars, link 19 → 38 ≥ 24
+    [got] = _run([(2, dropped)])
+    assert got["n_kept"] == 0
+    assert _naive(dropped)["n_kept"] == 0
+
+
+def test_exact_half_density_boundary():
+    # min_words=1 isolates the density rule.  "aaaa bbb" is 8 chars
+    # with a 4-char link → 2·4 >= 8 → DROPPED (boundary is inclusive);
+    # "aaaa bbbb" is 9 chars with the same link → 8 < 9 → KEPT.
+    at = '<p><a href="#">aaaa</a> bbb</p>'
+    below = '<p><a href="#">aaaa</a> bbbb</p>'
+    got = _run([(1, at), (2, below)], min_words=1)
+    assert got[0]["n_kept"] == 0
+    assert got[1]["n_kept"] == 1
+    assert _naive(at, min_words=1)["n_kept"] == 0
+    assert _naive(below, min_words=1)["n_kept"] == 1
+
+
+def test_min_words_and_empty():
+    rows = [
+        (1, "<p>only four words here</p>"),
+        (2, "<p></p>"),
+        (3, ""),
+        (4, None),
+        (5, "no blocks at all just text"),
+    ]
+    got = _run(rows)
+    assert [r["n_kept"] for r in got] == [0, 0, 0, 0, 0]
+    assert [r["n_blocks"] for r in got] == [1, 1, 0, 0, 0]
+    assert all(r["clean_text"] == "" for r in got)
+    # min_words=4 keeps the first one
+    got = _run(rows, min_words=4)
+    assert got[0]["n_kept"] == 1
+    assert got[0]["clean_text"] == "only four words here"
+
+
+def test_fuzz_against_naive_reference():
+    import random
+
+    rng = random.Random(77)
+    words = ["alpha", "b", "gamma", "delta", "ee", "zeta", "eta", "theta"]
+    rows = []
+    for d in range(60):
+        parts = []
+        for _ in range(rng.randrange(0, 8)):
+            tag = rng.choice(BLOCK_TAGS)
+            n = rng.randrange(0, 12)
+            toks = [rng.choice(words) for _ in range(n)]
+            if toks and rng.random() < 0.5:
+                cut = rng.randrange(0, len(toks) + 1)
+                inner = (f'<a href="/{d}">' + " ".join(toks[:cut])
+                         + "</a>" + (" " if cut and cut < len(toks) else "")
+                         + " ".join(toks[cut:]))
+            else:
+                inner = " ".join(toks)
+            parts.append(f"<{tag}>{inner}</{tag}>")
+        rows.append((d, "".join(parts)))
+    got = _run(rows)
+    for (d, html), g in zip(rows, got):
+        exp = _naive(html)
+        assert g["n_blocks"] == exp["n_blocks"], (d, html)
+        assert g["n_kept"] == exp["n_kept"], (d, html)
+        assert g["clean_text"] == exp["clean_text"], (d, html)
+
+
+def test_driver_query_matches_oracle(sf_dir):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["boilerplate_strip"](sf_dir).take_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    exp = con.execute(
+        entrymod.oracle_sql()["boilerplate_strip"]).arrow().to_pylist()
+    got.sort(key=lambda r: r["doc_id"])
+    exp.sort(key=lambda r: r["doc_id"])
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g == e
