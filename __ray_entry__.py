@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (51 as of round 3) with documented
+    :func:`queries_legacy` (52 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (101 entries total, 90 DuckDB-oracled)."""
+    (102 entries total, 91 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "host_components": q.q_host_components,
         "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
@@ -101,7 +102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "gopher_quality": q.q_gopher_quality,
         "pack_sequences": q.q_pack_sequences,
-        "decontaminate": q.q_decontaminate,
         "search_rank": q.q_search_rank,
         "pagerank": q.q_pagerank,
         # joins (shuffle + broadcast) and windows
@@ -263,6 +263,13 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       oracle-checked here and pinned in pytest — driver-hash-verified
       r01 AND r02, demoted round 3 to make window room for
       boilerplate_strip (jusText-style main-content extraction)
+    * decontaminate → blocklist_filter-family survivors (the same
+      broadcast-small-side + exact-confirm shape, gated here) +
+      minhash_near_dup / dup_span_mask (the same shingle-hash
+      machinery, in-window); the eval-overlap semi-join stays
+      oracle-checked here — driver-hash-verified r02, demoted round 3
+      to make window room for host_components (host-graph connected
+      components with a recursive-CTE oracle)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -318,6 +325,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "lang_map": q.q_lang_map,
         "extract_lineage": q.q_extract_lineage,
         "user_sessions": q.q_user_sessions,
+        "decontaminate": q.q_decontaminate,
     }
 
 
@@ -1774,6 +1782,26 @@ def oracle_sql() -> dict[str, str]:
                    (sum(f.cnt * s.s) // sum(f.cnt))::BIGINT AS lm_avg
             FROM feat f JOIN s ON f.w1 = s.w1 AND f.w2 = s.w2
             GROUP BY f.doc_id
+        """,
+        # host-graph connected components: chains of 7 hosts (h → h-1
+        # unless h % 7 == 0 over h = doc_id % 97); canonical label =
+        # lexicographic min host STRING in the component, computed by
+        # recursive-CTE reachability (UNION dedup terminates the walk)
+        "host_components": """
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT
+                     'host' || (doc_id % 97) || '.example' AS a,
+                     'host' || ((doc_id % 97) - 1) || '.example' AS b
+              FROM documents WHERE (doc_id % 97) % 7 <> 0),
+            e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+            nodes AS (SELECT DISTINCT a AS h FROM e),
+            reach AS (
+              SELECT h, h AS r FROM nodes
+              UNION
+              SELECT e.a AS h, reach.r
+              FROM e JOIN reach ON reach.h = e.b)
+            SELECT h AS host, min(r) AS component_host
+            FROM reach GROUP BY h
         """,
         # jusText-style boilerplate removal: the view wraps each doc's
         # words into 12-word <p> blocks, fully link-wraps every 5th

@@ -125,6 +125,8 @@ def extra_queries(sf_dir: str) -> dict:
         "bitext_pipeline": lambda: _consume(q.q_bitext_pipeline(sf_dir)),
         # session-7: jusText-style block-level boilerplate removal
         "boilerplate_strip": lambda: _consume(q.q_boilerplate_strip(sf_dir)),
+        # session-7: host-graph connected components (min-string label)
+        "host_components": lambda: _consume(q.q_host_components(sf_dir)),
     }
 
 

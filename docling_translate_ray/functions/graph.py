@@ -252,3 +252,106 @@ def extract_links_batch(batch: pa.Table, url_column: str = "url",
         "anchor": pa.array(anchors_out, pa.string()),
         "pos": pa.array(pos_out, pa.int64()),
     })
+
+
+def host_components(edges_ds, src_column: str = "src_host",
+                    dst_column: str = "dst_host",
+                    num_partitions: int = 16,
+                    single_block_threshold: int = 2_000_000):
+    """Connected components of the host link graph: label every host
+    with the LEXICOGRAPHICALLY SMALLEST host string in its component —
+    the canonical "site group" id web pipelines key mirror detection,
+    per-site quotas and crawl budgets on (hosts that interlink heavily
+    behave as one site even across domains).
+
+    Physical shape (no driver iteration anywhere):
+
+    1. edges dedup to narrow ``(id_a, id_b)`` int64 pairs (``id`` =
+       64-bit hash of the host string — a collision can only MERGE two
+       components, never split one; at 2^32 hosts the birthday risk is
+       the standard 64-bit one and the canonical label is still a real
+       member host);
+    2. :func:`~docling_translate_ray.functions.dedup.connected_components`
+       does the closure (single-task union-find under the pair budget,
+       distributed min-label propagation above — the same two physical
+       paths as near-dup clustering);
+    3. the component's min host STRING is a combiner-first grouped min
+       keyed on the canonical id, broadcast-or-exchange joined back —
+       so the string canonicalization costs one component-sized
+       exchange, not an edge-sized one.
+
+    Returns ``(host, component_host)`` with one row per distinct host.
+    """
+    import polars as pl
+
+    from docling_translate_ray.functions.dedup import connected_components
+    from docling_translate_ray.stages.shuffle import (
+        broadcast_join,
+        distinct,
+        hash_partition_apply,
+    )
+
+    def _hash_expr(col: str, alias: str):
+        return (pl.col(col).hash(seed=0)
+                .reinterpret(signed=True).alias(alias))
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([src_column, dst_column]))
+        return (df.with_columns(_hash_expr(src_column, "id_a"),
+                                _hash_expr(dst_column, "id_b"))
+                .select(["id_a", "id_b"]).to_arrow()
+                .cast(pa.schema([("id_a", pa.int64()),
+                                 ("id_b", pa.int64())])))
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([src_column, dst_column]))
+        nodes = pl.concat([
+            df.select(pl.col(src_column).alias("host")),
+            df.select(pl.col(dst_column).alias("host")),
+        ]).unique()
+        return (nodes.with_columns(_hash_expr("host", "hid"))
+                .to_arrow()
+                .cast(pa.schema([("host", pa.string()),
+                                 ("hid", pa.int64())])))
+
+    pairs = distinct(
+        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["id_a", "id_b"], num_partitions=num_partitions)
+    cc = connected_components(pairs, id_column="hid",
+                              num_partitions=num_partitions,
+                              single_block_threshold=single_block_threshold)
+    nodes = distinct(
+        edges_ds.map_batches(to_nodes, batch_format="pyarrow"),
+        ["host", "hid"], num_partitions=num_partitions)
+    labeled = broadcast_join(nodes, cc, on=["hid"], how="inner",
+                             num_partitions=num_partitions)
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch.select(["canonical_id", "host"]))
+                .group_by("canonical_id")
+                .agg(pl.col("host").min().alias("component_host"))
+                .to_arrow()
+                .cast(pa.schema([("canonical_id", pa.int64()),
+                                 ("component_host", pa.string())])))
+
+    def block_min(part: pa.Table) -> pa.Table:
+        return (pl.from_arrow(part)
+                .group_by("canonical_id")
+                .agg(pl.col("component_host").min())
+                .to_arrow()
+                .cast(pa.schema([("canonical_id", pa.int64()),
+                                 ("component_host", pa.string())])))
+
+    comp_min = hash_partition_apply(
+        labeled.map_batches(local_min, batch_format="pyarrow"),
+        ["canonical_id"], block_min, num_partitions=num_partitions)
+    out_schema = pa.schema([("host", pa.string()),
+                            ("component_host", pa.string())])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return batch.select(["host", "component_host"]).cast(out_schema)
+
+    return broadcast_join(
+        labeled, comp_min, on=["canonical_id"], how="inner",
+        num_partitions=num_partitions,
+    ).map_batches(finalize, batch_format="pyarrow")

@@ -2308,6 +2308,36 @@ def q_boilerplate_strip(sf_dir: str):
     return strip_boilerplate(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def q_host_components(sf_dir: str):
+    """Host-graph connected components (functions/graph
+    .host_components) over a deterministic chain-structured host graph:
+    hosts ``host0..host96.example`` linked as 14 chains of 7
+    (``h → h-1`` unless ``h % 7 == 0``), so the closure is genuinely
+    multi-hop (depth 6) and the canonical label is the component's
+    lexicographic MIN host string (``host10`` < ``host2`` — string
+    order, not numeric).  Oracle = recursive-CTE reachability +
+    min-string per host."""
+    import polars as pl
+
+    from docling_translate_ray.functions.graph import host_components
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch)
+              .with_columns((pl.col("doc_id") % 97).alias("_h"))
+              .filter(pl.col("_h") % 7 != 0)
+              .select(
+                  ("host" + pl.col("_h").cast(pl.String) + ".example")
+                  .alias("src_host"),
+                  ("host" + (pl.col("_h") - 1).cast(pl.String) + ".example")
+                  .alias("dst_host")))
+        return df.to_arrow().cast(pa.schema([
+            ("src_host", pa.string()), ("dst_host", pa.string())]))
+
+    return host_components(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,
