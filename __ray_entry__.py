@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (52 as of round 3) with documented
+    :func:`queries_legacy` (53 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (102 entries total, 91 DuckDB-oracled)."""
+    (103 entries total, 92 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "trim_repeated_lines": q.q_trim_repeated_lines,
         "host_components": q.q_host_components,
         "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
@@ -103,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "pack_sequences": q.q_pack_sequences,
         "search_rank": q.q_search_rank,
-        "pagerank": q.q_pagerank,
         # joins (shuffle + broadcast) and windows
         "segment_revenue": q.q_segment_revenue,
         # composite curation pipeline
@@ -270,6 +270,14 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       oracle-checked here — driver-hash-verified r02, demoted round 3
       to make window room for host_components (host-graph connected
       components with a recursive-CTE oracle)
+    * pagerank → host_components (in-window graph-family entry whose
+      distributed closure runs the same one-bounded-exchange-per-
+      iteration plan shape over the same edge substrate) + anchor_text
+      (in-window link-graph aggregation); the scaled-integer damping
+      iterations stay oracle-checked here (unrolled-CTE SQL) and
+      pinned in pytest — driver-hash-verified r02, demoted round 3 to
+      make window room for trim_repeated_lines (within-doc repetition
+      trim)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -326,6 +334,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "extract_lineage": q.q_extract_lineage,
         "user_sessions": q.q_user_sessions,
         "decontaminate": q.q_decontaminate,
+        "pagerank": q.q_pagerank,
     }
 
 
@@ -1782,6 +1791,44 @@ def oracle_sql() -> dict[str, str]:
                    (sum(f.cnt * s.s) // sum(f.cnt))::BIGINT AS lm_avg
             FROM feat f JOIN s ON f.w1 = s.w1 AND f.w2 = s.w2
             GROUP BY f.doc_id
+        """,
+        # within-doc repeated-line trim: the view wraps words into
+        # 8-word lines and re-inserts line 1 after every 3rd line
+        # (pos interleave: originals at i*10, plants at i*10+5); both
+        # engines apply the same general first-occurrence rule, so
+        # natural chunk repeats are covered too
+        "trim_repeated_lines": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            l AS (
+              SELECT doc_id, i,
+                     array_to_string(ws[(i-1)*8+1 : i*8], ' ') AS line
+              FROM w, unnest(range(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)
+                                      + 1)) AS t(i)),
+            l2 AS (
+              SELECT doc_id, i * 10 AS pos, line FROM l
+              UNION ALL
+              SELECT a.doc_id, a.i * 10 + 5 AS pos, b.line
+              FROM l a JOIN l b ON a.doc_id = b.doc_id AND b.i = 1
+              WHERE a.i % 3 = 0),
+            f AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY doc_id, line
+                                        ORDER BY pos) AS rn
+              FROM l2),
+            a AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     count(*) FILTER (WHERE rn = 1) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE rn = 1) AS text_trimmed
+              FROM f GROUP BY doc_id)
+            SELECT w.doc_id,
+                   coalesce(a.text_trimmed, '') AS text_trimmed,
+                   coalesce(a.n_lines, 0) AS n_lines,
+                   coalesce(a.n_kept, 0) AS n_kept
+            FROM w LEFT JOIN a USING (doc_id)
         """,
         # host-graph connected components: chains of 7 hosts (h → h-1
         # unless h % 7 == 0 over h = doc_id % 97); canonical label =

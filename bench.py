@@ -127,6 +127,9 @@ def extra_queries(sf_dir: str) -> dict:
         "boilerplate_strip": lambda: _consume(q.q_boilerplate_strip(sf_dir)),
         # session-7: host-graph connected components (min-string label)
         "host_components": lambda: _consume(q.q_host_components(sf_dir)),
+        # session-7: within-doc repeated-line trim (shuffle-free)
+        "trim_repeated_lines":
+            lambda: _consume(q.q_trim_repeated_lines(sf_dir)),
     }
 
 

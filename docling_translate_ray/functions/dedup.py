@@ -1645,3 +1645,73 @@ def minhash_index_compact(index_dir: str,
     return compact_partition_dirs(
         pdirs, sort_keys=("band_id", "band_key"),
         max_files_per_partition=max_files_per_partition)
+
+
+def trim_repeated_lines(ds, column: str = "text", id_column: str = "doc_id"):
+    """WITHIN-document repeated-line trimming (the RefinedWeb / Dolma
+    in-document repetition fixer, complementing :func:`line_dedup`'s
+    corpus-level frequent-line subtraction): keep only the FIRST
+    occurrence of each exact line inside a document, preserving order.
+
+    Returns one row per input doc: ``(id, text_trimmed, n_lines,
+    n_kept)``; a doc with empty/null text keeps ``n_lines = 0`` and
+    ``text_trimmed = ''`` (every input row survives, so the operator
+    composes with lineage counts downstream).
+
+    Physical shape: pure per-batch ``map_batches`` — split, first-
+    occurrence marking (a min-ordinal window per (doc, line)) and the
+    ordered reassembly are all batch-local polars kernels; a document's
+    lines never leave its batch, so there is NO shuffle and the
+    operator scales linearly with docs.  Contrast with
+    :func:`line_dedup`, whose frequent-line set requires the corpus-
+    wide exchange.
+    """
+    import polars as pl
+
+    out_schema = pa.schema([
+        (id_column, pa.int64()),
+        ("text_trimmed", pa.string()),
+        ("n_lines", pa.int64()),
+        ("n_kept", pa.int64()),
+    ])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch.select([id_column, column]))
+            .rename({id_column: "_id", column: "_t"})
+            .with_columns(pl.col("_t").fill_null(""))
+        )
+        base = df.select("_id")
+        ex = (
+            df.with_columns(
+                pl.when(pl.col("_t") == "")
+                .then(pl.lit([], dtype=pl.List(pl.String)))
+                .otherwise(pl.col("_t").str.split("\n"))
+                .alias("_l"))
+            .drop("_t")
+            .explode("_l")
+            .drop_nulls("_l")  # only the empty-doc marker row is null
+            .with_columns(
+                pl.col("_l").cum_count().over("_id").alias("_pos"))
+            .with_columns(
+                pl.col("_pos").min().over(["_id", "_l"]).alias("_first"))
+        )
+        stats = ex.group_by("_id").agg(
+            pl.len().cast(pl.Int64).alias("n_lines"),
+            (pl.col("_pos") == pl.col("_first")).cast(pl.Int64).sum()
+            .alias("n_kept"),
+            pl.col("_l").filter(pl.col("_pos") == pl.col("_first"))
+            .str.join("\n").alias("text_trimmed"),
+        )
+        out = (
+            base.join(stats, on="_id", how="left")
+            .with_columns(
+                pl.col("text_trimmed").fill_null(""),
+                pl.col("n_lines").fill_null(0),
+                pl.col("n_kept").fill_null(0),
+            )
+            .select(["_id", "text_trimmed", "n_lines", "n_kept"])
+        )
+        return out.to_arrow().rename_columns(out_schema.names).cast(out_schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

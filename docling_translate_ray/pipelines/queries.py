@@ -2338,6 +2338,39 @@ def q_host_components(sf_dir: str):
     return host_components(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def q_trim_repeated_lines(sf_dir: str):
+    """Within-doc repeated-line trimming (functions/dedup
+    .trim_repeated_lines) over an 8-word-line view of the documents
+    table with PLANTED repetitions (after every 3rd line the doc's
+    first line is re-inserted), so the trim provably fires; natural
+    chunk repeats are handled too because BOTH engines run the same
+    general first-occurrence rule over the same view."""
+    from docling_translate_ray.functions.dedup import trim_repeated_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for t in texts:
+            ws = (t or "").split()
+            lines = [" ".join(ws[k * 8:k * 8 + 8])
+                     for k in range((len(ws) + 7) // 8)]
+            built = []
+            for i, ln in enumerate(lines, start=1):
+                built.append(ln)
+                if i % 3 == 0:
+                    built.append(lines[0])
+            out.append("\n".join(built))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    return trim_repeated_lines(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,
