@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (53 as of round 3) with documented
+    :func:`queries_legacy` (54 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (103 entries total, 92 DuckDB-oracled)."""
+    (104 entries total, 93 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "pq_topk": q.q_pq_topk,
         "trim_repeated_lines": q.q_trim_repeated_lines,
         "host_components": q.q_host_components,
         "boilerplate_strip": q.q_boilerplate_strip,
@@ -104,8 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "pack_sequences": q.q_pack_sequences,
         "search_rank": q.q_search_rank,
-        # joins (shuffle + broadcast) and windows
-        "segment_revenue": q.q_segment_revenue,
         # composite curation pipeline
         "curate": q.q_curate,
     }
@@ -278,6 +277,14 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       pinned in pytest — driver-hash-verified r02, demoted round 3 to
       make window room for trim_repeated_lines (within-doc repetition
       trim)
+    * segment_revenue → curate / mixture / bitext_pipeline (in-window
+      composites exercising the SAME broadcast-or-exchange join
+      helpers, stages/shuffle.py, end to end) + lineitem_pricing /
+      nation_customers / events_by_type (the relational join+agg
+      variants, gated here); the scaled-cents join+agg stays
+      oracle-checked here — driver-hash-verified r01 AND r02, demoted
+      round 3 to make window room for pq_topk (product-quantization
+      ANN)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -335,6 +342,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q.q_user_sessions,
         "decontaminate": q.q_decontaminate,
         "pagerank": q.q_pagerank,
+        "segment_revenue": q.q_segment_revenue,
     }
 
 
@@ -357,6 +365,35 @@ _NONWS = "[^" + _WS_CHARS + "]+"
 _WS_CLASS = "[" + _WS_CHARS + "]"
 
 _NTOK_EXPR = "len(regexp_extract_all(text, '@NONWS@'))"
+
+
+def _pq_chain(tag: str, dlo: int, dhi: int) -> str:
+    """One unrolled per-subspace k-means chain (k=4, 2 Lloyd updates,
+    final assignment a3) restricted to dims [dlo, dhi] — the q_kmeans
+    oracle recipe parameterized for the pq_topk oracle's subspaces."""
+    cte = [f"""
+            vd{tag} AS (SELECT vec_id, d, val FROM vd
+                        WHERE d BETWEEN {dlo} AND {dhi}),
+            c0{tag} AS (SELECT vec_id AS cid, d, val AS cval
+                        FROM vd{tag} WHERE vec_id < 4)"""]
+    prev = f"c0{tag}"
+    for r in (1, 2, 3):
+        cte.append(f"""
+            d{r}{tag} AS (SELECT v.vec_id, c.cid,
+                          sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+                   FROM vd{tag} v JOIN {prev} c USING (d)
+                   GROUP BY v.vec_id, c.cid),
+            a{r}{tag} AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) rn
+                     FROM d{r}{tag}) WHERE rn = 1)""")
+        if r < 3:
+            cte.append(f"""
+            c{r}{tag} AS (SELECT a.cid, v.d, sum(v.val) // count(*) AS cval
+                   FROM vd{tag} v JOIN a{r}{tag} a USING (vec_id)
+                   GROUP BY a.cid, v.d)""")
+            prev = f"c{r}{tag}"
+    return ",".join(cte)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1791,6 +1828,40 @@ def oracle_sql() -> dict[str, str]:
                    (sum(f.cnt * s.s) // sum(f.cnt))::BIGINT AS lm_avg
             FROM feat f JOIN s ON f.w1 = s.w1 AND f.w2 = s.w2
             GROUP BY f.doc_id
+        """,
+        # product-quantization ANN: two unrolled per-subspace k-means
+        # chains (dims 1-32 / 33-64; the q_kmeans recipe via _pq_chain),
+        # codes = final assignments, LUT = query-to-centroid int
+        # distances against the SAME c2 centroids the assignment used,
+        # top-10 by (dist, vec_id)
+        "pq_topk": f"""
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                              + 10000000) AS e
+              FROM embeddings),
+            vd AS (SELECT vec_id, unnest(range(1, 65)) AS d,
+                          unnest(e) AS val FROM v),
+            qv AS (SELECT d, val AS qval FROM vd WHERE vec_id = 5),
+            {_pq_chain('s1', 1, 32)},
+            {_pq_chain('s2', 33, 64)},
+            luts1 AS (SELECT c.cid,
+                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
+                      FROM c2s1 c JOIN qv q USING (d) GROUP BY c.cid),
+            luts2 AS (SELECT c.cid,
+                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
+                      FROM c2s2 c JOIN qv q USING (d) GROUP BY c.cid)
+            SELECT vec_id, pq_dist, rank FROM (
+              SELECT a.vec_id,
+                     (l1.qd + l2.qd)::BIGINT AS pq_dist,
+                     row_number() OVER (
+                       ORDER BY l1.qd + l2.qd, a.vec_id) AS rank
+              FROM a3s1 a
+              JOIN luts1 l1 ON a.cid = l1.cid
+              JOIN a3s2 b ON a.vec_id = b.vec_id
+              JOIN luts2 l2 ON b.cid = l2.cid)
+            WHERE rank <= 10
         """,
         # within-doc repeated-line trim: the view wraps words into
         # 8-word lines and re-inserts line 1 after every 3rd line

@@ -130,6 +130,8 @@ def extra_queries(sf_dir: str) -> dict:
         # session-7: within-doc repeated-line trim (shuffle-free)
         "trim_repeated_lines":
             lambda: _consume(q.q_trim_repeated_lines(sf_dir)),
+        # session-7: product-quantization ANN (train + encode + ADC)
+        "pq_topk": lambda: q.q_pq_topk(sf_dir).num_rows,
     }
 
 

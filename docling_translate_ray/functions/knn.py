@@ -411,7 +411,7 @@ def _to_int_matrix(batch: pa.Table, column: str) -> np.ndarray:
 
 def kmeans_int(ds, k: int = 4, iterations: int = 2,
                id_column: str = "vec_id", column: str = "embedding",
-               keep_vectors: bool = False):
+               keep_vectors: bool = False, return_centroids: bool = False):
     """Distributed Lloyd k-means with integer-exact arithmetic.
 
     * init: centroids = the vectors with ``id < k`` (deterministic);
@@ -429,7 +429,9 @@ def kmeans_int(ds, k: int = 4, iterations: int = 2,
     final assignment pass; with ``keep_vectors=True`` the embedding
     column rides along too (same pass, no extra exchange — consumers
     like :func:`docling_translate_ray.functions.semdedup.semdedup` need
-    the vectors grouped by cluster downstream).
+    the vectors grouped by cluster downstream).  With
+    ``return_centroids=True`` returns ``(assignments, (cids, cmat))``
+    — the exact int codebook the final assignment used.
     """
     import ray
 
@@ -512,4 +514,10 @@ def kmeans_int(ds, k: int = 4, iterations: int = 2,
                 pa.list_(pa.float64()))
         return pa.table(cols)
 
-    return narrow.map_batches(final_assign, batch_format="pyarrow")
+    assigned = narrow.map_batches(final_assign, batch_format="pyarrow")
+    if return_centroids:
+        # the (cids, int-matrix) codebook the final assignment used —
+        # consumers like functions/pq.py need the SAME centroids (one
+        # more update step would diverge from the assignment)
+        return assigned, (cids, cmat)
+    return assigned

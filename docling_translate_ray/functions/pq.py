@@ -1,0 +1,153 @@
+"""Product quantization (PQ) — the vector-compression half of the ANN
+family (brute-force ``knn_topk`` → partition-pruned ``knn_ivf`` → PQ
+codes for when the vectors themselves no longer fit).
+
+Model: Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+Neighbor Search" — split each d-dim vector into ``m`` subvectors,
+k-means each subspace independently, store only the ``m`` centroid ids
+(codes); query with ASYMMETRIC distance (ADC): one ``(m, k)`` lookup
+table of query-to-centroid distances, a vector's approximate distance
+is the sum of ``m`` table lookups.  64 dims × 8 bytes become ``m``
+small ints — the compression that lets a 10^12-vector corpus keep its
+search structure in memory.
+
+Integer-exact reformulation (the repo's oracle convention): vectors
+quantize through the same ``floor(x·10^6 + ½) + offset`` transform as
+:func:`~docling_translate_ray.functions.knn.kmeans_int`, codebooks are
+its integer Lloyd centroids (floor-mean), and ADC distances are exact
+int64 sums — so the DuckDB oracle (two unrolled k-means chains over
+the d-ranges + LUT join) hash-matches exactly.
+
+Physical shape:
+
+* TRAIN+ENCODE: ``m`` independent :func:`kmeans_int` runs over sliced
+  subvector views (each = the model-state-on-driver combiner loop; the
+  codebooks total ``m·k·(d/m)`` ints on the driver), then the per-
+  subspace assignments meet in ``m-1`` broadcast-or-exchange joins on
+  the id — codes are narrow ``(id, m × int64)`` rows.
+* SEARCH: the LUT broadcasts once via ``ray.put`` (``m·k`` ints);
+  scoring is a vectorized per-batch map over the CODES ONLY (the
+  original vectors are never read again) with a per-batch local top-k
+  combiner and a k-bounded driver merge — the same bounded-merge shape
+  as ``knn_topk``.
+
+Reference parity note: the reference repo has no vector stage; this is
+part of the beyond-reference training-data operator suite (with
+functions/knn.py and functions/semdedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from docling_translate_ray.functions.knn import (
+    _KM_OFFSET,
+    _KM_SCALE,
+    kmeans_int,
+)
+
+
+def pq_train_encode(ds, m: int = 2, k: int = 4, iterations: int = 2,
+                    id_column: str = "vec_id", column: str = "embedding",
+                    num_partitions: int = 16):
+    """Train ``m`` per-subspace integer codebooks and encode every
+    vector.  Returns ``(codes_ds, codebooks)`` where ``codes_ds`` has
+    ``(id_column, code_0 .. code_{m-1})`` (codes are centroid ids —
+    kmeans_int's surviving-seed labels, deterministic) and
+    ``codebooks`` is a list of ``(cids, int_matrix)`` per subspace."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import broadcast_join
+
+    first = ds.select_columns([column]).take(1)
+    dim = len(first[0][column])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    codes = None
+    codebooks = []
+    for j in range(m):
+        lo = j * sub
+
+        def slice_fn(batch: pa.Table, lo=lo) -> pa.Table:
+            df = (pl.from_arrow(batch.select([id_column, column]))
+                  .with_columns(pl.col(column).list.slice(lo, sub)))
+            return df.to_arrow().cast(pa.schema([
+                (id_column, pa.int64()),
+                (column, pa.list_(pa.float64()))]))
+
+        assign, cb = kmeans_int(
+            ds.map_batches(slice_fn, batch_format="pyarrow"),
+            k=k, iterations=iterations, id_column=id_column,
+            column=column, return_centroids=True)
+        codebooks.append(cb)
+
+        tag = f"code_{j}"
+
+        def rename(batch: pa.Table, tag=tag) -> pa.Table:
+            return batch.rename_columns([id_column, tag])
+
+        assign = assign.map_batches(rename, batch_format="pyarrow")
+        codes = assign if codes is None else broadcast_join(
+            codes, assign, on=[id_column], how="inner",
+            num_partitions=num_partitions)
+    return codes, codebooks
+
+
+def _scale_query(query_vec) -> np.ndarray:
+    q = np.asarray(query_vec, dtype=np.float64)
+    return (np.floor(q * _KM_SCALE + 0.5).astype(np.int64) + _KM_OFFSET)
+
+
+def pq_topk(codes_ds, codebooks, query_vec, k: int = 10,
+            id_column: str = "vec_id"):
+    """Approximate top-k by asymmetric distance over PQ codes: returns
+    a pyarrow Table ``(id_column, pq_dist, rank)`` with rank 1..k by
+    ``(pq_dist ASC, id ASC)`` — integer-exact, oracle-comparable."""
+    import ray
+
+    from docling_translate_ray.util import collect_to_table
+
+    q = _scale_query(query_vec)
+    m = len(codebooks)
+    sub = len(q) // m
+    luts = []
+    for j, (cids, cmat) in enumerate(codebooks):
+        d = cmat - q[j * sub:(j + 1) * sub][None, :]
+        luts.append({int(c): int(v) for c, v in
+                     zip(cids.tolist(),
+                         np.einsum("kd,kd->k", d, d).tolist())})
+    ref = ray.put(luts)
+
+    out_schema = pa.schema([
+        (id_column, pa.int64()), ("pq_dist", pa.int64())])
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        luts_now = ray.get(ref)
+        df = pl.from_arrow(batch)
+        df = df.with_columns(
+            sum(pl.col(f"code_{j}").replace_strict(
+                luts_now[j], return_dtype=pl.Int64)
+                for j in range(m)).alias("pq_dist"))
+        return (df.sort(["pq_dist", id_column]).head(k)
+                .select([id_column, "pq_dist"])
+                .to_arrow().cast(out_schema))
+
+    cand = collect_to_table(
+        codes_ds.map_batches(score, batch_format="pyarrow"),
+        empty_schema=out_schema)
+    import polars as pl
+
+    out = (pl.from_arrow(cand)
+           .sort(["pq_dist", id_column])
+           .head(k)
+           .with_columns((pl.int_range(pl.len()) + 1)
+                         .cast(pl.Int64).alias("rank")))
+    return out.to_arrow().cast(pa.schema(
+        list(out_schema) + [pa.field("rank", pa.int64())]))

@@ -2371,6 +2371,21 @@ def q_trim_repeated_lines(sf_dir: str):
     return trim_repeated_lines(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (functions/pq): train m=2 per-subspace
+    integer codebooks (k=4, 2 Lloyd iterations — the q_kmeans recipe
+    per subspace), encode every embedding to 2 codes, and answer a
+    top-10 asymmetric-distance query (query = the vec_id=5 embedding).
+    Integer-exact end to end, so the oracle (two unrolled k-means
+    chains over the d-ranges + LUT join + rank window) hash-matches."""
+    from docling_translate_ray.functions.pq import pq_topk, pq_train_encode
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    codes, codebooks = pq_train_encode(emb, m=2, k=4, iterations=2)
+    qrow = emb.filter(expr="vec_id == 5").take(1)
+    return pq_topk(codes, codebooks, list(qrow[0]["embedding"]), k=10)
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,

@@ -1,0 +1,114 @@
+"""Tests for functions/pq — product-quantization encode + asymmetric-
+distance top-k over the integer-exact kmeans codebooks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_translate_ray.functions.knn import _KM_OFFSET, _KM_SCALE
+from docling_translate_ray.functions.pq import (
+    _scale_query,
+    pq_topk,
+    pq_train_encode,
+)
+
+
+def _vectors(n=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(rng.rand(n, dim).tolist(),
+                              pa.list_(pa.float64())),
+    })
+
+
+@pytest.fixture(scope="module")
+def encoded():
+    import ray.data
+
+    t = _vectors()
+    ds = ray.data.from_arrow(t)
+    codes, codebooks = pq_train_encode(ds, m=2, k=4, iterations=2)
+    return t, codes.take_all(), codebooks
+
+
+def test_codes_shape_and_membership(encoded):
+    t, rows, codebooks = encoded
+    assert len(rows) == t.num_rows
+    assert sorted(rows[0].keys()) == ["code_0", "code_1", "vec_id"]
+    for j, (cids, cmat) in enumerate(codebooks):
+        valid = set(cids.tolist())
+        assert cmat.shape == (len(valid), 4)
+        for r in rows:
+            assert r[f"code_{j}"] in valid
+
+
+def test_topk_matches_numpy_reference(encoded):
+    import ray.data
+
+    t, rows, codebooks = encoded
+    q = list(t["embedding"][7].as_py())
+    qi = _scale_query(q)
+    sub = len(qi) // 2
+    luts = []
+    for j, (cids, cmat) in enumerate(codebooks):
+        d = cmat - qi[j * sub:(j + 1) * sub][None, :]
+        luts.append(dict(zip(cids.tolist(),
+                             np.einsum("kd,kd->k", d, d).tolist())))
+    expected = sorted(
+        ((int(luts[0][r["code_0"]] + luts[1][r["code_1"]]), r["vec_id"])
+         for r in rows))[:10]
+    codes_ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = pq_topk(codes_ds, codebooks, q, k=10).to_pylist()
+    assert [(r["pq_dist"], r["vec_id"]) for r in got] == expected
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_in_corpus_query_achieves_lut_minimum(encoded):
+    import ray.data
+
+    t, rows, codebooks = encoded
+    q = list(t["embedding"][3].as_py())
+    qi = _scale_query(q)
+    sub = len(qi) // 2
+    min_sum = 0
+    for j, (cids, cmat) in enumerate(codebooks):
+        d = cmat - qi[j * sub:(j + 1) * sub][None, :]
+        min_sum += int(np.einsum("kd,kd->k", d, d).min())
+    codes_ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = pq_topk(codes_ds, codebooks, q, k=3).to_pylist()
+    # the in-corpus query's own code combo is the LUT minimum
+    assert got[0]["pq_dist"] == min_sum
+
+
+def test_quantization_scale_matches_kmeans():
+    v = [0.123456789, -0.5]
+    assert list(_scale_query(v)) == [
+        int(np.floor(0.123456789 * _KM_SCALE + 0.5)) + _KM_OFFSET,
+        int(np.floor(-0.5 * _KM_SCALE + 0.5)) + _KM_OFFSET,
+    ]
+
+
+def test_indivisible_dim_raises():
+    import ray.data
+
+    ds = ray.data.from_arrow(_vectors(n=10, dim=7))
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_encode(ds, m=2)
+
+
+def test_driver_query_matches_oracle(sf_dir):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["pq_topk"](sf_dir).to_pylist()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["pq_topk"]).arrow().to_pylist()
+    got.sort(key=lambda r: r["rank"])
+    exp.sort(key=lambda r: r["rank"])
+    assert got == exp
+    assert len(got) == 10
