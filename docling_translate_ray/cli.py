@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--normalize", action="store_true",
                    help="curate only: insert the unicode-normalization "
                         "pass as stage 0 (pre-hash cleanup)")
+    p.add_argument("--trim-lines", action="store_true",
+                   help="curate only: insert within-doc repeated-line "
+                        "trimming before hashing (stage 0b)")
     args = p.parse_args(argv)
 
     import ray
@@ -88,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
             curated, stats = curate_docs(
                 ds.select_columns(["doc_id", "text"]),
                 work_dir=args.out, retention=args.retention,
-                resume=not args.no_resume, normalize=args.normalize)
+                resume=not args.no_resume, normalize=args.normalize,
+                trim_lines=args.trim_lines)
             stats["curated_dir"] = args.out + "/curated"
         else:
             from docling_translate_ray.pipelines.mixture import build_mixture

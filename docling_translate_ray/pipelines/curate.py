@@ -40,7 +40,7 @@ from docling_translate_ray.functions import text_stats as fts
 def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
                 minhash_threshold: float = 0.7, work_dir: str | None = None,
                 retention: str = "min_id", resume: bool = False,
-                normalize: bool = False):
+                normalize: bool = False, trim_lines: bool = False):
     """Return (curated_ds, stats) — curated rows keep (id, text) plus the
     quality columns; ``stats`` has per-stage survivor counts.
 
@@ -65,6 +65,13 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     identical pages (decomposed accents, stray control bytes, doubled
     spaces) then hash equal in every downstream exact/near-dup stage
     instead of escaping all of them.
+
+    ``trim_lines=True`` inserts within-doc repeated-line trimming
+    (``functions.dedup.trim_repeated_lines``) after normalization and
+    before any hashing — in-document boilerplate repeats then stop
+    polluting the quality signals and the exact/near-dup keys.  The
+    trim stage narrows rows to ``(id_column, column)`` (the curate
+    contract's working set; quality re-derives its columns).
     """
     if retention not in ("min_id", "keep_best"):
         raise ValueError(
@@ -87,7 +94,7 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     runner = StageRunner(work_dir, resume=resume, params={
         "pipeline": "curate", "id_column": id_column, "column": column,
         "minhash_threshold": minhash_threshold, "retention": retention,
-        "normalize": normalize,
+        "normalize": normalize, "trim_lines": trim_lines,
     })
 
     if normalize:
@@ -107,6 +114,21 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         n_dir = runner.stage("normalized", lambda d: ds.map_batches(
             normalized_rows, batch_format="pyarrow").write_parquet(d))
         ds = ray.data.read_parquet(n_dir)
+
+    if trim_lines:
+        # stage 0b — within-doc repeated-line trim BEFORE any hashing
+        # (batch-local, no exchange); repeated in-document boilerplate
+        # then can't dominate quality ratios or dup signatures
+        from docling_translate_ray.functions.dedup import trim_repeated_lines
+
+        def trimmed_rows(batch: pa.Table) -> pa.Table:
+            return (batch.select([id_column, "text_trimmed"])
+                    .rename_columns([id_column, column]))
+
+        t_dir = runner.stage("trimmed", lambda d: trim_repeated_lines(
+            ds, column=column, id_column=id_column,
+        ).map_batches(trimmed_rows, batch_format="pyarrow").write_parquet(d))
+        ds = ray.data.read_parquet(t_dir)
 
     def quality_flagged(batch: pa.Table) -> pa.Table:
         out = fts.quality_batch(batch, column)

@@ -206,3 +206,28 @@ def test_curate_normalize_stage_collapses_unicode_variants():
     _, stats_norm = curate_docs(ds, normalize=True)
     assert stats_norm["n_exact_unique"] == 1  # all collapse to one winner
     assert stats_norm["n_curated"] == 1
+
+
+def test_curate_trim_lines_stage_collapses_repeat_padded_docs():
+    """trim_lines=True (stage 0b) strips in-document repeats BEFORE
+    hashing: two docs that differ only in how often they repeat the
+    same boilerplate line must fall to the same exact-dedup winner,
+    while without trimming both survive as distinct."""
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    plug = "subscribe to our newsletter now"
+    variants = [
+        body + "\n" + plug,
+        body + "\n" + plug + "\n" + plug + "\n" + plug,
+    ]
+    rows = pa.table({
+        "doc_id": pa.array(range(len(variants)), pa.int64()),
+        "text": pa.array(variants, pa.string()),
+    })
+    ds = ray.data.from_arrow(rows)
+
+    _, stats_raw = curate_docs(ds)
+    assert stats_raw["n_exact_unique"] == 2   # untouched: distinct
+
+    _, stats_trim = curate_docs(ds, trim_lines=True)
+    assert stats_trim["n_exact_unique"] == 1  # repeats trimmed → equal
+    assert stats_trim["n_curated"] == 1
