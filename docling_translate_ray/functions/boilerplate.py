@@ -59,17 +59,30 @@ _OUT_SCHEMA = pa.schema([
 
 def strip_boilerplate(ds, id_column: str = "doc_id",
                       html_column: str = "html", min_words: int = 5):
-    """Return one row per input doc: ``(doc_id, clean_text, n_blocks,
-    n_kept)`` under the module-docstring block rules."""
-    schema = pa.schema([
-        pa.field("doc_id" if id_column == "doc_id" else id_column,
-                 pa.int64())] + list(_OUT_SCHEMA)[1:])
+    """Return one row per input doc: ``(id_column, clean_text,
+    n_blocks, n_kept)`` under the module-docstring block rules.  The
+    id column keeps its input type (int doc ids and the input_hint
+    pages table's string urls both work); binary html decodes
+    utf-8/replace."""
 
     def fn(batch: pa.Table) -> pa.Table:
         import polars as pl
 
+        narrow = batch.select([id_column, html_column])
+        if pa.types.is_binary(narrow.schema.field(html_column).type) or \
+                pa.types.is_large_binary(narrow.schema.field(html_column).type):
+            # input_hint pages carry html as binary — decode with the
+            # lenient ladder tail (utf-8/replace; the extract DAG's full
+            # decode ladder runs upstream when charset fidelity matters)
+            decoded = pa.array(
+                [None if v is None else v.decode("utf-8", errors="replace")
+                 for v in narrow[html_column].to_pylist()],
+                pa.string())
+            narrow = narrow.set_column(
+                narrow.schema.get_field_index(html_column), html_column,
+                decoded)
         df = (
-            pl.from_arrow(batch.select([id_column, html_column]))
+            pl.from_arrow(narrow)
             .rename({id_column: "_id", html_column: "_h"})
         )
         base = df.select("_id")
@@ -121,6 +134,9 @@ def strip_boilerplate(ds, id_column: str = "doc_id",
             )
             .select(["_id", "clean_text", "n_blocks", "n_kept"])
         )
+        schema = pa.schema(
+            [pa.field(id_column, batch.schema.field(id_column).type)]
+            + list(_OUT_SCHEMA)[1:])
         return out.to_arrow().rename_columns(schema.names).cast(schema)
 
     return ds.map_batches(fn, batch_format="pyarrow")

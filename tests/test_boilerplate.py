@@ -160,3 +160,31 @@ def test_driver_query_matches_oracle(sf_dir):
     assert len(got) == len(exp)
     for g, e in zip(got, exp):
         assert g == e
+
+
+def test_pages_table_first_mile(pages_table):
+    """The north-star HTML path: input_hint pages (url:string,
+    html:binary) straight into the block classifier — string ids and
+    binary html both handled, chrome dropped, content kept."""
+    import ray.data
+
+    out = strip_boilerplate(
+        ray.data.from_arrow(pages_table.select(["url", "html"])),
+        id_column="url", html_column="html")
+    rows = {r["url"]: r for r in out.take_all()}
+    assert len(rows) == pages_table.num_rows  # every page emits a row
+
+    checked = 0
+    for url, html in zip(pages_table["url"].to_pylist(),
+                         pages_table["html"].to_pylist()):
+        text = html.decode("utf-8", errors="replace")
+        if not text.startswith("<!DOCTYPE"):
+            continue  # binary-sniff / cp949 poison rows — row-presence only
+        g = rows[url]
+        exp = _naive(text)
+        assert g["n_blocks"] == exp["n_blocks"]
+        assert g["n_kept"] == exp["n_kept"]
+        assert g["clean_text"] == exp["clean_text"]
+        assert "site chrome to drop" not in g["clean_text"]
+        checked += 1
+    assert checked >= 100
