@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (54 as of round 3) with documented
+    :func:`queries_legacy` (55 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (104 entries total, 93 DuckDB-oracled)."""
+    (105 entries total, 94 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "ivfpq_topk": q.q_ivfpq_topk,
         "pq_topk": q.q_pq_topk,
         "trim_repeated_lines": q.q_trim_repeated_lines,
         "host_components": q.q_host_components,
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "gopher_quality": q.q_gopher_quality,
         "pack_sequences": q.q_pack_sequences,
-        "search_rank": q.q_search_rank,
         # composite curation pipeline
         "curate": q.q_curate,
     }
@@ -285,6 +285,14 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       oracle-checked here — driver-hash-verified r01 AND r02, demoted
       round 3 to make window room for pq_topk (product-quantization
       ANN)
+    * search_rank → minhash_index_probe (in-window sibling standing-
+      index probe: the same hash-partitioned persistent-parquet layout
+      with physically pruned partition reads, dedup.py's band index vs
+      index.py's term postings) + inverted_index / doc_terms (the
+      postings build + ranked retrieval, gated here); the tf·(N−df)
+      ranking stays oracle-checked here — driver-hash-verified r02,
+      demoted round 3 to make window room for ivfpq_topk (the standing
+      IVF-PQ vector index)
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -343,6 +351,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "pagerank": q.q_pagerank,
         "segment_revenue": q.q_segment_revenue,
+        "search_rank": q.q_search_rank,
     }
 
 
@@ -394,6 +403,37 @@ def _pq_chain(tag: str, dlo: int, dhi: int) -> str:
                    GROUP BY a.cid, v.d)""")
             prev = f"c{r}{tag}"
     return ",".join(cte)
+
+
+_PQ_TOPK_SQL = f"""
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                              + 10000000) AS e
+              FROM embeddings),
+            vd AS (SELECT vec_id, unnest(range(1, 65)) AS d,
+                          unnest(e) AS val FROM v),
+            qv AS (SELECT d, val AS qval FROM vd WHERE vec_id = 5),
+            {_pq_chain('s1', 1, 32)},
+            {_pq_chain('s2', 33, 64)},
+            luts1 AS (SELECT c.cid,
+                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
+                      FROM c2s1 c JOIN qv q USING (d) GROUP BY c.cid),
+            luts2 AS (SELECT c.cid,
+                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
+                      FROM c2s2 c JOIN qv q USING (d) GROUP BY c.cid)
+            SELECT vec_id, pq_dist, rank FROM (
+              SELECT a.vec_id,
+                     (l1.qd + l2.qd)::BIGINT AS pq_dist,
+                     row_number() OVER (
+                       ORDER BY l1.qd + l2.qd, a.vec_id) AS rank
+              FROM a3s1 a
+              JOIN luts1 l1 ON a.cid = l1.cid
+              JOIN a3s2 b ON a.vec_id = b.vec_id
+              JOIN luts2 l2 ON b.cid = l2.cid)
+            WHERE rank <= 10
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1834,35 +1874,14 @@ def oracle_sql() -> dict[str, str]:
         # codes = final assignments, LUT = query-to-centroid int
         # distances against the SAME c2 centroids the assignment used,
         # top-10 by (dist, vec_id)
-        "pq_topk": f"""
-            WITH v AS (
-              SELECT vec_id,
-                     list_transform(CAST(embedding AS DOUBLE[]),
-                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
-                              + 10000000) AS e
-              FROM embeddings),
-            vd AS (SELECT vec_id, unnest(range(1, 65)) AS d,
-                          unnest(e) AS val FROM v),
-            qv AS (SELECT d, val AS qval FROM vd WHERE vec_id = 5),
-            {_pq_chain('s1', 1, 32)},
-            {_pq_chain('s2', 33, 64)},
-            luts1 AS (SELECT c.cid,
-                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
-                      FROM c2s1 c JOIN qv q USING (d) GROUP BY c.cid),
-            luts2 AS (SELECT c.cid,
-                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
-                      FROM c2s2 c JOIN qv q USING (d) GROUP BY c.cid)
-            SELECT vec_id, pq_dist, rank FROM (
-              SELECT a.vec_id,
-                     (l1.qd + l2.qd)::BIGINT AS pq_dist,
-                     row_number() OVER (
-                       ORDER BY l1.qd + l2.qd, a.vec_id) AS rank
-              FROM a3s1 a
-              JOIN luts1 l1 ON a.cid = l1.cid
-              JOIN a3s2 b ON a.vec_id = b.vec_id
-              JOIN luts2 l2 ON b.cid = l2.cid)
-            WHERE rank <= 10
-        """,
+        "pq_topk": _PQ_TOPK_SQL,
+        # q_ivfpq_topk runs the standing IVF-PQ index at FULL probe
+        # (n_probe == n_coarse), which is exact-equal to flat PQ by
+        # construction (codes are of the raw vectors) — the IDENTICAL
+        # pq_topk SQL is its oracle; the pruned-read behaviour at
+        # n_probe < n_coarse stays pinned by pytest (partition-delete
+        # invariance)
+        "ivfpq_topk": _PQ_TOPK_SQL,
         # within-doc repeated-line trim: the view wraps words into
         # 8-word lines and re-inserts line 1 after every 3rd line
         # (pos interleave: originals at i*10, plants at i*10+5); both

@@ -132,6 +132,8 @@ def extra_queries(sf_dir: str) -> dict:
             lambda: _consume(q.q_trim_repeated_lines(sf_dir)),
         # session-7: product-quantization ANN (train + encode + ADC)
         "pq_topk": lambda: q.q_pq_topk(sf_dir).num_rows,
+        # session-7: standing IVF-PQ index (build + full-probe query)
+        "ivfpq_topk": lambda: q.q_ivfpq_topk(sf_dir).num_rows,
     }
 
 

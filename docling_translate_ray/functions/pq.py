@@ -151,3 +151,133 @@ def pq_topk(codes_ds, codebooks, query_vec, k: int = 10,
                          .cast(pl.Int64).alias("rank")))
     return out.to_arrow().cast(pa.schema(
         list(out_schema) + [pa.field("rank", pa.int64())]))
+
+
+_CODES_SUBDIR = "codes"
+_PART_COL = "cpart"
+_COARSE_FILE = "coarse.parquet"
+_CODEBOOKS_FILE = "codebooks.parquet"
+
+
+def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
+                      k: int = 4, iterations: int = 2,
+                      id_column: str = "vec_id", column: str = "embedding",
+                      num_partitions: int = 16):
+    """ONE-TIME IVF-PQ build (the standing structure a 10^12-vector
+    corpus actually serves from): a coarse integer k-means partitions
+    the ids, PQ codes replace the vectors, and the index on disk is
+    coarse-partitioned parquet of NARROW code rows
+    (``index_dir/codes/cpart=<c>/``) plus two small meta tables (coarse
+    centroids, per-subspace codebooks).  Queries
+    (:func:`ivfpq_topk`) physically read only their ``n_probe``
+    partition directories of codes — the vectors are gone from the
+    serving path entirely.
+
+    Codes are of the RAW vectors (no residual re-encoding), so a
+    full-probe query equals flat :func:`pq_topk` exactly — which is
+    what the driver oracle checks (the same knn_ivf-vs-knn_topk
+    full-probe-is-exact pattern).  Returns ``(codebooks, coarse)``.
+    """
+    import os
+    import shutil
+
+    import pyarrow.parquet as pqt
+
+    from docling_translate_ray.stages.shuffle import broadcast_join
+
+    coarse_assign, coarse = kmeans_int(
+        ds, k=n_coarse, iterations=iterations, id_column=id_column,
+        column=column, return_centroids=True)
+    codes, codebooks = pq_train_encode(
+        ds, m=m, k=k, iterations=iterations, id_column=id_column,
+        column=column, num_partitions=num_partitions)
+
+    os.makedirs(index_dir, exist_ok=True)
+    # a rebuild replaces the whole codes tree (uuid part names would
+    # otherwise leave the prior generation ranked alongside the new)
+    shutil.rmtree(os.path.join(index_dir, _CODES_SUBDIR),
+                  ignore_errors=True)
+    ccids, ccmat = coarse
+    pqt.write_table(pa.table({
+        "cid": pa.array(ccids.tolist(), pa.int64()),
+        "vals": pa.array(ccmat.tolist(), pa.list_(pa.int64())),
+    }), os.path.join(index_dir, _COARSE_FILE))
+    rows_s, rows_c, rows_v = [], [], []
+    for j, (cids, cmat) in enumerate(codebooks):
+        for c, v in zip(cids.tolist(), cmat.tolist()):
+            rows_s.append(j)
+            rows_c.append(c)
+            rows_v.append(v)
+    pqt.write_table(pa.table({
+        "subspace": pa.array(rows_s, pa.int64()),
+        "cid": pa.array(rows_c, pa.int64()),
+        "vals": pa.array(rows_v, pa.list_(pa.int64())),
+    }), os.path.join(index_dir, _CODEBOOKS_FILE))
+
+    def to_part(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [_PART_COL if n == "cluster_id" else n
+             for n in batch.schema.names])
+
+    placed = broadcast_join(
+        codes, coarse_assign.map_batches(to_part, batch_format="pyarrow"),
+        on=[id_column], how="inner", num_partitions=num_partitions)
+    placed.write_parquet(os.path.join(index_dir, _CODES_SUBDIR),
+                         partition_cols=[_PART_COL])
+    return codebooks, coarse
+
+
+def load_ivfpq_meta(index_dir: str):
+    """Return ``(codebooks, (ccids, ccmat))`` from the meta tables."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    ct = pqt.read_table(os.path.join(index_dir, _COARSE_FILE)).sort_by("cid")
+    coarse = (np.asarray(ct["cid"].to_pylist(), dtype=np.int64),
+              np.asarray(ct["vals"].to_pylist(), dtype=np.int64))
+    bt = pqt.read_table(os.path.join(index_dir, _CODEBOOKS_FILE))
+    codebooks = []
+    for j in sorted(set(bt["subspace"].to_pylist())):
+        sel = bt.filter(
+            pa.compute.equal(bt["subspace"], j)).sort_by("cid")
+        codebooks.append((
+            np.asarray(sel["cid"].to_pylist(), dtype=np.int64),
+            np.asarray(sel["vals"].to_pylist(), dtype=np.int64)))
+    return codebooks, coarse
+
+
+def ivfpq_probe_cids(index_dir: str, query_vec, n_probe: int) -> list[int]:
+    """The coarse partitions a query would read (ascending int distance,
+    ties to the lowest cid) — exposed so tests can prove the pruning."""
+    _, (ccids, ccmat) = load_ivfpq_meta(index_dir)
+    qi = _scale_query(query_vec)
+    d = ccmat - qi[None, :]
+    dist = np.einsum("kd,kd->k", d, d)
+    order = np.lexsort((ccids, dist))[:n_probe]
+    return [int(ccids[i]) for i in order]
+
+
+def ivfpq_topk(index_dir: str, query_vec, n_probe: int = 2, k: int = 10,
+               id_column: str = "vec_id"):
+    """ADC top-k over ONLY the ``n_probe`` nearest coarse partitions'
+    code files — the pruned standing-index read.  Full probe
+    (``n_probe == n_coarse``) is exactly flat :func:`pq_topk`."""
+    import os
+
+    import ray.data
+
+    codebooks, _ = load_ivfpq_meta(index_dir)
+    paths = []
+    for c in ivfpq_probe_cids(index_dir, query_vec, n_probe):
+        pdir = os.path.join(index_dir, _CODES_SUBDIR, f"{_PART_COL}={c}")
+        if os.path.isdir(pdir):
+            paths.extend(os.path.join(pdir, f)
+                         for f in sorted(os.listdir(pdir))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.schema([(id_column, pa.int64()),
+                          ("pq_dist", pa.int64()),
+                          ("rank", pa.int64())]).empty_table()
+    return pq_topk(ray.data.read_parquet(paths), codebooks, query_vec,
+                   k=k, id_column=id_column)

@@ -2386,6 +2386,26 @@ def q_pq_topk(sf_dir: str):
     return pq_topk(codes, codebooks, list(qrow[0]["embedding"]), k=10)
 
 
+def q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ standing index (functions/pq.build_ivfpq_index): coarse
+    k=4 integer k-means partitions + m=2 PQ codes per vector, persisted
+    as cpart-partitioned parquet of code rows; the query runs FULL
+    probe (n_probe = n_coarse), which is exact-equal to flat pq_topk by
+    construction — so this entry hash-checks against the IDENTICAL
+    pq_topk oracle SQL (the knn_ivf-vs-knn_topk pattern).  The pruning
+    proof (delete un-probed partitions, answers unchanged) lives in
+    tests/test_pq.py."""
+    import hashlib as _hl
+
+    from docling_translate_ray.functions.pq import build_ivfpq_index, ivfpq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = "/tmp/dtr_ivfpq_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    build_ivfpq_index(emb, idx, n_coarse=4, m=2, k=4, iterations=2)
+    qrow = emb.filter(expr="vec_id == 5").take(1)
+    return ivfpq_topk(idx, list(qrow[0]["embedding"]), n_probe=4, k=10)
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,

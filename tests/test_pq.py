@@ -112,3 +112,62 @@ def test_driver_query_matches_oracle(sf_dir):
     exp.sort(key=lambda r: r["rank"])
     assert got == exp
     assert len(got) == 10
+
+
+def test_ivfpq_index(tmp_path):
+    import shutil
+
+    import ray.data
+
+    from docling_translate_ray.functions.pq import (
+        build_ivfpq_index,
+        ivfpq_probe_cids,
+        ivfpq_topk,
+        pq_train_encode,
+    )
+
+    t = _vectors(n=60, dim=8, seed=11)
+    ds = ray.data.from_arrow(t)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(ds, idx, n_coarse=4, m=2, k=4, iterations=2)
+    q = list(t["embedding"][9].as_py())
+
+    # full probe == flat PQ, row for row
+    codes, codebooks = pq_train_encode(ds, m=2, k=4, iterations=2)
+    flat = pq_topk(codes, codebooks, q, k=10).to_pylist()
+    full = ivfpq_topk(idx, q, n_probe=4, k=10).to_pylist()
+    assert full == flat
+
+    # pruned read: the n_probe=1 answer must not change when every
+    # UN-probed partition is physically deleted
+    before = ivfpq_topk(idx, q, n_probe=1, k=10).to_pylist()
+    keep = set(ivfpq_probe_cids(idx, q, 1))
+    import os
+
+    codes_root = os.path.join(idx, "codes")
+    for d in os.listdir(codes_root):
+        cid = int(d.split("=")[1])
+        if cid not in keep:
+            shutil.rmtree(os.path.join(codes_root, d))
+    after = ivfpq_topk(idx, q, n_probe=1, k=10).to_pylist()
+    assert after == before
+    assert before  # the probed partition holds candidates — non-vacuous
+
+
+def test_ivfpq_rebuild_replaces_generation(tmp_path):
+    import ray.data
+
+    from docling_translate_ray.functions.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    ds = ray.data.from_arrow(_vectors(n=30, dim=8, seed=2))
+    idx = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(ds, idx, n_coarse=2, m=2, k=4)
+    q = list(_vectors(n=30, dim=8, seed=2)["embedding"][0].as_py())
+    first = ivfpq_topk(idx, q, n_probe=2, k=30).to_pylist()
+    build_ivfpq_index(ds, idx, n_coarse=2, m=2, k=4)
+    second = ivfpq_topk(idx, q, n_probe=2, k=30).to_pylist()
+    assert second == first
+    assert len(second) == 30  # one generation only — no uuid-part ghosts
