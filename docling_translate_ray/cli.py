@@ -50,9 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-span-text", action="store_true",
                    help="slim output: drop the text field from span structs "
                         "(offsets + extracted_text remain)")
-    p.add_argument("--pipeline", choices=["extract", "curate", "mixture"],
+    p.add_argument("--pipeline",
+                   choices=["extract", "curate", "mixture", "webcurate"],
                    default="extract",
                    help="extract = the flagship job over pages parquet; "
+                        "webcurate = raw pages → boilerplate strip → the "
+                        "curate chain (urls re-attached); "
                         "curate / mixture = the composite pipelines over a "
                         "docs parquet dir (doc_id, text[, lang, is_target]); "
                         "OUT_DIR is the composite work_dir — stage resume is "
@@ -81,11 +84,19 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    if args.pipeline in ("curate", "mixture"):
+    if args.pipeline in ("curate", "mixture", "webcurate"):
         import ray.data
 
         ds = ray.data.read_parquet(args.input)
-        if args.pipeline == "curate":
+        if args.pipeline == "webcurate":
+            from docling_translate_ray.pipelines.curate import curate_pages
+
+            _, stats = curate_pages(
+                ds.select_columns(["url", "html"]), work_dir=args.out,
+                resume=not args.no_resume, retention=args.retention,
+                normalize=args.normalize, trim_lines=args.trim_lines)
+            stats["final_dir"] = args.out + "/final"
+        elif args.pipeline == "curate":
             from docling_translate_ray.pipelines.curate import curate_docs
 
             curated, stats = curate_docs(

@@ -214,3 +214,88 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
 def curate_stats_table(ds, **kwargs) -> pa.Table:
     _, stats = curate_docs(ds, **kwargs)
     return pa.table({k: pa.array([v], pa.int64()) for k, v in stats.items()})
+
+
+def curate_pages(pages_ds, url_column: str = "url",
+                 html_column: str = "html", work_dir: str | None = None,
+                 resume: bool = False, min_words: int = 5,
+                 **curate_kwargs):
+    """The north-star first mile END TO END: raw Common-Crawl-style
+    pages (``url:string, html:binary``) → jusText-style main-content
+    extraction (``functions.boilerplate``) → the full curate_docs
+    chain (quality → exact dedup → near-dedup) → curated corpus rows
+    WITH their source url re-attached.
+
+    Stage layout (all durable, all resumable through the same
+    ``StageRunner`` contract; ``curate_docs`` nests under
+    ``work_dir/curate``):
+
+    * ``maincontent`` — one shuffle-free pass: strip boilerplate,
+      assign ``doc_id`` = 64-bit hash of the url (a collision merges
+      two urls into one doc id — the standard 64-bit birthday risk,
+      same convention as ``functions.graph.host_components``), keep
+      ``(doc_id, url, text)``;
+    * ``curate/*`` — the curate_docs stages over ``(doc_id, text)``;
+    * ``final`` — curated rows joined back to their url
+      (broadcast-or-exchange on doc_id; the url map is re-read from
+      the maincontent parquet, never held in memory).
+
+    Returns ``(curated_ds, stats)``; stats adds ``n_pages`` on top of
+    curate_docs' per-stage counts.
+    """
+    import ray.data
+
+    from docling_translate_ray.functions.boilerplate import strip_boilerplate
+    from docling_translate_ray.stages.shuffle import broadcast_join
+    from docling_translate_ray.state.stages import StageRunner
+
+    if work_dir is None:
+        if resume:
+            raise ValueError("resume=True needs an explicit work_dir")
+        import atexit
+
+        work_dir = tempfile.mkdtemp(prefix="dtr_webcurate_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    runner = StageRunner(work_dir, resume=resume, params={
+        "pipeline": "curate_pages", "url_column": url_column,
+        "min_words": min_words,
+    })
+
+    def build_maincontent(d: str) -> None:
+        import polars as pl
+
+        stripped = strip_boilerplate(
+            pages_ds.select_columns([url_column, html_column]),
+            id_column=url_column, html_column=html_column,
+            min_words=min_words)
+
+        def with_ids(batch: pa.Table) -> pa.Table:
+            df = (pl.from_arrow(batch.select([url_column, "clean_text"]))
+                  .with_columns(
+                      pl.col(url_column).hash(seed=0)
+                      .reinterpret(signed=True).alias("doc_id"))
+                  .rename({"clean_text": "text"}))
+            return df.select(["doc_id", url_column, "text"]).to_arrow().cast(
+                pa.schema([("doc_id", pa.int64()),
+                           (url_column, pa.string()),
+                           ("text", pa.string())]))
+
+        stripped.map_batches(
+            with_ids, batch_format="pyarrow").write_parquet(d)
+
+    mc_dir = runner.stage("maincontent", build_maincontent)
+    mc = ray.data.read_parquet(mc_dir)
+
+    curated, stats = curate_docs(
+        mc.select_columns(["doc_id", "text"]),
+        work_dir=os.path.join(work_dir, "curate"), resume=resume,
+        **curate_kwargs)
+    stats = {"n_pages": mc.count(), **stats}
+
+    def build_final(d: str) -> None:
+        urls = mc.select_columns(["doc_id", url_column])
+        broadcast_join(curated, urls, on=["doc_id"],
+                       how="inner").write_parquet(d)
+
+    f_dir = runner.stage("final", build_final)
+    return ray.data.read_parquet(f_dir), stats

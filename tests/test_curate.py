@@ -231,3 +231,55 @@ def test_curate_trim_lines_stage_collapses_repeat_padded_docs():
     _, stats_trim = curate_docs(ds, trim_lines=True)
     assert stats_trim["n_exact_unique"] == 1  # repeats trimmed → equal
     assert stats_trim["n_curated"] == 1
+
+
+def test_curate_pages_first_mile_end_to_end(tmp_path):
+    """Raw input_hint pages → boilerplate strip → curate, urls
+    re-attached: matches the manual composition of the pieces, drops
+    chrome text, and resumes from markers without re-reading input."""
+    import polars as pl
+
+    from docling_translate_ray.corpus import gen_pages
+    from docling_translate_ray.functions.boilerplate import strip_boilerplate
+    from docling_translate_ray.pipelines.curate import curate_pages
+
+    pages = gen_pages(300, seed=21)
+    work = str(tmp_path / "webcurate")
+    curated, stats = curate_pages(
+        ray.data.from_arrow(pages), work_dir=work)
+    rows = curated.take_all()
+    assert stats["n_pages"] == 300
+    assert stats["n_curated"] == len(rows)
+    assert rows, "expected curated pages"
+    urls = set(pages["url"].to_pylist())
+    for r in rows[:50]:
+        assert r["url"] in urls
+        assert "site chrome to drop" not in r["text"]
+
+    # manual composition parity (deterministic end to end)
+    stripped = strip_boilerplate(
+        ray.data.from_arrow(pages.select(["url", "html"])),
+        id_column="url", html_column="html")
+
+    def with_ids(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["url", "clean_text"]))
+              .with_columns(pl.col("url").hash(seed=0)
+                            .reinterpret(signed=True).alias("doc_id"))
+              .rename({"clean_text": "text"}))
+        return df.select(["doc_id", "text"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+
+    manual, mstats = curate_docs(
+        stripped.map_batches(with_ids, batch_format="pyarrow"))
+    assert {k: v for k, v in stats.items() if k != "n_pages"} == mstats
+    got = sorted((r["doc_id"], r["text"]) for r in rows)
+    exp = sorted((r["doc_id"], r["text"]) for r in manual.take_all())
+    assert got == exp
+
+    # marker resume: poisoned input must never be re-read
+    poisoned = ray.data.from_arrow(pages).map_batches(
+        lambda b: (_ for _ in ()).throw(RuntimeError("input re-read")),
+        batch_format="pyarrow")
+    curated2, stats2 = curate_pages(poisoned, work_dir=work, resume=True)
+    assert stats2 == stats
+    assert curated2.count() == stats["n_curated"]
