@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (55 as of round 3) with documented
+    :func:`queries_legacy` (56 as of round 3) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (105 entries total, 94 DuckDB-oracled)."""
+    (106 entries total, 95 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
+        "webcurate": q.q_webcurate,
         "ivfpq_topk": q.q_ivfpq_topk,
         "pq_topk": q.q_pq_topk,
         "trim_repeated_lines": q.q_trim_repeated_lines,
@@ -105,8 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "gopher_quality": q.q_gopher_quality,
         "pack_sequences": q.q_pack_sequences,
-        # composite curation pipeline
-        "curate": q.q_curate,
     }
 
 
@@ -293,6 +292,14 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       ranking stays oracle-checked here — driver-hash-verified r02,
       demoted round 3 to make window room for ivfpq_topk (the standing
       IVF-PQ vector index)
+    * curate → webcurate (the in-window STRICT SUPERSET: curate_pages
+      runs the identical curate_docs code path — quality → exact dedup
+      → near-dedup, same StageRunner stages — with the boilerplate
+      first mile in front and the url re-attach behind, and its oracle
+      embeds this entry's whole counts chain extended by the
+      main-content CTE); the documents-table variant stays
+      oracle-checked here — driver-hash-verified r01 AND r02, demoted
+      round 3 to make window room for webcurate
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -352,6 +359,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "segment_revenue": q.q_segment_revenue,
         "search_rank": q.q_search_rank,
+        "curate": q.q_curate,
     }
 
 
@@ -1882,6 +1890,82 @@ def oracle_sql() -> dict[str, str]:
         # n_probe < n_coarse stays pinned by pytest (partition-delete
         # invariance)
         "ivfpq_topk": _PQ_TOPK_SQL,
+        # the webcurate composite end to end: the boilerplate
+        # kept-chunk CTE (same planted view as boilerplate_strip)
+        # produces each page's clean text, which then feeds the exact
+        # curate counts chain (quality gate → md5 exact-dedup groups →
+        # exact-Jaccard near-dup closure).  The pipeline's internal ids
+        # are polars url hashes, but every count is id-invariant
+        # (groups key on md5(text) / gram sets, not on ids)
+        "webcurate": r"""
+            WITH RECURSIVE w0 AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, i,
+                     array_to_string(ws[(i-1)*12+1 : i*12], ' ') AS ctext,
+                     len(ws[(i-1)*12+1 : i*12]) AS nw
+              FROM w0, unnest(range(1, CAST(ceil(len(ws) / 12.0) AS BIGINT)
+                                       + 1)) AS t(i)),
+            k AS (
+              SELECT doc_id, i, ctext FROM c
+              WHERE (i-1) % 5 <> 4 AND nw >= 5),
+            a AS (
+              SELECT doc_id,
+                     string_agg(ctext, chr(10) || chr(10) ORDER BY i)
+                       AS clean_text
+              FROM k GROUP BY doc_id),
+            docs2 AS (
+              SELECT w0.doc_id, coalesce(a.clean_text, '') AS text
+              FROM w0 LEFT JOIN a USING (doc_id)),
+            qual AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '@NONWS@')) AS n_tokens,
+                       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+                       length(text) - length(regexp_replace(text, '\S', '', 'g')) AS n_nonws,
+                       length(text) AS n_chars
+                FROM docs2)
+              WHERE n_tokens >= 5
+                AND np / greatest(n_chars, 1) <= 0.2
+                AND n_nonws / greatest(n_tokens, 1) BETWEEN 2 AND 14),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+            surv AS (
+              SELECT q.doc_id, q.text FROM qual q JOIN winners USING (doc_id)),
+            w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM surv),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS g
+              FROM w),
+            p AS (
+              SELECT a2.doc_id AS id_a, b2.doc_id AS id_b
+              FROM d a2 JOIN d b2 ON a2.doc_id < b2.doc_id
+              WHERE 100 * len(list_intersect(a2.g, b2.g))
+                    >= 70 * len(list_distinct(a2.g || b2.g))),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            labels AS (
+              SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+              FROM reach GROUP BY a),
+            dropped AS (SELECT doc_id FROM labels WHERE doc_id <> canonical_id)
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS n_pages,
+                   (SELECT count(*) FROM docs2)::BIGINT AS n_input,
+                   (SELECT count(*) FROM qual)::BIGINT AS n_quality_ok,
+                   (SELECT count(*) FROM surv)::BIGINT AS n_exact_unique,
+                   ((SELECT count(*) FROM surv)
+                    - (SELECT count(*) FROM dropped))::BIGINT AS n_curated
+        """,
         # within-doc repeated-line trim: the view wraps words into
         # 8-word lines and re-inserts line 1 after every 3rd line
         # (pos interleave: originals at i*10, plants at i*10+5); both

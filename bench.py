@@ -134,6 +134,8 @@ def extra_queries(sf_dir: str) -> dict:
         "pq_topk": lambda: q.q_pq_topk(sf_dir).num_rows,
         # session-7: standing IVF-PQ index (build + full-probe query)
         "ivfpq_topk": lambda: q.q_ivfpq_topk(sf_dir).num_rows,
+        # session-7: raw pages → strip → curate, end-to-end SQL oracle
+        "webcurate": lambda: q.q_webcurate(sf_dir).num_rows,
     }
 
 

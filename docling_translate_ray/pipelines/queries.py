@@ -2406,6 +2406,51 @@ def q_ivfpq_topk(sf_dir: str):
     return ivfpq_topk(idx, list(qrow[0]["embedding"]), n_probe=4, k=10)
 
 
+def q_webcurate(sf_dir: str):
+    """The north-star first mile end to end with a FULL composed SQL
+    oracle (pipelines/curate.curate_pages): the q_boilerplate_strip
+    blocked-HTML view of the documents table (one unique synthetic url
+    per doc) → boilerplate strip → quality → exact dedup → near-dedup
+    → one row of per-stage counts.  The ids inside the pipeline are
+    polars url hashes (not SQL-reproducible), but every COUNT is
+    id-invariant — exact-dedup groups are keyed on md5(text) and
+    near-dup clusters on the text's gram sets, so which member wins
+    never changes the survivor counts.  Oracle = the boilerplate
+    kept-chunk CTE feeding the curate counts chain."""
+    from docling_translate_ray.pipelines.curate import curate_pages
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        urls, htmls = [], []
+        for d, t in zip(ids, texts):
+            ws = (t or "").split()
+            parts = [f'<nav><a href="/">Home</a> | '
+                     f'<a href="/c{d % 7}">Cat {d % 7}</a></nav>']
+            for ci in range((len(ws) + 11) // 12):
+                s = " ".join(ws[ci * 12:ci * 12 + 12])
+                if ci % 5 == 4:
+                    parts.append(f'<p><a href="/l{ci}">{s}</a></p>')
+                else:
+                    parts.append(f"<p>{s}</p>")
+            parts.append("<p>Read more</p>")
+            parts.append(
+                f"<footer>© host{d % 211} all rights reserved</footer>")
+            urls.append(f"https://d{d}.example/a")
+            htmls.append(
+                ("<html><body>" + "".join(parts) + "</body></html>")
+                .encode("utf-8"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    _, stats = curate_pages(docs.map_batches(synth, batch_format="pyarrow"))
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in stats.items()})
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,
