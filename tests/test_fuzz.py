@@ -438,3 +438,85 @@ def test_shard_key_partial_fuzz(ids, hex_digits):
         k = hashlib.md5(f"shard:{i}".encode()).hexdigest()
         assert r["key"] == k and r["shard"] == k[:hex_digits]
         assert 0 <= r["_w"] < 9973 and r["n_chars"] == 1
+
+
+class _FakeDS:
+    """Batch-level shim: runs a Dataset operator's map_batches fn
+    directly on one pyarrow table (no Ray per hypothesis example)."""
+
+    def __init__(self, t):
+        self.t = t
+
+    def select_columns(self, cols):
+        return _FakeDS(self.t.select(cols))
+
+    def map_batches(self, fn, **kw):
+        return fn(self.t)
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(
+    list("<>/ab p\n\"'=nav foter li asde&;— ")), max_size=200),
+    min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_strip_boilerplate_total_fuzz(htmls):
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.boilerplate import strip_boilerplate
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(htmls)), pa.int64()),
+        "html": pa.array(htmls, pa.string()),
+    })
+    out = strip_boilerplate(_FakeDS(t))
+    assert out.num_rows == len(htmls)          # every doc emits a row
+    for r in out.to_pylist():
+        assert 0 <= r["n_kept"] <= r["n_blocks"]
+        assert isinstance(r["clean_text"], str)
+        if r["n_kept"] == 0:
+            assert r["clean_text"] == ""
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(list("ab \n\t")),
+                        max_size=120), min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_trim_repeated_lines_fuzz_matches_dict_model(texts):
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.dedup import trim_repeated_lines
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = trim_repeated_lines(_FakeDS(t)).to_pylist()
+    for text, r in zip(texts, out):
+        lines = text.split("\n") if text else []
+        seen: dict[str, None] = {}
+        for ln in lines:
+            seen.setdefault(ln, None)
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(seen)
+        assert r["text_trimmed"] == "\n".join(seen)
+        # idempotence through the same kernel
+        t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": pa.array([r["text_trimmed"]], pa.string())})
+        again = trim_repeated_lines(_FakeDS(t2)).to_pylist()[0]
+        assert again["text_trimmed"] == r["text_trimmed"]
+        assert again["n_lines"] == again["n_kept"]
+
+
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_pq_scale_query_matches_kmeans_quantizer(vec):
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.knn import _to_int_matrix
+    from docling_translate_ray.functions.pq import _scale_query
+
+    t = pa.table({"embedding": pa.array([vec], pa.list_(pa.float64()))})
+    expected = _to_int_matrix(t, "embedding")[0]
+    got = _scale_query(vec)
+    assert np.array_equal(got, expected)
