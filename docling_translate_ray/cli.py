@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--trim-lines", action="store_true",
                    help="curate only: insert within-doc repeated-line "
                         "trimming before hashing (stage 0b)")
+    p.add_argument("--blocklist", default=None,
+                   help="curate only: comma-separated badwords — docs "
+                        "containing any (token match) are dropped before "
+                        "the quality gate (C4-style, stage 0c)")
     args = p.parse_args(argv)
 
     import ray
@@ -88,13 +92,16 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data
 
         ds = ray.data.read_parquet(args.input)
+        blocklist = (args.blocklist.split(",")
+                     if args.blocklist else None)
         if args.pipeline == "webcurate":
             from docling_translate_ray.pipelines.curate import curate_pages
 
             _, stats = curate_pages(
                 ds.select_columns(["url", "html"]), work_dir=args.out,
                 resume=not args.no_resume, retention=args.retention,
-                normalize=args.normalize, trim_lines=args.trim_lines)
+                normalize=args.normalize, trim_lines=args.trim_lines,
+                blocklist=blocklist)
             stats["final_dir"] = args.out + "/final"
         elif args.pipeline == "curate":
             from docling_translate_ray.pipelines.curate import curate_docs
@@ -103,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
                 ds.select_columns(["doc_id", "text"]),
                 work_dir=args.out, retention=args.retention,
                 resume=not args.no_resume, normalize=args.normalize,
-                trim_lines=args.trim_lines)
+                trim_lines=args.trim_lines, blocklist=blocklist)
             stats["curated_dir"] = args.out + "/curated"
         else:
             from docling_translate_ray.pipelines.mixture import build_mixture

@@ -1016,3 +1016,39 @@ def heavy_hitters(ds, column: str = "text", theta_bp: int = 300,
         .to_arrow()
         .cast(pa.schema([("word", pa.string()), ("n_occurrences", pa.int64())]))
     )
+
+
+def badwords_flag_batch(batch: pa.Table, words: list[str],
+                        column: str = "text",
+                        mode: str = "word") -> pa.Table:
+    """C4-style blocklist flagging (the "List of Dirty, Naughty ..."
+    filter every web-curation pipeline runs): append ``badword_hit``
+    per row.
+
+    * ``mode="word"`` — hit when any LOWERCASED whitespace token
+      equals a blocklist word (the repo's lockstep ``\\S+`` tokenizer;
+      DuckDB parity = ``list_has_any(regexp_extract_all(lower(text),
+      '@NONWS@'), [...])``, pinned in pytest);
+    * ``mode="substring"`` — hit when the lowercased text CONTAINS any
+      blocklist string (polars ``contains_any`` — Aho-Corasick, one
+      scan for the whole list).
+
+    Pure per-batch vectorized map: the blocklist is bound into the
+    closure (callers broadcast it once per actor via the usual
+    map_batches capture), no shuffle, scales linearly with docs.
+    """
+    import polars as pl
+
+    if mode not in ("word", "substring"):
+        raise ValueError(f"mode must be 'word' or 'substring' (got {mode!r})")
+    lowered = [w.lower() for w in words]
+    df = pl.from_arrow(batch)
+    low = pl.col(column).fill_null("").str.to_lowercase()
+    if mode == "word":
+        hit = (low.str.extract_all(r"\S+")
+               .list.eval(pl.element().is_in(lowered)).list.any())
+    else:
+        hit = low.str.contains_any(lowered)
+    out = df.with_columns(hit.fill_null(False).alias("badword_hit"))
+    return out.to_arrow().cast(pa.schema(
+        list(batch.schema) + [pa.field("badword_hit", pa.bool_())]))

@@ -40,7 +40,9 @@ from docling_translate_ray.functions import text_stats as fts
 def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
                 minhash_threshold: float = 0.7, work_dir: str | None = None,
                 retention: str = "min_id", resume: bool = False,
-                normalize: bool = False, trim_lines: bool = False):
+                normalize: bool = False, trim_lines: bool = False,
+                blocklist: list[str] | None = None,
+                blocklist_mode: str = "word"):
     """Return (curated_ds, stats) — curated rows keep (id, text) plus the
     quality columns; ``stats`` has per-stage survivor counts.
 
@@ -72,6 +74,13 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     polluting the quality signals and the exact/near-dup keys.  The
     trim stage narrows rows to ``(id_column, column)`` (the curate
     contract's working set; quality re-derives its columns).
+
+    ``blocklist`` (a list of strings) inserts the C4-style badwords
+    gate (``functions.text_stats.badwords_flag_batch``) before the
+    quality stage — ``blocklist_mode`` picks token-equality
+    (``"word"``) or Aho-Corasick substring (``"substring"``)
+    semantics; flagged docs are dropped and ``stats`` gains
+    ``n_blocklist_ok``.
     """
     if retention not in ("min_id", "keep_best"):
         raise ValueError(
@@ -95,7 +104,10 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         "pipeline": "curate", "id_column": id_column, "column": column,
         "minhash_threshold": minhash_threshold, "retention": retention,
         "normalize": normalize, "trim_lines": trim_lines,
+        "blocklist": sorted(blocklist or []),
+        "blocklist_mode": blocklist_mode,
     })
+    pre_stats: dict[str, int] = {}
 
     if normalize:
         # stage 0 — unicode normalization BEFORE any hashing (pure
@@ -130,6 +142,27 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         ).map_batches(trimmed_rows, batch_format="pyarrow").write_parquet(d))
         ds = ray.data.read_parquet(t_dir)
 
+    if blocklist:
+        # stage 0c — C4-style badwords gate BEFORE quality scoring
+        # (pure per-batch vectorized map; the list rides the closure)
+        from docling_translate_ray.functions.text_stats import (
+            badwords_flag_batch,
+        )
+
+        def blocklist_kept(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            flagged = badwords_flag_batch(
+                batch, blocklist, column=column, mode=blocklist_mode)
+            return (flagged
+                    .filter(pc.invert(flagged["badword_hit"]))
+                    .drop_columns(["badword_hit"]))
+
+        b_dir = runner.stage("blocklist", lambda d: ds.map_batches(
+            blocklist_kept, batch_format="pyarrow").write_parquet(d))
+        ds = ray.data.read_parquet(b_dir)
+        pre_stats["n_blocklist_ok"] = ds.count()
+
     def quality_flagged(batch: pa.Table) -> pa.Table:
         out = fts.quality_batch(batch, column)
         # int partition key named WITHOUT a leading underscore (dataset
@@ -145,6 +178,7 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         quality_flagged, batch_format="pyarrow"
     ).write_parquet(d, partition_cols=["qok"]))
     stats: dict[str, int] = {
+        **pre_stats,
         # both counts are parquet-metadata reads of what the ONE quality
         # pass wrote: whole dir = input, qok=1 partition = survivors
         "n_input": ray.data.read_parquet(q_dir).count(),
