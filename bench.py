@@ -1,11 +1,16 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — the LAST stdout line is one COMPACT JSON summary
+(the round driver parses only the final ~2 kB of output); the full
+per-pipeline walls print on an earlier line and persist to
+``BENCH_DETAIL.json``.
 
 Default mode: times the headline pipelines over ``$GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) under ``ray.init(address="local",
-num_cpus=$RAY_GRAFT_CPUS or 32)``:
+num_cpus=$RAY_GRAFT_CPUS or 32)``; final line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+     "queries": {...headline walls...}, "sf": ..., "num_cpus": N,
+     "extra_pipelines": {"count": ..., "total_sec": ...},
+     "scaling": {...efficiency summary...}, "detail": "BENCH_DETAIL.json"}
 
 ``--scaling``: runs the flagship extraction job twice in FRESH subprocesses
 (num_cpus=8 then 32) over the same synthetic pages corpus (the sandbox
@@ -517,6 +522,17 @@ def main() -> None:
                                "BENCH_SCALING.json"), "w") as f:
             json.dump(result, f, indent=1)
         print(json.dumps(result))
+        # compact final line (driver-tail-safe, same rule as default mode)
+        print(json.dumps({
+            "metric": result["metric"], "value": result["value"],
+            "unit": result["unit"], "sf": result["sf"],
+            "num_cpus": result["num_cpus"],
+            "efficiency_2_to_8": result["scaling"]["efficiency_2_to_8"],
+            "efficiency_8_to_32": result["scaling"]["efficiency_8_to_32"],
+            "normalized_eff_8_to_32":
+                result["scaling"]["hardware"]["normalized_eff_8_to_32"],
+            "detail": "BENCH_SCALING.json",
+        }))
         return
 
     import ray
@@ -560,22 +576,46 @@ def main() -> None:
         t0 = time.perf_counter()
         fn()
         times_extra[name] = round(time.perf_counter() - t0, 3)
-    out = {
+    detail = {
         "metric": "headline pipelines total wall time",
         "value": total, "unit": "sec", "queries": times,
         "queries_extra": times_extra,
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
     }
-    scaling_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scaling_file = os.path.join(repo, "BENCH_SCALING.json")
+    scaling_summary = None
     if os.path.exists(scaling_file):  # latest `--scaling` evidence, if any
         try:
             with open(scaling_file) as f:
-                out["scaling_evidence"] = json.load(f)["scaling"]
+                sc = json.load(f)["scaling"]
+            detail["scaling_evidence"] = sc
+            scaling_summary = {
+                "pages": sc.get("pages"),
+                "efficiency_2_to_8": sc.get("efficiency_2_to_8"),
+                "efficiency_8_to_32": sc.get("efficiency_8_to_32"),
+                "normalized_eff_8_to_32":
+                    sc.get("hardware", {}).get("normalized_eff_8_to_32"),
+            }
         except Exception:
             pass
-    print(json.dumps(out))
+    # full detail goes to a file + an EARLY line; the FINAL line stays
+    # compact (< ~1.5 kB) because the round driver parses only the last
+    # ~2 kB of output — round 3's ~45 per-query walls overflowed that
+    # window and the headline was recorded as unparseable
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    summary = {
+        "metric": "headline pipelines total wall time",
+        "value": total, "unit": "sec", "queries": times,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "extra_pipelines": {"count": len(times_extra),
+                            "total_sec": round(sum(times_extra.values()), 3)},
+        "scaling": scaling_summary,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary))
     ray.shutdown()
 
 

@@ -92,8 +92,11 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data
 
         ds = ray.data.read_parquet(args.input)
-        blocklist = (args.blocklist.split(",")
-                     if args.blocklist else None)
+        # strip each entry: 'foo, bar' must mean {'foo','bar'} — a ' bar'
+        # token can never match in word mode (ADVICE r03)
+        blocklist = ([w.strip() for w in args.blocklist.split(",")
+                      if w.strip()]
+                     if args.blocklist else None) or None
         if args.pipeline == "webcurate":
             from docling_translate_ray.pipelines.curate import curate_pages
 

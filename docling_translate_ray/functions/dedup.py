@@ -1668,14 +1668,15 @@ def trim_repeated_lines(ds, column: str = "text", id_column: str = "doc_id"):
     """
     import polars as pl
 
-    out_schema = pa.schema([
-        (id_column, pa.int64()),
-        ("text_trimmed", pa.string()),
-        ("n_lines", pa.int64()),
-        ("n_kept", pa.int64()),
-    ])
-
     def fn(batch: pa.Table) -> pa.Table:
+        # id keeps its INPUT type (string urls and int doc ids both
+        # work) — mirrors sibling strip_boilerplate (ADVICE r03)
+        out_schema = pa.schema([
+            (id_column, batch.schema.field(id_column).type),
+            ("text_trimmed", pa.string()),
+            ("n_lines", pa.int64()),
+            ("n_kept", pa.int64()),
+        ])
         df = (
             pl.from_arrow(batch.select([id_column, column]))
             .rename({id_column: "_id", column: "_t"})

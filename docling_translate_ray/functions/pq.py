@@ -61,6 +61,8 @@ def pq_train_encode(ds, m: int = 2, k: int = 4, iterations: int = 2,
     from docling_translate_ray.stages.shuffle import broadcast_join
 
     first = ds.select_columns([column]).take(1)
+    if not first:
+        raise ValueError("pq: empty input dataset")
     dim = len(first[0][column])
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by m={m}")
@@ -157,6 +159,20 @@ _CODES_SUBDIR = "codes"
 _PART_COL = "cpart"
 _COARSE_FILE = "coarse.parquet"
 _CODEBOOKS_FILE = "codebooks.parquet"
+_CURRENT_FILE = "CURRENT"
+
+
+def _resolve_gen(index_dir: str) -> str:
+    """Root of the LIVE index generation: ``CURRENT`` names a
+    ``gen-*`` subdirectory (the atomic-rebuild layout); an index built
+    before the pointer existed is its own root (legacy layout)."""
+    import os
+
+    cur = os.path.join(index_dir, _CURRENT_FILE)
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return os.path.join(index_dir, f.read().strip())
+    return index_dir
 
 
 def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
@@ -177,9 +193,17 @@ def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
     full-probe query equals flat :func:`pq_topk` exactly — which is
     what the driver oracle checks (the same knn_ivf-vs-knn_topk
     full-probe-is-exact pattern).  Returns ``(codebooks, coarse)``.
+
+    Crash-safe rebuild: meta tables AND the codes tree are written into
+    a fresh ``gen-<uuid>`` subdirectory, then the tiny ``CURRENT``
+    pointer file flips atomically (``os.replace``) — a crash at ANY
+    point leaves readers on the previous complete generation, never on
+    new-meta-without-codes (whose missing partition dirs a probe would
+    silently skip).  Stale generations are pruned only after the flip.
     """
     import os
     import shutil
+    import uuid
 
     import pyarrow.parquet as pqt
 
@@ -192,16 +216,14 @@ def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
         ds, m=m, k=k, iterations=iterations, id_column=id_column,
         column=column, num_partitions=num_partitions)
 
-    os.makedirs(index_dir, exist_ok=True)
-    # a rebuild replaces the whole codes tree (uuid part names would
-    # otherwise leave the prior generation ranked alongside the new)
-    shutil.rmtree(os.path.join(index_dir, _CODES_SUBDIR),
-                  ignore_errors=True)
+    gen = "gen-" + uuid.uuid4().hex[:12]
+    gen_dir = os.path.join(index_dir, gen)
+    os.makedirs(gen_dir, exist_ok=True)
     ccids, ccmat = coarse
     pqt.write_table(pa.table({
         "cid": pa.array(ccids.tolist(), pa.int64()),
         "vals": pa.array(ccmat.tolist(), pa.list_(pa.int64())),
-    }), os.path.join(index_dir, _COARSE_FILE))
+    }), os.path.join(gen_dir, _COARSE_FILE))
     rows_s, rows_c, rows_v = [], [], []
     for j, (cids, cmat) in enumerate(codebooks):
         for c, v in zip(cids.tolist(), cmat.tolist()):
@@ -212,7 +234,7 @@ def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
         "subspace": pa.array(rows_s, pa.int64()),
         "cid": pa.array(rows_c, pa.int64()),
         "vals": pa.array(rows_v, pa.list_(pa.int64())),
-    }), os.path.join(index_dir, _CODEBOOKS_FILE))
+    }), os.path.join(gen_dir, _CODEBOOKS_FILE))
 
     def to_part(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
@@ -222,17 +244,30 @@ def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
     placed = broadcast_join(
         codes, coarse_assign.map_batches(to_part, batch_format="pyarrow"),
         on=[id_column], how="inner", num_partitions=num_partitions)
-    placed.write_parquet(os.path.join(index_dir, _CODES_SUBDIR),
+    placed.write_parquet(os.path.join(gen_dir, _CODES_SUBDIR),
                          partition_cols=[_PART_COL])
+    tmp_ptr = os.path.join(index_dir, _CURRENT_FILE + ".tmp-" + gen)
+    with open(tmp_ptr, "w") as f:
+        f.write(gen)
+    os.replace(tmp_ptr, os.path.join(index_dir, _CURRENT_FILE))
+    for name in os.listdir(index_dir):  # prune superseded generations
+        if name.startswith("gen-") and name != gen:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+        elif name in (_CODES_SUBDIR, _COARSE_FILE, _CODEBOOKS_FILE):
+            # legacy pre-pointer layout at the index root
+            p = os.path.join(index_dir, name)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
     return codebooks, coarse
 
 
 def load_ivfpq_meta(index_dir: str):
-    """Return ``(codebooks, (ccids, ccmat))`` from the meta tables."""
+    """Return ``(codebooks, (ccids, ccmat))`` from the meta tables of
+    the live generation (:func:`_resolve_gen`)."""
     import os
 
     import pyarrow.parquet as pqt
 
+    index_dir = _resolve_gen(index_dir)
     ct = pqt.read_table(os.path.join(index_dir, _COARSE_FILE)).sort_by("cid")
     coarse = (np.asarray(ct["cid"].to_pylist(), dtype=np.int64),
               np.asarray(ct["vals"].to_pylist(), dtype=np.int64))
@@ -268,9 +303,10 @@ def ivfpq_topk(index_dir: str, query_vec, n_probe: int = 2, k: int = 10,
     import ray.data
 
     codebooks, _ = load_ivfpq_meta(index_dir)
+    gen_dir = _resolve_gen(index_dir)
     paths = []
     for c in ivfpq_probe_cids(index_dir, query_vec, n_probe):
-        pdir = os.path.join(index_dir, _CODES_SUBDIR, f"{_PART_COL}={c}")
+        pdir = os.path.join(gen_dir, _CODES_SUBDIR, f"{_PART_COL}={c}")
         if os.path.isdir(pdir):
             paths.extend(os.path.join(pdir, f)
                          for f in sorted(os.listdir(pdir))

@@ -2395,15 +2395,21 @@ def q_ivfpq_topk(sf_dir: str):
     pq_topk oracle SQL (the knn_ivf-vs-knn_topk pattern).  The pruning
     proof (delete un-probed partitions, answers unchanged) lives in
     tests/test_pq.py."""
-    import hashlib as _hl
+    import shutil
+    import tempfile
 
     from docling_translate_ray.functions.pq import build_ivfpq_index, ivfpq_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    idx = "/tmp/dtr_ivfpq_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    build_ivfpq_index(emb, idx, n_coarse=4, m=2, k=4, iterations=2)
-    qrow = emb.filter(expr="vec_id == 5").take(1)
-    return ivfpq_topk(idx, list(qrow[0]["embedding"]), n_probe=4, k=10)
+    # per-process dir: a shared hash-of-sf_dir path raced when bench.py and
+    # check_contract.py rebuilt/read the same index concurrently (ADVICE r03)
+    idx = tempfile.mkdtemp(prefix="dtr_ivfpq_")
+    try:
+        build_ivfpq_index(emb, idx, n_coarse=4, m=2, k=4, iterations=2)
+        qrow = emb.filter(expr="vec_id == 5").take(1)
+        return ivfpq_topk(idx, list(qrow[0]["embedding"]), n_probe=4, k=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def q_webcurate(sf_dir: str):

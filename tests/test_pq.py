@@ -144,7 +144,9 @@ def test_ivfpq_index(tmp_path):
     keep = set(ivfpq_probe_cids(idx, q, 1))
     import os
 
-    codes_root = os.path.join(idx, "codes")
+    from docling_translate_ray.functions.pq import _resolve_gen
+
+    codes_root = os.path.join(_resolve_gen(idx), "codes")
     for d in os.listdir(codes_root):
         cid = int(d.split("=")[1])
         if cid not in keep:
@@ -171,3 +173,41 @@ def test_ivfpq_rebuild_replaces_generation(tmp_path):
     second = ivfpq_topk(idx, q, n_probe=2, k=30).to_pylist()
     assert second == first
     assert len(second) == 30  # one generation only — no uuid-part ghosts
+    import os
+
+    gens = [d for d in os.listdir(idx) if d.startswith("gen-")]
+    assert len(gens) == 1  # superseded generation pruned after the flip
+
+
+def test_ivfpq_crashed_rebuild_serves_old_generation(tmp_path):
+    """A rebuild that dies before the CURRENT pointer flips must leave
+    queries on the previous complete generation (ADVICE r03: the old
+    layout could expose new meta with a missing codes tree, which probes
+    silently skip)."""
+    import os
+
+    import pyarrow.parquet as pqt
+    import ray.data
+
+    from docling_translate_ray.functions.pq import (
+        _resolve_gen,
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    ds = ray.data.from_arrow(_vectors(n=30, dim=8, seed=3))
+    idx = str(tmp_path / "ivfpq3")
+    build_ivfpq_index(ds, idx, n_coarse=2, m=2, k=4)
+    q = list(_vectors(n=30, dim=8, seed=3)["embedding"][4].as_py())
+    before = ivfpq_topk(idx, q, n_probe=2, k=30).to_pylist()
+    live = _resolve_gen(idx)
+
+    # simulate a crash mid-rebuild: a new gen dir with meta written but
+    # no codes tree, pointer never flipped
+    dead = os.path.join(idx, "gen-deadbeef0000")
+    os.makedirs(dead)
+    for f in ("coarse.parquet", "codebooks.parquet"):
+        pqt.write_table(pqt.read_table(os.path.join(live, f)),
+                        os.path.join(dead, f))
+    assert _resolve_gen(idx) == live
+    assert ivfpq_topk(idx, q, n_probe=2, k=30).to_pylist() == before

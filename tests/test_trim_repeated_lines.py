@@ -37,6 +37,24 @@ def test_golden():
                       "n_lines": 5, "n_kept": 3}
 
 
+def test_string_id_preserved():
+    """The id column keeps its INPUT type — string-url callers (the
+    curate --trim-lines page path) must not hit an int64 cast
+    (ADVICE r03)."""
+    import ray.data
+
+    t = pa.table({
+        "url": pa.array(["u://a", "u://b"], pa.string()),
+        "text": pa.array(["x\nx\ny", "z"], pa.string()),
+    })
+    out = trim_repeated_lines(ray.data.from_arrow(t), id_column="url")
+    got = sorted(out.take_all(), key=lambda r: r["url"])
+    assert got == [
+        {"url": "u://a", "text_trimmed": "x\ny", "n_lines": 3, "n_kept": 2},
+        {"url": "u://b", "text_trimmed": "z", "n_lines": 1, "n_kept": 1},
+    ]
+
+
 def test_order_preserved_and_idempotent():
     text = "\n".join(["m", "a", "z", "a", "m", "q", "z", "m"])
     [got] = _run([(1, text)])
