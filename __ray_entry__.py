@@ -40,7 +40,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
-        # new operators this session — never driver-checked, first in
+        # round-4 additions — never driver-checked, first in the
+        # window: the OOXML converter lanes (stdlib zip+XML DOCX and
+        # PPTX readers + deterministic writers, the pdf_extract
+        # round-trip recipe; VERDICT r03 top item)
+        "docx_extract": q.q_docx_extract,
+        "pptx_extract": q.q_pptx_extract,
+        # new operators last session — never driver-checked, next in
         # the window: unicode normalization (NFC + control-strip +
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
         # dedup (keep best per cluster) and politeness-aware
@@ -53,7 +59,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
-        "bitext_align": q.q_bitext_align,
         "profile_orders": q.q_profile_orders,
         "url_pair_mine": q.q_url_pair_mine,
         "train_shards": q.q_train_shards,
@@ -69,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rebalance": q.q_lang_rebalance,
         "bitext_mine": q.q_bitext_mine,
         "bpe_pair_counts": q.q_bpe_pair_counts,
-        "bpe_train": q.q_bpe_train,
         "mixture": q.q_mixture,
         # never driver-checked before round 3 — first in the window
         "image_near_dup": q.q_image_near_dup,
@@ -292,6 +296,18 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       ranking stays oracle-checked here — driver-hash-verified r02,
       demoted round 3 to make window room for ivfpq_topk (the standing
       IVF-PQ vector index)
+    * bitext_align → bitext_pipeline (the in-window composite whose
+      align stage runs the SAME Gale-Church DP actor over mined pairs;
+      this standalone entry stays gated rows-only here and the DP cost
+      matrix is value-pinned in tests/test_bitext_align.py) — driver
+      rows-only-verified r03, demoted round 4 to make window room for
+      docx_extract (the OOXML converter lane, VERDICT r03's top ask)
+    * bpe_train → bpe_encode (in-window entry that TRAINS the same
+      iterative merge loop before applying it — encode cannot pass
+      without the training output) + bpe_pair_counts (hash-oracled
+      iteration 1 of the same pair-count exchange) — driver
+      rows-only-verified r03, demoted round 4 to make window room for
+      pptx_extract
     * curate → webcurate (the in-window STRICT SUPERSET: curate_pages
       runs the identical curate_docs code path — quality → exact dedup
       → near-dedup, same StageRunner stages — with the boilerplate
@@ -360,6 +376,8 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q.q_segment_revenue,
         "search_rank": q.q_search_rank,
         "curate": q.q_curate,
+        "bitext_align": q.q_bitext_align,
+        "bpe_train": q.q_bpe_train,
     }
 
 
@@ -643,6 +661,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * len(list_intersect(a.g, b.g))
                   >= 70 * len(list_distinct(a.g || b.g))
             ORDER BY index_id, new_id
+        """,
+        # OOXML lanes: the queries write a REAL zip+XML DOCX (Heading1
+        # title + one paragraph per 8-word line, two runs per multi-word
+        # paragraph) / PPTX (title on slide 1 + 4 lines per slide, zip
+        # entries REVERSED) per doc; ooxml_core must recover paragraph
+        # text in document / numeric-slide order byte-identically —
+        # same assembled text as the pdf lane, so the oracle is the
+        # pdf_extract wrap with the url prefix swapped
+        "docx_extract": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(ws[(i-1)*8+1 : i*8], ' '),
+                                chr(10) ORDER BY i) AS body
+              FROM w, unnest(range(1, CAST(ceil(len(ws) / 8.0) AS BIGINT) + 1))
+                       AS t(i)
+              GROUP BY doc_id),
+            e AS (
+              SELECT w.doc_id,
+                     'doc ' || w.doc_id ||
+                     CASE WHEN l.body IS NULL THEN ''
+                          ELSE chr(10) || l.body END AS extracted_text
+              FROM w LEFT JOIN l ON w.doc_id = l.doc_id)
+            SELECT 'docx://' || doc_id AS url, 'ok' AS status,
+                   extracted_text,
+                   length(extracted_text)::BIGINT AS n_chars
+            FROM e
+        """,
+        "pptx_extract": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(ws[(i-1)*8+1 : i*8], ' '),
+                                chr(10) ORDER BY i) AS body
+              FROM w, unnest(range(1, CAST(ceil(len(ws) / 8.0) AS BIGINT) + 1))
+                       AS t(i)
+              GROUP BY doc_id),
+            e AS (
+              SELECT w.doc_id,
+                     'doc ' || w.doc_id ||
+                     CASE WHEN l.body IS NULL THEN ''
+                          ELSE chr(10) || l.body END AS extracted_text
+              FROM w LEFT JOIN l ON w.doc_id = l.doc_id)
+            SELECT 'pptx://' || doc_id AS url, 'ok' AS status,
+                   extracted_text,
+                   length(extracted_text)::BIGINT AS n_chars
+            FROM e
         """,
         # PDF lane: the query writes a REAL Flate PDF per doc (title line
         # + 8-word-wrapped lines, content stream emitted in reverse) and

@@ -84,6 +84,9 @@ def extra_queries(sf_dir: str) -> dict:
         "minhash_index_build": lambda: _mh_index_build(sf_dir),
         "minhash_index_probe": lambda: _mh_index_probe(sf_dir),
         "pdf_extract": lambda: _consume(q.q_pdf_extract(sf_dir)),
+        # round-4: the OOXML converter lanes (zip+XML build + parse)
+        "docx_extract": lambda: _consume(q.q_docx_extract(sf_dir)),
+        "pptx_extract": lambda: _consume(q.q_pptx_extract(sf_dir)),
         "host_template": lambda: _consume(q.q_host_template(sf_dir)),
         "token_budget": lambda: _consume(q.q_token_budget(sf_dir)),
         # LSM-style snapshot processing: delta-only parse + manifest chain

@@ -122,12 +122,20 @@ _HTML_SNIFF = re.compile(rb"^\s*(?:<!doctype\s+html|<html)", re.IGNORECASE)
 def detect_doctype(url: str, data: bytes) -> str:
     """Content-type dispatch (core.py:369-379 / text_parser.py:507-530 analog).
 
-    Order: PDF magic → binary sniff → url extension via EXTENSION_MAP →
-    html content sniff → plaintext.  The PDF check must precede the
-    binary sniff (PDF streams contain null bytes).
+    Order: PDF magic → OOXML sniff (zip magic + entry names) → binary
+    sniff → url extension via EXTENSION_MAP → html content sniff →
+    plaintext.  The PDF/OOXML checks must precede the binary sniff
+    (both carry null bytes).
     """
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:4] == b"PK\x03\x04":
+        from docling_translate_ray import ooxml_core
+
+        kind = ooxml_core.sniff_ooxml(data)
+        if kind:
+            return kind  # docx | pptx (core.py:119-134 allowed_formats)
+        return "binary"  # a zip that isn't an OOXML package
     if is_binary(data):
         return "binary"
     path = url.split("?", 1)[0].split("#", 1)[0].rstrip("/")
@@ -596,6 +604,26 @@ def extract_page(url: str, data: bytes, speed_mode: str = "accurate") -> dict:
             return {
                 "url": url, "doctype": "pdf", "status": "ok",
                 "extracted_text": assemble_text(spans), "spans": spans,
+            }
+        if data[:4] == b"PK\x03\x04":
+            # OOXML lane also works on RAW bytes (zip container); a zip
+            # that is not a docx/pptx package stays a binary skip
+            from docling_translate_ray import ooxml_core
+
+            kind = ooxml_core.sniff_ooxml(data)
+            if kind in ("docx", "pptx"):
+                seg = (ooxml_core.segment_docx if kind == "docx"
+                       else ooxml_core.segment_pptx)
+                spans = [Span(i, start, end, k, tr, line, page, text)
+                         for i, (text, start, end, k, tr, line, page)
+                         in enumerate(seg(data))]
+                return {
+                    "url": url, "doctype": kind, "status": "ok",
+                    "extracted_text": assemble_text(spans), "spans": spans,
+                }
+            return {
+                "url": url, "doctype": "binary", "status": "skipped_binary",
+                "extracted_text": "", "spans": [],
             }
         if is_binary(data):
             return {

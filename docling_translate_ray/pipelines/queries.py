@@ -169,6 +169,71 @@ def q_pdf_extract(sf_dir: str):
         .select_columns(["url", "status", "extracted_text", "n_chars"])
 
 
+def docx_pages_batch(batch: pa.Table) -> pa.Table:
+    """input_hint-shaped pages whose payloads are REAL DOCX packages
+    (ooxml_core writer, zip + WordprocessingML): a Heading1 title
+    paragraph ``doc <id>`` then one paragraph per 8-word-wrapped text
+    line — each multi-word paragraph split into two runs, so the
+    result depends on the reader's run concatenation."""
+    from docling_translate_ray import ooxml_core
+
+    urls, blobs = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = (t or "").split()
+        lines = [" ".join(toks[j:j + 8]) for j in range(0, len(toks), 8)]
+        urls.append(f"docx://{i}")
+        blobs.append(ooxml_core.build_docx(
+            [(f"doc {i}", "Heading1")] + lines))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(blobs, pa.binary()),
+        "lang": pa.array([""] * len(urls), pa.string()),
+    })
+
+
+def q_docx_extract(sf_dir: str):
+    """DOCX lane end-to-end (reference core.py:119-134 allowed_formats):
+    build a real zip+XML DOCX per doc, run the SAME extraction DAG as
+    html/pdf pages, compare the paragraph text byte-identically."""
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        docx_pages_batch, batch_format="pyarrow"
+    )
+    return pages.map_batches(extract_batch, batch_format="pyarrow") \
+        .select_columns(["url", "status", "extracted_text", "n_chars"])
+
+
+def pptx_pages_batch(batch: pa.Table) -> pa.Table:
+    """Pages whose payloads are REAL PPTX packages: the title paragraph
+    ``doc <id>`` opens slide 1, then 4 wrapped lines per slide — and the
+    writer emits slide entries in REVERSED zip order, so the extraction
+    result depends on the reader's NUMERIC slide sort."""
+    from docling_translate_ray import ooxml_core
+
+    urls, blobs = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = (t or "").split()
+        lines = [" ".join(toks[j:j + 8]) for j in range(0, len(toks), 8)]
+        slides = [[f"doc {i}"] + lines[:4]]
+        slides += [lines[j:j + 4] for j in range(4, len(lines), 4)]
+        urls.append(f"pptx://{i}")
+        blobs.append(ooxml_core.build_pptx(slides))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(blobs, pa.binary()),
+        "lang": pa.array([""] * len(urls), pa.string()),
+    })
+
+
+def q_pptx_extract(sf_dir: str):
+    """PPTX lane end-to-end: real PresentationML packages through the
+    SAME extraction DAG; slide order must be recovered numerically."""
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pptx_pages_batch, batch_format="pyarrow"
+    )
+    return pages.map_batches(extract_batch, batch_format="pyarrow") \
+        .select_columns(["url", "status", "extracted_text", "n_chars"])
+
+
 def q_sentences(sf_dir: str):
     """Sentence explosion of the extracted docs (M9 analog)."""
     from docling_translate_ray.stages.extract import explode_sentences_batch
