@@ -444,7 +444,16 @@ def kernel_bench() -> dict:
     batch = pa.table({"text": texts})
     t_lid_old = best_of(lambda: [li.detect_one(t) for t in texts], 1)
     t_lid_new = best_of(lambda: li(batch))
+
+    from docling_translate_ray.functions.dedup import MinHasher
+
+    mh = MinHasher()
+    t_mh_old = best_of(lambda: [mh.signature(t) for t in texts], 1)
+    t_mh_new = best_of(lambda: mh.signatures_batch(texts))
     return {
+        "minhash_sig": {"scalar_sec": round(t_mh_old, 3),
+                        "vector_sec": round(t_mh_new, 3),
+                        "speedup": round(t_mh_old / t_mh_new, 1)},
         "rolling_fp": {"scalar_sec": round(t_roll_old, 3),
                        "vector_sec": round(t_roll_new, 3),
                        "speedup": round(t_roll_old / t_roll_new, 1)},

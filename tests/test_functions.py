@@ -208,6 +208,23 @@ def test_minhash_signature_jaccard_estimate():
     assert est_far < 0.1
 
 
+def test_minhash_batch_kernel_bit_identical_to_scalar():
+    """signatures_batch (the flat per-perm segment-min kernel) must be
+    BIT-identical to the per-document scalar path for every edge shape:
+    empty, null, below-k-shingle, long, unicode whitespace — and across
+    chunk boundaries (chunk cap forced tiny)."""
+    mh = dd.MinHasher()
+    texts = ["", None, "one", "one two", "one two three",
+             "a b\tc  d\n e", "x " * 400] + [
+        f"doc {i} alpha beta gamma delta {i % 7} " * (1 + i % 5)
+        for i in range(200)
+    ]
+    ref = np.stack([mh.signature(t) for t in texts])
+    assert np.array_equal(mh.signatures_batch(texts), ref)
+    mh._CHUNK_SHINGLES = 17  # force many flat chunks mid-document-set
+    assert np.array_equal(mh.signatures_batch(texts), ref)
+
+
 # ------------------------------------------------------------------ simhash
 
 
