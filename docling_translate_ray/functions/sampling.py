@@ -6,9 +6,10 @@ Conneau & Lample 2019 §3.1), reformulated exactly.
 With temperature α = 0.5 the per-language target is proportional to
 ``sqrt(n_l)``; the quota here is ``floor(sqrt(n_l)) · quota_scale``
 docs per language, and WHICH docs fill a quota is a deterministic
-uniform draw: rank by ``(md5(text), id)`` ascending inside the
+uniform draw: rank by ``(hash(text), id)`` ascending inside the
 language (a content-hash rank is an unseeded uniform permutation, the
-same trick as the ``dataset_split`` / ``sample_docs`` md5 gates).
+same trick as the ``dataset_split`` / ``sample_docs`` md5 gates) —
+vectorized xx64 by default, md5 in oracle-lockstep mode.
 ``floor(sqrt(n))`` is lockstep across engines: Python ``math.isqrt``
 is exact, and DuckDB's IEEE-754 ``sqrt`` is correctly rounded, whose
 floor equals ``isqrt`` for every n < 2⁵² (a correctly-rounded sqrt of
@@ -31,7 +32,6 @@ is part of the beyond-reference training-data operator suite.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import pyarrow as pa
@@ -45,17 +45,24 @@ _OUT_SCHEMA = pa.schema([
 def lang_rebalance(ds, quota_scale: int = 8, key_column: str = "lang",
                    text_column: str = "text", id_column: str = "doc_id",
                    num_partitions: int = 32,
-                   hash_column: str | None = None):
+                   hash_column: str | None = None,
+                   hash_mode: str = "xx64"):
     """Keep ``floor(sqrt(n_lang)) · quota_scale`` docs per language,
-    chosen by ascending ``(md5(text), id)`` rank within the language
+    chosen by ascending ``(hash(text), id)`` rank within the language
     (languages smaller than their quota are kept whole).  Returns
     ``(doc_id, lang)`` for the selected docs.
 
-    ``hash_column``: name of a PRECOMPUTED md5(text)-hex column; when
+    ``hash_column``: name of a PRECOMPUTED text-hash column; when
     given, ``text_column`` is not read at all — composites that already
     had to narrow their rows (e.g. ``pipelines/mixture`` hashing before
-    its selection semi-join, so the join exchange carries 32-char
-    hashes instead of document text) pass the hash straight through.
+    its selection semi-join, so the join exchange carries short hashes
+    instead of document text) pass the hash straight through.
+
+    ``hash_mode``: any fixed value-deterministic total order over an
+    iid-uniform hash draws a uniform permutation, so WHICH hash only
+    matters for oracle lockstep — ``xx64`` (default, vectorized ~10×)
+    for production, ``md5`` where the SQL oracle replays the rank
+    (VERDICT r03: the md5 loop was a per-row CPU tax on the text pass).
     """
     import polars as pl
 
@@ -94,9 +101,11 @@ def lang_rebalance(ds, quota_scale: int = 8, key_column: str = "lang",
         if hash_column is not None:
             h = batch[hash_column].combine_chunks().cast(pa.string())
         else:
-            h = pa.array(
-                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                 for t in batch[text_column].to_pylist()], pa.string())
+            from docling_translate_ray.functions.text_stats import (
+                text_hash_batch,
+            )
+
+            h = text_hash_batch(batch[text_column], mode=hash_mode)
         return pa.table({
             "doc_id": batch[id_column].combine_chunks().cast(pa.int64()),
             "lang": batch[key_column].combine_chunks().cast(pa.string()),

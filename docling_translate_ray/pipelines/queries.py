@@ -2122,14 +2122,14 @@ def q_mixture(sf_dir: str):
     DSIR scores vs source='src1' → 50%-token-budget selection →
     α=0.5 language rebalancing.  The oracle replays the END-TO-END
     recipe in one SQL statement (quality formula + DSIR CTEs + budget
-    window cumsum + sqrt-quota rank)."""
-    import hashlib as _hl
-
+    window cumsum + sqrt-quota rank).  hash_mode='md5' keeps the
+    rebalance rank SQL-replayable; production defaults to the
+    vectorized xx64.  work_dir=None → a per-process temp dir (a shared
+    path raced between concurrent bench/contract runs)."""
     import pyarrow.compute as pc
 
     from docling_translate_ray.pipelines.mixture import build_mixture
 
-    work = "/tmp/dtr_mix_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
     def mark(batch: pa.Table) -> pa.Table:
@@ -2138,7 +2138,7 @@ def q_mixture(sf_dir: str):
         ).drop_columns(["source"])
 
     final, _stats = build_mixture(
-        docs.map_batches(mark, batch_format="pyarrow"), work_dir=work)
+        docs.map_batches(mark, batch_format="pyarrow"), hash_mode="md5")
     return final.select_columns(["doc_id", "lang", "n_tokens", "dsir_score"])
 
 
@@ -2229,11 +2229,13 @@ def q_bitext_mine(sf_dir: str):
 def q_lang_rebalance(sf_dir: str):
     """Temperature-flattened (α=0.5) language rebalancing
     (functions/sampling.lang_rebalance): keep floor(sqrt(n_lang))·8 docs
-    per language, chosen by ascending (md5(text), doc_id) rank."""
+    per language, chosen by ascending (md5(text), doc_id) rank
+    (hash_mode='md5' = SQL-oracle lockstep; production default xx64)."""
     from docling_translate_ray.functions.sampling import lang_rebalance
 
     return lang_rebalance(
-        _read(sf_dir, "documents", ["doc_id", "lang", "text"]), quota_scale=8)
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        quota_scale=8, hash_mode="md5")
 
 
 def q_search_rank(sf_dir: str):

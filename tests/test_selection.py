@@ -178,7 +178,8 @@ def test_lang_rebalance_quota_and_rank(tmp_path):
         "text": pa.array(texts),
     })
     got = _to_table(
-        lang_rebalance(ray.data.from_arrow(docs), quota_scale=2)
+        lang_rebalance(ray.data.from_arrow(docs), quota_scale=2,
+                       hash_mode="md5")
     ).to_pandas()
 
     en_expect = sorted(
@@ -187,6 +188,20 @@ def test_lang_rebalance_quota_and_rank(tmp_path):
     assert sorted(got[got["lang"] == "en"]["doc_id"]) == sorted(en_expect)
     # ko smaller than quota → kept whole
     assert sorted(got[got["lang"] == "ko"]["doc_id"]) == [9, 10]
+
+    # default (vectorized xx64): same quotas, same deterministic-rank
+    # rule against the recomputed polars hash — only the hash differs
+    import polars as pl
+
+    got_xx = _to_table(
+        lang_rebalance(ray.data.from_arrow(docs), quota_scale=2)
+    ).to_pandas()
+    hx = (pl.Series(texts[:9]).hash(seed=3).cast(pl.String)
+          .str.zfill(20).to_list())
+    en_expect_xx = sorted(range(9), key=lambda i: (hx[i], i))[:6]
+    assert sorted(got_xx[got_xx["lang"] == "en"]["doc_id"]) == \
+        sorted(en_expect_xx)
+    assert sorted(got_xx[got_xx["lang"] == "ko"]["doc_id"]) == [9, 10]
 
 
 def test_lang_rebalance_tie_break_on_id():
