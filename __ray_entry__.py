@@ -462,8 +462,41 @@ _PQ_TOPK_SQL = f"""
         """
 
 
+def _media_closure_sql(path: str, sig_col: str) -> str:
+    """Hamming<=3 band-and-closure oracle over a persisted signature
+    table (the simhash_near_dup SQL pattern).  The codec half (BMP/WAV
+    decode → 64-bit signature) is not SQL-expressible and stays pinned
+    by brute-force pytest oracles; the QUERY persists its (media_id,
+    sig) table atomically to ``path`` before returning, so this oracle
+    — which the driver runs after the query — recomputes the pairing +
+    recursive closure from the very signatures the Ray side banded."""
+    return f"""
+        WITH RECURSIVE sig AS (
+          SELECT media_id, {sig_col} AS s
+          FROM read_parquet('{path}')),
+        p AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b
+          FROM sig a JOIN sig b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.s, b.s)) <= 3),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        SELECT a AS media_id, least(a, min(b))::BIGINT AS canonical_id
+        FROM reach GROUP BY a
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from docling_translate_ray.pipelines.queries import MEDIA_SIG_PATHS
+
     raw = {
+        "image_near_dup": _media_closure_sql(
+            MEDIA_SIG_PATHS["image"], "ahash"),
+        "audio_near_dup": _media_closure_sql(
+            MEDIA_SIG_PATHS["audio"], "audio_hash"),
         # training-shard layout: the md5-of-salted-id shuffle key and
         # hex-prefix shard pick are engine-portable by construction;
         # order_check is rank-weighted so the hash match proves the
