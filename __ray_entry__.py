@@ -2165,6 +2165,46 @@ def oracle_sql() -> dict[str, str]:
         # no lookaround); min-id representative per (site_key, lang);
         # DuckDB regexp_extract returns '' on no-match where polars
         # returns null — both filtered
+        # Bitext composite tiling projection: pair membership replays
+        # the url_pair_mine oracle; src/tgt_sents = the sentencization
+        # rule ceil(words/5) per pair doc (Gale-Church beads must cover
+        # both sentence sequences exactly once, so the bead n-sums
+        # conserve them); tiled_ok is the Ray-side contiguity check and
+        # is 1 by the DP's partition guarantee — a DP that dropped or
+        # duplicated a sentence range hash-mismatches here
+        "bitext_pipeline": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://s' || ((doc_id // 3) % 211) || '.example/'
+                       || lang || '/a' || (doc_id // 3) AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     regexp_replace(url, '@LANGSEG@', '/*\2', 'g')
+                       AS site_key,
+                     regexp_extract(url, '@LANGSEG@', 1) AS url_lang
+              FROM u),
+            r AS (
+              SELECT site_key, url_lang, min(doc_id) AS rep
+              FROM c WHERE url_lang IS NOT NULL AND url_lang <> ''
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT s.rep AS pair_id, t.rep AS tgt_id,
+                     t.url_lang AS tgt_lang
+              FROM r s JOIN r t ON s.site_key = t.site_key
+              WHERE s.url_lang = 'en' AND t.url_lang <> 'en'),
+            sc AS (
+              SELECT doc_id,
+                     CAST(ceil(len(regexp_extract_all(text, '@NONWS@'))
+                               / 5.0) AS BIGINT) AS n_sents
+              FROM documents)
+            SELECT p.pair_id, p.tgt_id, p.tgt_lang,
+                   s.n_sents AS src_sents, t.n_sents AS tgt_sents,
+                   1::BIGINT AS tiled_ok
+            FROM pairs p
+            JOIN sc s ON s.doc_id = p.pair_id
+            JOIN sc t ON t.doc_id = p.tgt_id
+        """,
         "url_pair_mine": r"""
             WITH u AS (
               SELECT doc_id,

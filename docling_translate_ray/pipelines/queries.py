@@ -2361,13 +2361,22 @@ def q_bitext_pipeline(sf_dir: str):
     emission and join-free lineage passthrough, staged through durable
     parquet with resume markers.  Corpus: the q_url_pair_mine
     deterministic multilingual-site view of the documents table, text
-    included.  Rows-only driver evidence (the DP has no SQL oracle);
-    the mining stage is oracle-backed via url_pair_mine, the bead
-    semantics via tests/test_bitext_align.py, the composite contract
-    via tests/test_bitext_pipeline.py."""
+    included.
+
+    Returns the per-pair TILING projection of the beads, hash-checked
+    in SQL (VERDICT r03 item 6): the DP itself has no SQL analog, but
+    its output invariants do — per (pair_id, tgt_id) the beads must
+    cover the source and target sentence sequences exactly once, so
+    ``src_sents`` / ``tgt_sents`` (the bead src_n/tgt_n sums) equal the
+    sentencization rule ceil(words/5) applied to the pair's documents,
+    pair membership equals the url_pair_mine oracle, and ``tiled_ok``
+    (every bead's lo == the running sum of earlier beads' n, both
+    sides) is 1 everywhere.  Bead-level goldens stay in
+    tests/test_bitext_align.py / test_bitext_pipeline.py."""
     import polars as pl
 
     from docling_translate_ray.pipelines.bitext import run_bitext_job
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
@@ -2380,7 +2389,38 @@ def q_bitext_pipeline(sf_dir: str):
 
     beads, _stats = run_bitext_job(
         docs.map_batches(synth, batch_format="pyarrow"), num_partitions=16)
-    return beads
+
+    out_schema = pa.schema([
+        ("pair_id", pa.int64()), ("tgt_id", pa.int64()),
+        ("tgt_lang", pa.string()), ("src_sents", pa.int64()),
+        ("tgt_sents", pa.int64()), ("tiled_ok", pa.int64()),
+    ])
+
+    def tiling(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(part)
+              .sort(["pair_id", "tgt_id", "bead_id"])
+              .with_columns(
+                  (pl.col("src_n").cum_sum().over(["pair_id", "tgt_id"])
+                   - pl.col("src_n")).alias("_es"),
+                  (pl.col("tgt_n").cum_sum().over(["pair_id", "tgt_id"])
+                   - pl.col("tgt_n")).alias("_et")))
+        agg = df.group_by(["pair_id", "tgt_id"]).agg(
+            pl.col("tgt_lang").first(),
+            pl.col("src_n").sum().cast(pl.Int64).alias("src_sents"),
+            pl.col("tgt_n").sum().cast(pl.Int64).alias("tgt_sents"),
+            ((pl.col("src_lo") == pl.col("_es"))
+             & (pl.col("tgt_lo") == pl.col("_et"))).all()
+            .cast(pl.Int64).alias("tiled_ok"),
+        )
+        return agg.select(out_schema.names).to_arrow().cast(out_schema)
+
+    narrow = beads.select_columns(
+        ["pair_id", "tgt_id", "tgt_lang", "bead_id",
+         "src_lo", "src_n", "tgt_lo", "tgt_n"])
+    return hash_partition_apply(narrow, ["pair_id", "tgt_id"], tiling,
+                                num_partitions=16)
 
 
 def q_boilerplate_strip(sf_dir: str):
