@@ -2216,14 +2216,36 @@ def q_bpe_encode(sf_dir: str):
     """Tokenizer APPLICATION (functions/bpe.bpe_encode): train 8 merges
     with ``bpe_train``, then encode the whole corpus with the trained
     table through the BPEEncoder actor pool (per-actor word→length memo
-    carries across batches).  Rows-only driver check — the output
-    depends on the iterative training loop (the bpe_train/pagerank
-    class); encode semantics are value-pinned in pytest against a
-    pure-Python reference and the memo/no-memo paths are parity-pinned."""
-    from docling_translate_ray.functions.bpe import bpe_encode, bpe_train
+    carries across batches).  No SQL oracle exists for the iterative
+    training loop, but the row now checks VALUES: every output row
+    carries ``n_bpe_expected`` from the pure-Python reference encoder
+    (plain per-word loop over the same pinned merge table — none of the
+    distributed machinery) and the query RAISES on any mismatch, so a
+    distributed-encode defect fails the driver row instead of passing
+    rows-only (VERDICT r03 item 8)."""
+    from docling_translate_ray.functions.bpe import (
+        bpe_encode,
+        bpe_train,
+        reference_token_counts,
+    )
 
-    merges = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
-    return bpe_encode(_read(sf_dir, "documents", ["doc_id", "text"]), merges)
+    merges_tbl = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=8)
+    enc = _collect(
+        bpe_encode(_read(sf_dir, "documents", ["doc_id", "text"]),
+                   merges_tbl)).sort_by("doc_id")
+    docs = _collect(
+        _read(sf_dir, "documents", ["doc_id", "text"])).sort_by("doc_id")
+    merges = list(zip(merges_tbl["left"].to_pylist(),
+                      merges_tbl["right"].to_pylist()))
+    expected = reference_token_counts(docs["text"].to_pylist(), merges)
+    got = enc["n_bpe_tokens"].to_pylist()
+    if got != expected:
+        bad = next(i for i, (g, e) in enumerate(zip(got, expected)) if g != e)
+        raise AssertionError(
+            f"bpe_encode diverged from the reference encoder at row {bad}: "
+            f"got {got[bad]}, expected {expected[bad]}")
+    return enc.append_column(
+        "n_bpe_expected", pa.array(expected, pa.int64()))
 
 
 def q_train_shards(sf_dir: str):
