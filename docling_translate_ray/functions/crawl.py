@@ -176,7 +176,9 @@ def latest_page_version(ds, url_column: str = "url", ts_column: str = "warc_ts",
 
 def host_template_lines(ds, url_column: str = "url", column: str = "text",
                         id_column: str = "doc_id", min_docs: int = 3,
-                        num_partitions: int = 32):
+                        num_partitions: int = 32, strategy: str = "partition",
+                        salt_buckets: int = 16,
+                        max_broadcast: int = 2_000_000):
     """Site-template boilerplate removal — the host-scoped line dedup
     (trafilatura's global-context pass / CC-Net's per-site filters): a
     line occurring in ≥ ``min_docs`` distinct documents of the SAME host
@@ -185,17 +187,41 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
     rare survives, which the global :func:`..functions.dedup.line_dedup`
     cannot express.
 
-    TWO exchanges (the dup_span_mask collapse): line rows hash-partition
-    by ``(host, line)`` — every occurrence of a host's line co-locates, so
-    distinct-doc counting, the template filter and the subtraction are one
-    partition-local polars pass — then survivors reassemble keyed by the
-    doc id.  Output: ``(id, host, text_cleaned, n_lines_kept)``; documents
-    whose every line was template are omitted.
+    ``strategy="partition"`` (default): TWO exchanges (the dup_span_mask
+    collapse): line rows hash-partition by ``(host, line)`` — every
+    occurrence of a host's line co-locates, so distinct-doc counting, the
+    template filter and the subtraction are one partition-local polars
+    pass — then survivors reassemble keyed by the doc id.
+
+    ``strategy="salted"``: the skew-proof plan for template-heavy hot
+    hosts.  A mega-host's footer puts every one of its occurrence rows on
+    ONE ``(host, line)`` partition above; salting breaks that key without
+    changing semantics: (1) per-batch-unique ``(host, line, doc)`` triples
+    exchange keyed ``(host, line, salt=hash(doc) % salt_buckets)`` — all
+    copies of one doc share a salt, so per-partition distinct-doc counts
+    are disjoint and summable; (2) a TINY ``(host, line)`` exchange over
+    the ≤ ``salt_buckets`` partial counts per line sums them into the
+    template set; (3) the template keys broadcast back
+    (:func:`..stages.shuffle.id_filter_join` anti, fused ``host\\x00line``
+    key — exchange fallback past ``max_broadcast``) and occurrence rows
+    are filtered in place, never crossing a line-keyed exchange at all;
+    (4) reassembly keyed by doc id, unchanged.  Occurrence rows make ONE
+    doc-keyed exchange total, and no partition ever holds a hot line's
+    full occurrence set (measured under 1%-hosts-hold-50%-pages skew in
+    ``tools/stress_skew.py`` / BASELINE.md).
+
+    Output (both strategies, row-identical — parity-pinned in pytest):
+    ``(id, host, text_cleaned, n_lines_kept)``; documents whose every
+    line was template are omitted.
     """
     import polars as pl
 
     from docling_translate_ray.functions.urltools import extract_hosts
-    from docling_translate_ray.stages.shuffle import hash_partition_apply
+    from docling_translate_ray.stages.shuffle import (hash_partition_apply,
+                                                      id_filter_join)
+
+    if strategy not in ("partition", "salted"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     def explode_lines(batch: pa.Table) -> pa.Table:
         df = pl.DataFrame({
@@ -222,21 +248,87 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
                              ("line_no", pa.int64()), ("line", pa.string())]))
         )
 
-    def drop_template(part: pa.Table) -> pa.Table:
-        df = pl.from_arrow(part)
-        tmpl = (
-            df.select(["host", "line", id_column]).unique()
-            .group_by(["host", "line"]).len(name="_nd")
-            .filter(pl.col("_nd") >= min_docs)
-            .select(["host", "line"])
-        )
-        return df.join(tmpl, on=["host", "line"], how="anti").to_arrow()
+    exploded = ds.select_columns([id_column, url_column, column]).map_batches(
+        explode_lines, batch_format="pyarrow")
 
-    kept = hash_partition_apply(
-        ds.select_columns([id_column, url_column, column]).map_batches(
-            explode_lines, batch_format="pyarrow"),
-        ["host", "line"], drop_template, num_partitions=num_partitions,
-    )
+    if strategy == "partition":
+        def drop_template(part: pa.Table) -> pa.Table:
+            df = pl.from_arrow(part)
+            tmpl = (
+                df.select(["host", "line", id_column]).unique()
+                .group_by(["host", "line"]).len(name="_nd")
+                .filter(pl.col("_nd") >= min_docs)
+                .select(["host", "line"])
+            )
+            return df.join(tmpl, on=["host", "line"], how="anti").to_arrow()
+
+        kept = hash_partition_apply(
+            exploded, ["host", "line"], drop_template,
+            num_partitions=num_partitions,
+        )
+    else:  # salted
+        triple_schema = pa.schema([("host", pa.string()), ("line", pa.string()),
+                                   (id_column, pa.int64()),
+                                   ("_salt", pa.int64())])
+
+        def triples(batch: pa.Table) -> pa.Table:
+            # per-batch combiner: one row per (host, line, doc) seen here;
+            # salt is a pure function of the doc id, so every copy of a
+            # triple (docs split across blocks) lands in the same salt
+            # partition and dedups there
+            return (
+                pl.from_arrow(batch.select(["host", "line", id_column]))
+                .unique()
+                .with_columns(pl.col(id_column).hash(11)
+                              .mod(salt_buckets).cast(pl.Int64).alias("_salt"))
+                .to_arrow().cast(triple_schema)
+            )
+
+        def partial_counts(part: pa.Table) -> pa.Table:
+            # distinct docs of this salt bucket per (host, line) — buckets
+            # partition the doc space, so these partials sum exactly
+            return (
+                pl.from_arrow(part).unique()
+                .group_by(["host", "line"]).len(name="_nd")
+                .with_columns(pl.col("_nd").cast(pl.Int64))
+                .select(["host", "line", "_nd"])
+                .to_arrow()
+            )
+
+        partials = hash_partition_apply(
+            exploded.map_batches(triples, batch_format="pyarrow"),
+            ["host", "line", "_salt"], partial_counts,
+            num_partitions=num_partitions,
+        )
+
+        def sum_counts(part: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(part)
+                .group_by(["host", "line"]).agg(pl.col("_nd").sum())
+                .filter(pl.col("_nd") >= min_docs)
+                .select((pl.col("host") + "\x00" + pl.col("line"))
+                        .alias("_hl"))
+                .to_arrow().cast(pa.schema([("_hl", pa.string())]))
+            )
+
+        tmpl_keys = hash_partition_apply(
+            partials, ["host", "line"], sum_counts,
+            num_partitions=num_partitions,
+        )
+
+        def add_hl(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.append_column("_hl", pc.binary_join_element_wise(
+                pc.cast(batch["host"], pa.string()),
+                pc.cast(batch["line"], pa.string()), "\x00"))
+
+        kept = id_filter_join(
+            exploded.map_batches(add_hl, batch_format="pyarrow"),
+            tmpl_keys, id_column="_hl", how="anti",
+            max_broadcast=max_broadcast, num_partitions=num_partitions,
+        ).map_batches(lambda b: b.drop_columns(["_hl"]),
+                      batch_format="pyarrow")
 
     def reassemble(part: pa.Table) -> pa.Table:
         return (
@@ -260,7 +352,9 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
 def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
                       priority_column: str = "priority",
                       num_partitions: int = 32,
-                      k_column: str | None = None):
+                      k_column: str | None = None,
+                      hot_host_threshold: int | None = None,
+                      split_target: int = 100_000):
     """Politeness-aware crawl-frontier scheduling — the fetch-planner
     step of a web crawler (Heritrix/Nutch "queue per host, k fetches per
     politeness cycle"): each host serves at most ``k_per_cycle`` urls per
@@ -272,11 +366,30 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
     :func:`parse_crawl_delay`); rows where it is null fall back to
     ``k_per_cycle``.  Returns ``(url, host, priority, cycle)``.
 
-    Scale shape: ONE exchange keyed by host carrying (url, host,
-    priority[, k]) — the page content never moves; per-partition work is
-    a vectorized sort + windowed cum-count (the domain_cap kernel,
-    assigning cycles instead of truncating at k).  Host is inherently
-    skewed, but a partition holds only the hot host's narrow url rows.
+    Scale shape (default): ONE exchange keyed by host carrying (url,
+    host, priority[, k]) — the page content never moves; per-partition
+    work is a vectorized sort + windowed cum-count (the domain_cap
+    kernel, assigning cycles instead of truncating at k).
+
+    ``hot_host_threshold``: host is inherently skewed — a megadomain
+    (one host holding 25% of the frontier) puts ALL its url rows on one
+    partition above.  With a threshold set, hosts whose frontier exceeds
+    it are RANGE-SPLIT instead of salted-and-merged (a rank is a global
+    prefix count, so random salting can't reconstruct it; contiguous
+    ranges can): (1) one combiner-reduced pass over the narrow rows
+    collects per-host counts plus evenly-spaced sort-key samples (a hot
+    host contributes one partial row per block, never its urls); (2) the
+    driver picks ``ceil(count / split_target)`` range boundaries per hot
+    host from the merged samples and broadcasts them; (3) rows map to
+    ``_bucket = searchsorted(boundaries[host], key)`` (cold hosts: 0);
+    (4) exact per-(host, bucket) counts prefix-sum into rank offsets
+    (tiny, broadcast); (5) the ONE data exchange keys ``(host, bucket)``
+    — global rank = offset + local rank, cycle as before.  Output is
+    row-identical to the default path (parity-pinned in pytest); the
+    narrow projection is materialized once to feed the extra metadata
+    pass.  Boundary quality affects only balance, never correctness.
+    Measured under megadomain skew in ``tools/stress_skew.py`` /
+    BASELINE.md.
     """
     import polars as pl
 
@@ -321,9 +434,161 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
             .to_arrow().cast(out_schema)
         )
 
+    if hot_host_threshold is None:
+        return hash_partition_apply(
+            ds.map_batches(narrow, batch_format="pyarrow"),
+            ["host"], schedule, num_partitions=num_partitions,
+        )
+
+    # ---- range-split skew path ----
+    import numpy as np
+
+    import ray
+
+    from docling_translate_ray.util import collect_to_table
+
+    n_samples = 8  # evenly-spaced sort-key samples per (block, host)
+
+    def _with_sort_key(df: pl.DataFrame) -> pl.DataFrame:
+        # lexicographic string == (priority DESC, url ASC): int64 bits
+        # xor 0x7FF..F is the order-REVERSING map into uint64, zero-padded
+        # decimal keeps lexicographic == numeric, url breaks ties ascending
+        inv = (df["priority"].to_numpy().astype(np.int64).view(np.uint64)
+               ^ np.uint64(0x7FFFFFFFFFFFFFFF))
+        return df.with_columns(
+            pl.concat_str([pl.Series("_inv", inv).cast(pl.String)
+                           .str.zfill(20), pl.col("url")], separator="\x00")
+            .alias("_sk"))
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    # pass 1 (combiner-reduced): per-(block, host) count + spaced samples
+    samp_schema = pa.schema([("host", pa.string()), ("_cnt", pa.int64()),
+                             ("_sks", pa.list_(pa.string()))])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = _with_sort_key(pl.from_arrow(batch))
+        idx = (pl.int_range(0, n_samples) * (pl.len() - 1)
+               // max(n_samples - 1, 1)).unique()
+        return (
+            df.group_by("host").agg(
+                pl.len().cast(pl.Int64).alias("_cnt"),
+                pl.col("_sk").sort().gather(idx).alias("_sks"))
+            .to_arrow().cast(samp_schema)
+        )
+
+    def merge_samples(part: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(part).group_by("host").agg(
+                pl.col("_cnt").sum(),
+                pl.col("_sks").flatten().sort().alias("_sks"))
+            .filter(pl.col("_cnt") > hot_host_threshold)
+            .to_arrow().cast(samp_schema)
+        )
+
+    hot_tbl = collect_to_table(
+        hash_partition_apply(
+            narrow_ds.map_batches(prep, batch_format="pyarrow"),
+            ["host"], merge_samples, num_partitions=num_partitions),
+        empty_schema=samp_schema,
+    )
+
+    bounds: dict[str, list[str]] = {}
+    for host, cnt, sks in zip(hot_tbl["host"].to_pylist(),
+                              hot_tbl["_cnt"].to_pylist(),
+                              hot_tbl["_sks"].to_pylist()):
+        n_buckets = max(2, min(64, -(-cnt // max(split_target, 1))))
+        picks = sorted({sks[(j * len(sks)) // n_buckets]
+                        for j in range(1, n_buckets)})
+        if picks:
+            bounds[host] = picks
+    bref = ray.put(bounds)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bmap = ray.get(bref)
+        df = _with_sort_key(pl.from_arrow(batch))
+        hosts = df["host"].to_numpy().astype(object)
+        bucket = np.zeros(df.height, dtype=np.int64)
+        for host in np.unique(hosts):
+            bl = bmap.get(host)
+            if bl is None:
+                continue
+            sel = np.nonzero(hosts == host)[0]
+            bucket[sel] = np.searchsorted(
+                np.asarray(bl, dtype=object),
+                df["_sk"].to_numpy().astype(object)[sel], side="right")
+        return (
+            df.drop("_sk")
+            .with_columns(pl.Series("_bucket", bucket, dtype=pl.Int64))
+            .to_arrow()
+        )
+
+    if not bounds:
+        # nothing exceeded the threshold — keyed exactly like the default
+        # path ((host, constant-0 bucket) == host), no offsets needed
+        return hash_partition_apply(
+            narrow_ds.map_batches(bucketize, batch_format="pyarrow"),
+            ["host", "_bucket"],
+            lambda part: schedule(part.drop_columns(["_bucket"])),
+            num_partitions=num_partitions,
+        )
+
+    # pass 2: exact per-(hot host, bucket) counts → rank offsets (tiny)
+    cnt_schema = pa.schema([("host", pa.string()), ("_bucket", pa.int64()),
+                            ("_n", pa.int64())])
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        bmap = ray.get(bref)
+        return (
+            pl.from_arrow(batch.select(["host", "_bucket"]))
+            .filter(pl.col("host").is_in(list(bmap)))
+            .group_by(["host", "_bucket"]).len(name="_n")
+            .with_columns(pl.col("_n").cast(pl.Int64))
+            .to_arrow().cast(cnt_schema)
+        )
+
+    def merge_counts(part: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(part).group_by(["host", "_bucket"])
+            .agg(pl.col("_n").sum()).to_arrow().cast(cnt_schema)
+        )
+
+    bucketized = narrow_ds.map_batches(bucketize, batch_format="pyarrow")
+    counts = collect_to_table(
+        hash_partition_apply(
+            bucketized.map_batches(bucket_counts, batch_format="pyarrow"),
+            ["host"], merge_counts, num_partitions=num_partitions),
+        empty_schema=cnt_schema,
+    )
+    offsets = (
+        pl.from_arrow(counts).sort(["host", "_bucket"])
+        .with_columns((pl.col("_n").cum_sum().over("host") - pl.col("_n"))
+                      .alias("_off"))
+        .select(["host", "_bucket", "_off"])
+    )
+    oref = ray.put(offsets.to_arrow())
+
+    def assign(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        off = pl.from_arrow(ray.get(oref))
+        return (
+            pl.from_arrow(part)
+            .sort(["priority", "url"], descending=[True, False])
+            .with_columns(
+                pl.col("url").cum_count().over(["host", "_bucket"])
+                .cast(pl.Int64).alias("_local"))
+            .join(off, on=["host", "_bucket"], how="left")
+            .with_columns(pl.col("_off").fill_null(0))
+            .with_columns(((pl.col("_off") + pl.col("_local") - 1)
+                           // pl.col("_k") + 1).alias("cycle"))
+            .select(["url", "host", "priority", "cycle"])
+            .to_arrow().cast(out_schema)
+        )
+
     return hash_partition_apply(
-        ds.map_batches(narrow, batch_format="pyarrow"),
-        ["host"], schedule, num_partitions=num_partitions,
+        bucketized, ["host", "_bucket"], assign,
+        num_partitions=num_partitions,
     )
 
 

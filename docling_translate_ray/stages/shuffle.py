@@ -39,24 +39,62 @@ def add_pkey(batch: pa.Table, keys: list[str], num_partitions: int, seed: int = 
     return batch.append_column(PKEY, pa.array(pk, pa.int64()))
 
 
+def _record_partition_wall(label: str, rows_in: int, rows_out: int,
+                           wall_s: float) -> None:
+    """Skew diagnosis hook: when ``DTR_PARTITION_WALL_DIR`` is set (worker
+    env — propagate via ``runtime_env={"env_vars": ...}``), every partition
+    task appends one JSON line ``{label, rows_in, rows_out, wall_s}`` to a
+    pid-unique file there.  Aggregating the files gives the per-partition
+    wall histogram of each keyed exchange — the straggler detector for
+    skewed keys (hot hosts, template lines).  Off by default; single
+    worker-local append per PARTITION (not per row/batch), so the cost is
+    nil even when enabled."""
+    import json
+    import os
+
+    wall_dir = os.environ.get("DTR_PARTITION_WALL_DIR")
+    if not wall_dir:
+        return
+    try:
+        with open(os.path.join(wall_dir, f"walls-{os.getpid()}.jsonl"),
+                  "a", encoding="utf-8") as f:
+            f.write(json.dumps({"label": label, "rows_in": rows_in,
+                                "rows_out": rows_out,
+                                "wall_s": round(wall_s, 6)}) + "\n")
+    except OSError:
+        pass  # profiling must never fail the job
+
+
 def hash_partition_apply(
     ds,
     keys: list[str],
     block_fn: Callable[[pa.Table], pa.Table],
     num_partitions: int = 64,
+    label: str | None = None,
 ):
     """Shuffle by ``hash(keys) % num_partitions``; run ``block_fn`` once per
     partition (NOT per group) on the full partition table (``_pkey`` removed).
 
     ``block_fn`` must itself group by ``keys`` (vectorized) — equal keys are
     guaranteed co-partitioned.
+
+    ``label`` names this exchange in the partition-wall profile (see
+    :func:`_record_partition_wall`); defaults to ``keys:block_fn.__name__``.
     """
+    wall_label = label or (",".join(keys) + ":" +
+                           getattr(block_fn, "__name__", "block"))
 
     def _add(batch: pa.Table) -> pa.Table:
         return add_pkey(batch, keys, num_partitions)
 
     def _apply(part: pa.Table) -> pa.Table:
-        return block_fn(part.drop_columns([PKEY]))
+        import time
+
+        t0 = time.perf_counter()
+        out = block_fn(part.drop_columns([PKEY]))
+        _record_partition_wall(wall_label, part.num_rows, out.num_rows,
+                               time.perf_counter() - t0)
+        return out
 
     return (
         ds.map_batches(_add, batch_format="pyarrow")

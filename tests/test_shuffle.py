@@ -236,3 +236,29 @@ def test_broadcast_join_byte_cap_falls_back():
                                 max_broadcast_bytes=1))
     assert sorted(pl.from_arrow(a).rows()) == sorted(pl.from_arrow(b).rows())
     assert a.num_rows == 50
+
+
+def test_partition_wall_recorder_env_gated(tmp_path, monkeypatch):
+    """The skew profiler appends one JSON line per partition when
+    DTR_PARTITION_WALL_DIR is set, and is a no-op (no files) otherwise."""
+    import json
+    import os
+
+    from docling_translate_ray.stages.shuffle import _record_partition_wall
+
+    monkeypatch.delenv("DTR_PARTITION_WALL_DIR", raising=False)
+    _record_partition_wall("off", 1, 1, 0.5)
+    assert list(tmp_path.iterdir()) == []
+
+    monkeypatch.setenv("DTR_PARTITION_WALL_DIR", str(tmp_path))
+    _record_partition_wall("host:schedule", 100, 90, 0.25)
+    _record_partition_wall("host:schedule", 7, 7, 0.01)
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].name == f"walls-{os.getpid()}.jsonl"
+    recs = [json.loads(line) for line in files[0].read_text().splitlines()]
+    assert recs == [
+        {"label": "host:schedule", "rows_in": 100, "rows_out": 90,
+         "wall_s": 0.25},
+        {"label": "host:schedule", "rows_in": 7, "rows_out": 7,
+         "wall_s": 0.01},
+    ]
