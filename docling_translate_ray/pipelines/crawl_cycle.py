@@ -32,14 +32,17 @@ import pyarrow as pa
 def crawl_cycle(old_ds, new_ds, robots_ds, k_per_cycle: int = 4,
                 url_column: str = "url", content_column: str = "text",
                 num_partitions: int = 32, agent: str = "*",
-                algo: str = "md5"):
+                algo: str = "md5", hot_host_threshold: int | None = None,
+                split_target: int = 100_000):
     """Next-cycle fetch plan ``(url, host, priority, cycle)`` from the
     two most recent snapshots (``(url, text)`` each) and the per-host
     ``(host, robots_txt)`` table.  ``priority`` is the url's
     consecutive-change rate (0 for unchanged or newly-seen pages).
     ``algo`` is the change-fingerprint: ``"md5"`` for oracle lockstep,
     ``"xx64"`` (vectorized) at corpus scale — equality is all change
-    counting needs."""
+    counting needs.  ``hot_host_threshold`` / ``split_target`` pass
+    through to :func:`..functions.crawl.frontier_schedule`'s range-split
+    skew path (megadomain frontiers)."""
     from docling_translate_ray.functions.crawl import (
         _change_rates,
         frontier_schedule,
@@ -111,4 +114,6 @@ def crawl_cycle(old_ds, new_ds, robots_ds, k_per_cycle: int = 4,
     return frontier_schedule(cand, k_per_cycle=k_per_cycle,
                              url_column=url_column,
                              priority_column="priority",
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions,
+                             hot_host_threshold=hot_host_threshold,
+                             split_target=split_target)
