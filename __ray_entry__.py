@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-trip recipe; VERDICT r03 top item)
         "docx_extract": q.q_docx_extract,
         "pptx_extract": q.q_pptx_extract,
+        # WET output lane (WARC conversion records — the CC extracted-
+        # text interchange; round-trip byte fidelity, never checked)
+        "wet_roundtrip": q.q_wet_roundtrip,
         # new operators last session — never driver-checked, next in
         # the window: unicode normalization (NFC + control-strip +
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
@@ -78,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never driver-checked before round 3 — first in the window
         "image_near_dup": q.q_image_near_dup,
         "audio_near_dup": q.q_audio_near_dup,
-        "purchase_attribution": q.q_purchase_attribution,
         "windowed_watermark_disorder": q.q_windowed_watermark_disorder,
         # newly oracle-backed this round (previously rows-only / vacuous)
         "embedding_near_dup": q.q_embedding_near_dup,
@@ -212,6 +214,11 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       kernel family, watermark + late-row path included; tumbling =
       degenerate hop stays oracle-checked here) — driver-hash-verified
       r02, demoted round 3 to make window room for bpe_train
+    * purchase_attribution → windowed_watermark_disorder (the surviving
+      O5 window anchor) + the functions/asof.py co-partition merge
+      kernel staying pytest-pinned and oracle-checked here —
+      driver-hash-verified r03 (1981 rows), demoted round 4 to make
+      window room for wet_roundtrip
     * unique_sentences → exact_dedup (same combiner-first distinct
       exchange; dedup adds the md5→min-id winner select) + score_upper
       (whose phase-2 unique-build runs the SAME unique_sentences kernel
@@ -329,6 +336,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q.q_lineitem_pricing,
         "top_users": q.q_top_users,
         "events_hopping": q.q_events_hopping,
+        "purchase_attribution": q.q_purchase_attribution,
         "events_by_type": q.q_events_by_type,
         "top_users_per_type": q.q_top_users_per_type,
         "cosine_pairs": q.q_cosine_pairs,
@@ -551,6 +559,12 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status,
                    {_EXTRACTED_EXPR} AS extracted_text,
                    length({_EXTRACTED_EXPR})::BIGINT AS n_chars
+            FROM documents
+        """,
+        "wet_roundtrip": """
+            SELECT 'doc://' || doc_id AS url,
+                   COALESCE(text, '') AS text,
+                   length(COALESCE(text, ''))::BIGINT AS n_chars
             FROM documents
         """,
         "sentences": """

@@ -133,6 +133,51 @@ def q_warc_extract(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_wet_roundtrip(sf_dir: str):
+    """The Common-Crawl LAST mile: write each document's text as WET
+    segments (WARC/1.0 ``conversion`` records, gzip member per record —
+    the format CC publishes extracted text in), ``read_wet`` them back,
+    and return ``(url, text, n_chars)`` — byte fidelity of the
+    text-output interchange surface (``sources/warc.py`` WET half, the
+    output leg matching ``warc_extract``'s input leg)."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    import polars as pl
+
+    from docling_translate_ray.sources.warc import read_wet, write_wet
+
+    tmp = tempfile.mkdtemp(prefix="dtr_wet_")
+    try:
+        ts = _dt.datetime(2017, 3, 6, 4, 3, 53)
+
+        def to_rows(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            return (
+                df.select(
+                    ("doc://" + pl.col("doc_id").cast(pl.String))
+                    .alias("url"),
+                    pl.lit(ts).cast(pl.Datetime("us")).alias("warc_ts"),
+                    pl.col("text").fill_null("").alias("text"),
+                ).to_arrow()
+            )
+
+        write_wet(_read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            to_rows, batch_format="pyarrow"), tmp)
+
+        def with_len(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select(["url", "text"]))
+            return df.with_columns(
+                pl.col("text").str.len_chars().cast(pl.Int64)
+                .alias("n_chars")).to_arrow()
+
+        return _collect(read_wet(tmp).map_batches(
+            with_len, batch_format="pyarrow")).sort_by("url")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def pdf_pages_batch(batch: pa.Table) -> pa.Table:
     """input_hint-shaped pages whose payloads are REAL PDFs (pdf_core
     writer, FlateDecode): a title line ``doc <id>`` then the 8-word-

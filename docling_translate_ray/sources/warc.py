@@ -82,11 +82,11 @@ def build_warc_bytes(records, gzip_whole: bool = False,
     return gzip.compress(blob, mtime=0) if gzip_whole else blob
 
 
-def parse_warc_records(blob: bytes):
-    """Yield ``(url, ts, body_bytes)`` for every ``response`` record in
-    a WARC blob (plain, whole-file gzip, or concatenated per-record
-    gzip members).  Stops — without raising — at the first malformed
-    record; everything before it is yielded."""
+def _iter_records(blob: bytes):
+    """Yield ``(headers, payload_bytes)`` for every record in a WARC
+    blob (plain, whole-file gzip, or concatenated per-record gzip
+    members).  Header keys are lower-cased.  Stops — without raising —
+    at the first malformed record; everything before it is yielded."""
     if blob[:2] == _GZIP_MAGIC:
         try:  # stdlib gzip decodes concatenated members to one stream
             blob = gzip.decompress(blob)
@@ -118,21 +118,34 @@ def parse_warc_records(blob: bytes):
         payload_end = payload_start + length
         if payload_end > n:
             return  # truncated record
-        if headers.get("warc-type") == "response":
-            url = headers.get("warc-target-uri", "")
-            try:
-                ts = _dt.datetime.strptime(
-                    headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ")
-            except ValueError:
-                ts = _dt.datetime(1970, 1, 1)
-            payload = blob[payload_start:payload_end]
-            # body = HTTP payload after its header block (raw payloads
-            # without one pass through whole)
-            split = payload.find(_HDR_END)
-            body = payload[split + len(_HDR_END):] if split >= 0 else payload
-            if url:
-                yield url, ts, body
+        yield headers, blob[payload_start:payload_end]
         pos = payload_end
+
+
+def _record_ts(headers: dict[str, str]) -> _dt.datetime:
+    try:
+        return _dt.datetime.strptime(
+            headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return _dt.datetime(1970, 1, 1)
+
+
+def parse_warc_records(blob: bytes):
+    """Yield ``(url, ts, body_bytes)`` for every ``response`` record in
+    a WARC blob; non-response records (warcinfo / request / metadata /
+    conversion) are skipped.  Malformed-tail tolerance per
+    :func:`_iter_records`."""
+    for headers, payload in _iter_records(blob):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        # body = HTTP payload after its header block (raw payloads
+        # without one pass through whole)
+        split = payload.find(_HDR_END)
+        body = payload[split + len(_HDR_END):] if split >= 0 else payload
+        yield url, _record_ts(headers), body
 
 
 def read_warc(path: str):
@@ -199,3 +212,142 @@ def write_warc(ds, out_dir: str, url_column: str = "url",
         return pa.table({"n": pa.array([len(recs)], pa.int64())})
 
     ds.map_batches(write_segment, batch_format="pyarrow").materialize()
+
+
+# ---- WET (WARC conversion records): the extracted-text interchange ----
+# Common Crawl publishes each crawl three ways: WARC (raw fetches), WAT
+# (metadata), WET (plain-text conversions).  A WET file is itself WARC;
+# its records are ``WARC-Type: conversion`` with a text/plain payload —
+# the OUTPUT surface of exactly the extraction this engine runs.
+
+WET_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("text", pa.string()),
+])
+
+
+def build_wet_bytes(records, gzip_whole: bool = False,
+                    gzip_per_record: bool = False) -> bytes:
+    """WET bytes for ``records`` = iterable of ``(url, ts, text)``:
+    WARC/1.0 ``conversion`` records, utf-8 ``text/plain`` payloads, no
+    HTTP wrapper (per the WET layout).  Record IDs are content-derived
+    (md5 of url + date) so output is byte-deterministic; gzip flags as
+    in :func:`build_warc_bytes`."""
+    out = bytearray()
+    for url, ts, text in records:
+        body = (text or "").encode("utf-8")
+        rid = hashlib.md5(
+            (url + "|" + _warc_date(ts)).encode("utf-8")).hexdigest()
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: conversion\r\n"
+               b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
+               b"WARC-Date: " + _warc_date(ts).encode() + _CRLF +
+               b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
+               b"Content-Type: text/plain\r\n"
+               b"Content-Length: " + str(len(body)).encode() + _HDR_END
+               + body + _HDR_END)
+        out += gzip.compress(rec, mtime=0) if gzip_per_record else rec
+    blob = bytes(out)
+    return gzip.compress(blob, mtime=0) if gzip_whole else blob
+
+
+def parse_wet_records(blob: bytes):
+    """Yield ``(url, ts, text)`` for every ``conversion`` record in a
+    WET blob; response/warcinfo/etc. records are skipped (a WET reader
+    pointed at a raw WARC yields nothing rather than garbage).  Payload
+    length is byte-exact, so any text — CRLFs, record-boundary-looking
+    lines — round-trips; decoding is utf-8 with replacement (crawl
+    conversions are dirty)."""
+    for headers, payload in _iter_records(blob):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        yield url, _record_ts(headers), payload.decode("utf-8",
+                                                       errors="replace")
+
+
+def read_wet(path: str):
+    """Dataset of ``(url, warc_ts, text)`` from ``.wet`` / ``.wet.gz``
+    (or any WARC with conversion records) — one segment file per task,
+    same physical shape as :func:`read_warc`."""
+    import ray.data
+
+    raw = ray.data.read_binary_files(path, include_paths=True)
+
+    def parse_files(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        ts: list[_dt.datetime] = []
+        texts: list[str] = []
+        for blob in batch["bytes"].to_pylist():
+            for url, t, text in parse_wet_records(blob):
+                urls.append(url)
+                ts.append(t)
+                texts.append(text)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    return raw.map_batches(parse_files, batch_format="pyarrow",
+                           batch_size=1)
+
+
+def write_wet(ds, out_dir: str, url_column: str = "url",
+              ts_column: str = "warc_ts", text_column: str = "text",
+              gzip_per_record: bool = True) -> None:
+    """Dataset sink: write ``(url, ts, text)`` rows as WET segment
+    files (one ``.wet.gz`` per batch/task, uuid-named, tmp-rename so a
+    crash never leaves a partial segment visible) —
+    :func:`read_wet` round-trips it exactly."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_segment(batch: pa.Table) -> pa.Table:
+        recs = []
+        for url, ts, text in zip(batch[url_column].to_pylist(),
+                                 batch[ts_column].to_pylist(),
+                                 batch[text_column].to_pylist()):
+            if isinstance(ts, (int, float)):
+                ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=int(ts))
+            recs.append((url, ts or _dt.datetime(1970, 1, 1), text or ""))
+        blob = build_wet_bytes(recs, gzip_per_record=gzip_per_record)
+        ext = ".wet.gz" if gzip_per_record else ".wet"
+        name = f"seg-{uuid.uuid4().hex}{ext}"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.rename(tmp, os.path.join(out_dir, name))  # whole files only
+        return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+    ds.map_batches(write_segment, batch_format="pyarrow").materialize()
+
+
+def warc_to_wet(in_path: str, out_dir: str,
+                gzip_per_record: bool = True) -> None:
+    """The Common-Crawl conversion job: WARC segments in → extraction →
+    WET segments out.  Streaming end to end — each WARC segment parses
+    in one task, pages flow through the extraction batch kernel, and
+    WET segments write one file per output batch (no driver
+    materialization; resumable at the segment-file level like every
+    sink here)."""
+    from docling_translate_ray.stages.extract import extract_batch
+
+    pages = read_warc(in_path).select_columns(["url", "warc_ts", "html",
+                                               "lang"])
+
+    def to_wet_rows(batch: pa.Table) -> pa.Table:
+        ext = extract_batch(batch.select(["url", "html", "lang"]))
+        return pa.table({
+            "url": ext["url"],
+            "warc_ts": batch["warc_ts"],
+            "text": ext["extracted_text"],
+        })
+
+    write_wet(pages.map_batches(to_wet_rows, batch_format="pyarrow"),
+              out_dir, gzip_per_record=gzip_per_record)
