@@ -33,11 +33,20 @@ PAGES_CACHE = f"/tmp/dtr_bench_pages_{BENCH_PAGES}"
 
 
 def _consume(ds) -> int:
-    """Stream a dataset to completion without materializing it."""
-    n = 0
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        n += b.num_rows
-    return n
+    """Stream a dataset to completion without materializing it.  Query
+    bodies may also return an already-collected pyarrow Table / pandas
+    DataFrame (the driver contract allows all three) — count those
+    directly."""
+    import pyarrow as pa
+
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
+    if hasattr(ds, "iter_batches"):
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            n += b.num_rows
+        return n
+    return len(ds)
 
 
 def headline_queries(sf_dir: str) -> dict:

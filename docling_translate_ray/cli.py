@@ -6,7 +6,8 @@ re-expressed as a Ray job driver::
         [--miss-policy empty|identity] [--strategy auto|broadcast|join]
         [--speed-mode fast|balanced|accurate] [--fast]
         [--n-buckets 64] [--no-resume] [--source-kind pages|docs_text|files]
-        [--num-cpus N] [--pipeline extract|curate|mixture] [--retention ...]
+        [--num-cpus N] [--pipeline extract|curate|mixture|webcurate|wet]
+        [--retention ...]
 
 This is the ONE library entry point that may own a Ray session (guarded —
 under ``ray job submit`` the session already exists and is reused).
@@ -51,13 +52,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="slim output: drop the text field from span structs "
                         "(offsets + extracted_text remain)")
     p.add_argument("--pipeline",
-                   choices=["extract", "curate", "mixture", "webcurate"],
+                   choices=["extract", "curate", "mixture", "webcurate",
+                            "wet"],
                    default="extract",
                    help="extract = the flagship job over pages parquet; "
                         "webcurate = raw pages → boilerplate strip → the "
                         "curate chain (urls re-attached); "
                         "curate / mixture = the composite pipelines over a "
                         "docs parquet dir (doc_id, text[, lang, is_target]); "
+                        "wet = the Common-Crawl conversion job — INPUT is a "
+                        "dir of .warc[.gz] segments, OUT_DIR gets .wet.gz "
+                        "segments (extraction in between, streaming); "
                         "OUT_DIR is the composite work_dir — stage resume is "
                         "on unless --no-resume")
     p.add_argument("--retention", choices=["min_id", "keep_best"],
@@ -87,6 +92,19 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.pipeline == "wet":
+        import os
+
+        from docling_translate_ray.sources.warc import read_wet, warc_to_wet
+
+        warc_to_wet(args.input, args.out)
+        n_segments = len([f for f in os.listdir(args.out)
+                          if f.endswith((".wet", ".wet.gz"))])
+        print(json.dumps({"out": args.out, "segments": n_segments,
+                          "records": read_wet(args.out).count()}))
+        ray.shutdown()
+        return 0
 
     if args.pipeline in ("curate", "mixture", "webcurate"):
         import ray.data
