@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="curate only: comma-separated badwords — docs "
                         "containing any (token match) are dropped before "
                         "the quality gate (C4-style, stage 0c)")
+    p.add_argument("--compress-filter", action="store_true",
+                   help="curate only: drop docs whose zlib compression "
+                        "ratio marks them boilerplate/machine-generated "
+                        "(RefinedWeb-style, stage 0d)")
     args = p.parse_args(argv)
 
     import ray
@@ -122,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
                 ds.select_columns(["url", "html"]), work_dir=args.out,
                 resume=not args.no_resume, retention=args.retention,
                 normalize=args.normalize, trim_lines=args.trim_lines,
-                blocklist=blocklist)
+                blocklist=blocklist,
+                compress_filter=args.compress_filter)
             stats["final_dir"] = args.out + "/final"
         elif args.pipeline == "curate":
             from docling_translate_ray.pipelines.curate import curate_docs
@@ -131,7 +136,8 @@ def main(argv: list[str] | None = None) -> int:
                 ds.select_columns(["doc_id", "text"]),
                 work_dir=args.out, retention=args.retention,
                 resume=not args.no_resume, normalize=args.normalize,
-                trim_lines=args.trim_lines, blocklist=blocklist)
+                trim_lines=args.trim_lines, blocklist=blocklist,
+                compress_filter=args.compress_filter)
             stats["curated_dir"] = args.out + "/curated"
         else:
             from docling_translate_ray.pipelines.mixture import build_mixture

@@ -42,7 +42,8 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
                 retention: str = "min_id", resume: bool = False,
                 normalize: bool = False, trim_lines: bool = False,
                 blocklist: list[str] | None = None,
-                blocklist_mode: str = "word"):
+                blocklist_mode: str = "word",
+                compress_filter: bool = False):
     """Return (curated_ds, stats) — curated rows keep (id, text) plus the
     quality columns; ``stats`` has per-stage survivor counts.
 
@@ -81,6 +82,14 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
     (``"word"``) or Aho-Corasick substring (``"substring"``)
     semantics; flagged docs are dropped and ``stats`` gains
     ``n_blocklist_ok``.
+
+    ``compress_filter=True`` inserts the zlib compressibility gate
+    (``functions.text_stats.compression_ratio_batch``) before the
+    quality stage — the RefinedWeb/FineWeb-family repetitiveness
+    detector for boilerplate/machine-generated docs whose repeats are
+    too long-range for the n-gram signals; dropped docs are the ones
+    the near-dup stages would otherwise waste signatures on.  ``stats``
+    gains ``n_compress_ok``.
     """
     if retention not in ("min_id", "keep_best"):
         raise ValueError(
@@ -106,6 +115,7 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
         "normalize": normalize, "trim_lines": trim_lines,
         "blocklist": sorted(blocklist or []),
         "blocklist_mode": blocklist_mode,
+        "compress_filter": compress_filter,
     })
     pre_stats: dict[str, int] = {}
 
@@ -162,6 +172,26 @@ def curate_docs(ds, id_column: str = "doc_id", column: str = "text",
             blocklist_kept, batch_format="pyarrow").write_parquet(d))
         ds = ray.data.read_parquet(b_dir)
         pre_stats["n_blocklist_ok"] = ds.count()
+
+    if compress_filter:
+        # stage 0d — zlib compressibility gate BEFORE quality scoring
+        # (pure per-batch pass; zlib is C code that releases the GIL).
+        # Docs that compress below the threshold are boilerplate-heavy /
+        # machine-generated in ways the within-doc n-gram signals miss
+        from docling_translate_ray.functions.text_stats import (
+            compression_ratio_batch,
+        )
+
+        def compress_kept(batch: pa.Table) -> pa.Table:
+            scored = compression_ratio_batch(batch, column=column)
+            return (scored.filter(scored["compress_ok"])
+                    .drop_columns(["n_bytes", "compress_ratio_bp",
+                                   "compress_ok"]))
+
+        z_dir = runner.stage("compress", lambda d: ds.map_batches(
+            compress_kept, batch_format="pyarrow").write_parquet(d))
+        ds = ray.data.read_parquet(z_dir)
+        pre_stats["n_compress_ok"] = ds.count()
 
     def quality_flagged(batch: pa.Table) -> pa.Table:
         out = fts.quality_batch(batch, column)

@@ -283,3 +283,29 @@ def test_curate_pages_first_mile_end_to_end(tmp_path):
     curated2, stats2 = curate_pages(poisoned, work_dir=work, resume=True)
     assert stats2 == stats
     assert curated2.count() == stats["n_curated"]
+
+
+def test_curate_compress_filter_stage_drops_machine_repeats():
+    """compress_filter=True (stage 0d) drops docs the zlib signal marks
+    boilerplate/machine-generated — long docs dominated by a repeated
+    phrase — while natural-ish prose of the same length survives; with
+    the gate off both pass through to curation."""
+    import random
+
+    rng = random.Random(9)
+    prose = " ".join(f"tok{rng.randrange(40_000)}" for _ in range(300))
+    machine = "click here to win a free prize now " * 80
+    rows = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([prose, machine], pa.string()),
+    })
+    ds = ray.data.from_arrow(rows)
+
+    _, stats_raw = curate_docs(ds)
+    assert "n_compress_ok" not in stats_raw
+    assert stats_raw["n_input"] == 2
+
+    _, stats_z = curate_docs(ds, compress_filter=True)
+    assert stats_z["n_compress_ok"] == 1      # machine doc gated out
+    assert stats_z["n_input"] == 1
+    assert stats_z["n_curated"] == 1
