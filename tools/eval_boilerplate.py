@@ -1,0 +1,226 @@
+"""Extraction-quality eval for the jusText-style block classifier
+(``functions.boilerplate.strip_boilerplate``) — the flagship HTML
+main-content lane the north rule names explicitly.
+
+Like ``tools/eval_neardup.py``, this measures the operator against
+ground truth **known by construction**, not against its own rules: the
+generator plants each block with a truth label (main content vs
+boilerplate) drawn from a category mix that includes the hard cases the
+heuristic is expected to miss —
+
+* ``prose`` / ``prose_links`` — real paragraphs, zero or sub-density
+  inline links (truth: content; classifier should keep);
+* ``short_fact`` — 2–4-word content lines, below ``min_words`` (truth:
+  content; the word-count gate WILL drop them — a recall cost paid for
+  teaser removal, measured here);
+* ``cite_list`` — a citation paragraph whose chars are mostly inside
+  ``<a>`` (truth: content; the link-density gate WILL drop it);
+* ``nav_menu`` / ``footer_chrome`` — structural chrome (truth: boiler);
+* ``linkfarm_p`` / ``tagcloud_li`` — related-links lists rendered as
+  plain ``<p>``/``<li>`` so only the density feature can catch them
+  (truth: boiler);
+* ``teaser`` — "Read more"-class stubs (truth: boiler; word-count gate);
+* ``sneaky_menu`` — a menu padded with unlinked separator words so its
+  link density sits just above ½ (truth: boiler; borderline density).
+
+Every block embeds a unique marker token so the kept/dropped decision
+can be recovered exactly from ``clean_text`` membership.  Reported:
+block-level precision/recall overall and per category, plus mean
+per-doc token-F1 of ``clean_text`` vs the truth content text.
+
+Usage: python tools/eval_boilerplate.py [n_pages] [num_cpus]
+Owns its Ray session.  One JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from docling_translate_ray.corpus import _paragraph, _sentence, _WORDS
+
+
+def _links(rng: random.Random, n: int) -> str:
+    return " ".join(
+        f'<a href="/l/{rng.randint(0, 999)}">{rng.choice(_WORDS)} '
+        f'{rng.choice(_WORDS)}</a>' for _ in range(n))
+
+
+def _plant_block(rng: random.Random, cat: str, marker: str):
+    """Return (html, truth_is_content, visible_text_contains_marker).
+
+    The marker is always part of the block's visible (tag-stripped)
+    text so membership in ``clean_text`` recovers the keep decision.
+    """
+    if cat == "prose":
+        return f"<p>{marker} {_paragraph(rng)}</p>", True
+    if cat == "prose_links":
+        # 1-2 inline links inside a real paragraph; linked chars well
+        # under half the block
+        body = (f"{marker} {_sentence(rng)} "
+                f'<a href="/r/{rng.randint(0,99)}">{rng.choice(_WORDS)}</a> '
+                f"{_paragraph(rng)}")
+        return f"<p>{body}</p>", True
+    if cat == "short_fact":
+        return (f"<p>{marker} {rng.choice(_WORDS)} "
+                f"{rng.randint(1, 99)}</p>", True)
+    if cat == "cite_list":
+        # content by truth, but ≥½ of chars are linked
+        body = f"{marker} " + _links(rng, rng.randint(10, 14))
+        return f"<p>{body}</p>", True
+    if cat == "nav_menu":
+        return f"<nav>{marker} {_links(rng, 5)}</nav>", False
+    if cat == "footer_chrome":
+        return (f"<footer>{marker} copyright {_sentence(rng)}</footer>",
+                False)
+    if cat == "linkfarm_p":
+        return f"<p>{marker} {_links(rng, rng.randint(9, 15))}</p>", False
+    if cat == "tagcloud_li":
+        return f"<li>{marker} {_links(rng, rng.randint(6, 10))}</li>", False
+    if cat == "teaser":
+        return f"<p>{marker} read more</p>", False
+    if cat == "sneaky_menu":
+        # enough unlinked separator words to pass min_words, but linked
+        # chars still over half the block
+        seps = " ".join(rng.choice(_WORDS) for _ in range(4))
+        return f"<p>{marker} {seps} {_links(rng, 10)}</p>", False
+    raise ValueError(cat)
+
+
+# mix roughly shaped like a real article page: mostly prose + chrome
+CATEGORIES = (
+    ("prose", 30), ("prose_links", 12), ("short_fact", 4),
+    ("cite_list", 3), ("nav_menu", 10), ("footer_chrome", 10),
+    ("linkfarm_p", 10), ("tagcloud_li", 8), ("teaser", 8),
+    ("sneaky_menu", 5),
+)
+
+
+def gen_eval_pages(n_pages: int, seed: int = 77):
+    """Return (pages_table, blocks_table): pages carry the assembled
+    html; blocks carry one row per planted block with its truth label
+    and marker."""
+    import pyarrow as pa
+
+    cats = [c for c, w in CATEGORIES for _ in range(w)]
+    rng = random.Random(seed)
+    page_rows = {"doc_id": [], "html": []}
+    block_rows = {"doc_id": [], "marker": [], "category": [],
+                  "is_content": [], "text": []}
+    mk = 0
+    for doc in range(n_pages):
+        parts = ["<!DOCTYPE html><html><head><script>var x=1;</script>",
+                 "</head><body><div>"]
+        for _ in range(rng.randint(6, 14)):
+            cat = rng.choice(cats)
+            marker = f"mk{mk}z"
+            mk += 1
+            html, truth = _plant_block(rng, cat, marker)
+            parts.append(html)
+            import re
+
+            visible = re.sub(r"<[^>]+>", "",
+                             re.sub(r"^<[a-z]+[^>]*>|</[a-z]+>$", "", html))
+            block_rows["doc_id"].append(doc)
+            block_rows["marker"].append(marker)
+            block_rows["category"].append(cat)
+            block_rows["is_content"].append(truth)
+            block_rows["text"].append(visible)
+        parts.append("</div></body></html>")
+        page_rows["doc_id"].append(doc)
+        page_rows["html"].append("".join(parts))
+    return pa.table(page_rows), pa.table(block_rows)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR",
+             runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"},
+                          "worker_process_setup_hook":
+                              "docling_translate_ray.util.warm_imports"})
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().read_op_min_num_blocks = 2 * cpus
+
+    import polars as pl
+
+    import ray.data
+
+    from docling_translate_ray.functions.boilerplate import strip_boilerplate
+
+    pages, blocks = gen_eval_pages(n_pages)
+    cleaned = strip_boilerplate(
+        ray.data.from_arrow(pages)).to_pandas()
+
+    bl = pl.from_arrow(blocks)
+    cl = pl.from_pandas(cleaned[["doc_id", "clean_text"]])
+    joined = bl.join(cl, on="doc_id", how="left").with_columns(
+        pl.col("clean_text").fill_null("")
+        .str.contains(pl.col("marker"), literal=True).alias("kept"))
+
+    def prf(df: pl.DataFrame) -> dict:
+        tp = df.filter(pl.col("kept") & pl.col("is_content")).height
+        fp = df.filter(pl.col("kept") & ~pl.col("is_content")).height
+        fn = df.filter(~pl.col("kept") & pl.col("is_content")).height
+        p = tp / (tp + fp) if tp + fp else 1.0
+        r = tp / (tp + fn) if tp + fn else 1.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        return {"n": df.height, "precision": round(p, 4),
+                "recall": round(r, 4), "f1": round(f1, 4)}
+
+    per_cat = {}
+    for cat, _ in CATEGORIES:
+        sub = joined.filter(pl.col("category") == cat)
+        kept_rate = sub["kept"].mean()
+        per_cat[cat] = {"n": sub.height,
+                        "truth_content": bool(sub["is_content"][0]),
+                        "kept_rate": round(float(kept_rate), 4)}
+
+    # doc-level token F1: clean_text vs truth-content text (multiset of
+    # \S+ tokens — the engine's lockstep tokenizer)
+    truth_doc = (bl.filter(pl.col("is_content"))
+                 .group_by("doc_id")
+                 .agg(pl.col("text").str.join(" ").alias("truth_text")))
+    docs = cl.join(truth_doc, on="doc_id", how="left").with_columns(
+        pl.col("truth_text").fill_null(""))
+
+    def tok_f1(a: str, b: str) -> float:
+        from collections import Counter
+
+        ca, cb = Counter(a.split()), Counter(b.split())
+        inter = sum((ca & cb).values())
+        if not inter:
+            return 0.0 if (ca or cb) else 1.0
+        p, r = inter / sum(ca.values()), inter / sum(cb.values())
+        return 2 * p * r / (p + r)
+
+    f1s = [tok_f1(ct, tt) for ct, tt in
+           zip(docs["clean_text"], docs["truth_text"])]
+    overall = prf(joined)
+    # exclude the two planted known-cost categories to show the clean
+    # operating point alongside the honest overall number
+    easy = prf(joined.filter(
+        ~pl.col("category").is_in(["short_fact", "cite_list"])))
+
+    print(json.dumps({
+        "pages": n_pages, "blocks": joined.height,
+        "block_overall": overall,
+        "block_excl_known_costs": easy,
+        "per_category_kept_rate": per_cat,
+        "doc_token_f1_mean": round(sum(f1s) / len(f1s), 4),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
