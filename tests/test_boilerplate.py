@@ -188,3 +188,48 @@ def test_pages_table_first_mile(pages_table):
         assert "site chrome to drop" not in g["clean_text"]
         checked += 1
     assert checked >= 100
+
+
+def test_planted_truth_eval_pins():
+    """Quality-eval pin (tools/eval_boilerplate.py): against ground truth
+    known by CONSTRUCTION (not the classifier's own rules), precision
+    stays 1.0, the only recall losses are the two documented-cost
+    categories (sub-min_words facts, link-heavy citation lists), and
+    the decision boundaries land exactly at the spec cuts (link density
+    1/2, min_words 5)."""
+    import importlib.util
+    import pathlib
+
+    import polars as pl
+    import ray.data
+
+    p = (pathlib.Path(__file__).resolve().parent.parent
+         / "tools" / "eval_boilerplate.py")
+    spec = importlib.util.spec_from_file_location("eval_boilerplate", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    pages, blocks = mod.gen_eval_pages(300, seed=77)
+    cleaned = strip_boilerplate(ray.data.from_arrow(pages)).to_pandas()
+    joined = (pl.from_arrow(blocks)
+              .join(pl.from_pandas(cleaned[["doc_id", "clean_text"]]),
+                    on="doc_id", how="left")
+              .with_columns(pl.col("clean_text").fill_null("")
+                            .str.contains(pl.col("marker"), literal=True)
+                            .alias("kept")))
+
+    rates = {c: float(joined.filter(pl.col("category") == c)["kept"].mean())
+             for c, _ in mod.CATEGORIES
+             if joined.filter(pl.col("category") == c).height}
+    for cat in ("prose", "prose_links"):
+        assert rates[cat] == 1.0, (cat, rates[cat])
+    for cat in ("short_fact", "cite_list", "nav_menu", "footer_chrome",
+                "linkfarm_p", "tagcloud_li", "teaser", "sneaky_menu"):
+        assert rates[cat] == 0.0, (cat, rates[cat])
+
+    dens = joined.filter(pl.col("category") == "density_sweep")
+    assert dens.filter(pl.col("link_frac") < 0.5)["kept"].all()
+    assert not dens.filter(pl.col("link_frac") >= 0.5)["kept"].any()
+    lens = joined.filter(pl.col("category") == "length_sweep")
+    assert lens.filter(pl.col("n_words") >= 5)["kept"].all()
+    assert not lens.filter(pl.col("n_words") < 5)["kept"].any()

@@ -88,6 +88,25 @@ def _plant_block(rng: random.Random, cat: str, marker: str):
         # chars still over half the block
         seps = " ".join(rng.choice(_WORDS) for _ in range(4))
         return f"<p>{marker} {seps} {_links(rng, 10)}</p>", False
+    if cat == "density_sweep":
+        # boundary probe, excluded from P/R: linked-char fraction swept
+        # uniformly through [0.2, 0.8]; spec says the cut is exactly ½
+        target = rng.uniform(0.2, 0.8)
+        plain = [marker] + [rng.choice(_WORDS) for _ in range(11)]
+        plain_len = len(" ".join(plain))
+        want_link = target * plain_len / max(1e-9, (1 - target))
+        words, link_len = [], 0
+        while link_len < want_link:
+            w = f"{rng.choice(_WORDS)} {rng.choice(_WORDS)}"
+            words.append(f'<a href="/l/{rng.randint(0,999)}">{w}</a>')
+            link_len += len(w)
+        return f"<p>{' '.join(plain)} {' '.join(words)}</p>", None
+    if cat == "length_sweep":
+        # boundary probe, excluded from P/R: 1..9 words (marker counts);
+        # spec says the cut is exactly min_words=5
+        extra = rng.randint(0, 8)
+        ws = " ".join(rng.choice(_WORDS) for _ in range(extra))
+        return f"<p>{marker} {ws}</p>".replace("  ", " "), None
     raise ValueError(cat)
 
 
@@ -97,6 +116,7 @@ CATEGORIES = (
     ("cite_list", 3), ("nav_menu", 10), ("footer_chrome", 10),
     ("linkfarm_p", 10), ("tagcloud_li", 8), ("teaser", 8),
     ("sneaky_menu", 5),
+    ("density_sweep", 6), ("length_sweep", 6),
 )
 
 
@@ -106,30 +126,42 @@ def gen_eval_pages(n_pages: int, seed: int = 77):
     and marker."""
     import pyarrow as pa
 
-    cats = [c for c, w in CATEGORIES for _ in range(w)]
+    import re
+
+    cats = [c for c, w in CATEGORIES for _ in range(w)
+            if c not in ("density_sweep", "length_sweep")]
+    probe_cats = ["density_sweep", "length_sweep"]
     rng = random.Random(seed)
     page_rows = {"doc_id": [], "html": []}
     block_rows = {"doc_id": [], "marker": [], "category": [],
-                  "is_content": [], "text": []}
+                  "is_content": [], "text": [], "link_frac": [],
+                  "n_words": []}
     mk = 0
     for doc in range(n_pages):
         parts = ["<!DOCTYPE html><html><head><script>var x=1;</script>",
                  "</head><body><div>"]
+        # every 5th page is a boundary-probe page (sweep blocks only) so
+        # the doc-level F1 of article pages stays probe-free
+        probe_page = doc % 5 == 4
         for _ in range(rng.randint(6, 14)):
-            cat = rng.choice(cats)
+            cat = rng.choice(probe_cats if probe_page else cats)
             marker = f"mk{mk}z"
             mk += 1
             html, truth = _plant_block(rng, cat, marker)
             parts.append(html)
-            import re
-
-            visible = re.sub(r"<[^>]+>", "",
-                             re.sub(r"^<[a-z]+[^>]*>|</[a-z]+>$", "", html))
+            inner = re.sub(r"^<[a-z]+[^>]*>|</[a-z]+>$", "", html)
+            visible = re.sub(r"<[^>]+>", "", inner)
+            linked = sum(
+                len(re.sub(r"<[^>]+>", "", a))
+                for a in re.findall(r"(?s)<a\b[^>]*>.*?</a>", inner))
             block_rows["doc_id"].append(doc)
             block_rows["marker"].append(marker)
             block_rows["category"].append(cat)
             block_rows["is_content"].append(truth)
             block_rows["text"].append(visible)
+            block_rows["link_frac"].append(
+                linked / len(visible) if visible else 0.0)
+            block_rows["n_words"].append(len(visible.split()))
         parts.append("</div></body></html>")
         page_rows["doc_id"].append(doc)
         page_rows["html"].append("".join(parts))
@@ -178,21 +210,42 @@ def main() -> None:
         return {"n": df.height, "precision": round(p, 4),
                 "recall": round(r, 4), "f1": round(f1, 4)}
 
+    sweeps = joined.filter(pl.col("is_content").is_null())
+    joined = joined.filter(pl.col("is_content").is_not_null())
+
     per_cat = {}
     for cat, _ in CATEGORIES:
         sub = joined.filter(pl.col("category") == cat)
+        if not sub.height:
+            continue
         kept_rate = sub["kept"].mean()
         per_cat[cat] = {"n": sub.height,
                         "truth_content": bool(sub["is_content"][0]),
                         "kept_rate": round(float(kept_rate), 4)}
+
+    # boundary probes: the spec cuts are link density ½ and min_words 5;
+    # report measured kept_rate on each side of (and at) the cut
+    dens = sweeps.filter(pl.col("category") == "density_sweep")
+    dens_curve = (
+        dens.with_columns(((pl.col("link_frac") * 10).floor() / 10)
+                          .alias("bin"))
+        .group_by("bin").agg(pl.col("kept").mean().alias("kept_rate"),
+                             pl.len().alias("n"))
+        .sort("bin"))
+    lens = sweeps.filter(pl.col("category") == "length_sweep")
+    len_curve = (lens.group_by("n_words")
+                 .agg(pl.col("kept").mean().alias("kept_rate"),
+                      pl.len().alias("n"))
+                 .sort("n_words"))
 
     # doc-level token F1: clean_text vs truth-content text (multiset of
     # \S+ tokens — the engine's lockstep tokenizer)
     truth_doc = (bl.filter(pl.col("is_content"))
                  .group_by("doc_id")
                  .agg(pl.col("text").str.join(" ").alias("truth_text")))
-    docs = cl.join(truth_doc, on="doc_id", how="left").with_columns(
-        pl.col("truth_text").fill_null(""))
+    docs = (cl.filter(pl.col("doc_id") % 5 != 4)  # skip probe pages
+            .join(truth_doc, on="doc_id", how="left")
+            .with_columns(pl.col("truth_text").fill_null("")))
 
     def tok_f1(a: str, b: str) -> float:
         from collections import Counter
@@ -218,6 +271,12 @@ def main() -> None:
         "block_excl_known_costs": easy,
         "per_category_kept_rate": per_cat,
         "doc_token_f1_mean": round(sum(f1s) / len(f1s), 4),
+        "density_boundary": [
+            {"bin": round(b, 1), "kept_rate": round(k, 4), "n": n}
+            for b, k, n in dens_curve.iter_rows()],
+        "length_boundary": [
+            {"n_words": w, "kept_rate": round(k, 4), "n": n}
+            for w, k, n in len_curve.iter_rows()],
     }))
     ray.shutdown()
 
