@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-trip recipe; VERDICT r03 top item)
         "docx_extract": q.q_docx_extract,
         "pptx_extract": q.q_pptx_extract,
+        # BM25 ranked retrieval through the pruned inverted-index reads
+        # (integer fixed-point tf saturation + dl normalization; dl is
+        # denormalized onto posting rows so scoring is join-free)
+        "bm25_rank": q.q_bm25_rank,
         # WET output lane (WARC conversion records — the CC extracted-
         # text interchange; round-trip byte fidelity, never checked)
         "wet_roundtrip": q.q_wet_roundtrip,
@@ -62,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
-        "profile_orders": q.q_profile_orders,
         "url_pair_mine": q.q_url_pair_mine,
         "train_shards": q.q_train_shards,
         "quality_tiers": q.q_quality_tiers,
@@ -386,6 +389,13 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "curate": q.q_curate,
         "bitext_align": q.q_bitext_align,
         "bpe_train": q.q_bpe_train,
+        # profile_orders → driver-hash-verified r03; the partial/final
+        # stat-aggregation family (A3) stays in-window through
+        # quality_tiers / windowed_watermark_disorder (same
+        # grouped-sum/histogram combiner substrate), and the profiling
+        # kernel stays oracle-checked here — demoted round 4 to make
+        # window room for bm25_rank
+        "profile_orders": q.q_profile_orders,
     }
 
 
@@ -1531,6 +1541,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_terms_matched
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
             GROUP BY tf.doc_id
+        """,
+        # Okapi BM25 in integer fixed point (milli): same tokenizer and
+        # integer idf analog (N−df) as search_rank; tf_norm is the exact
+        # floor expression bm25_rank computes (HUGEINT intermediates —
+        # num peaks at tf·2200·10^6·avgdl); avgdl = floor(Σdl / N) as in
+        # the Ray side
+        "bm25_rank": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM tok),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            ad AS (SELECT (sum(dl) // count(*))::BIGINT AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, word AS term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id, unnest(ws) AS word FROM tok)
+              WHERE word IN ('data', 'hash', 'table', 'the', 'zzz-absent')
+              GROUP BY doc_id, word),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df
+                      FROM tf GROUP BY term),
+            s AS (
+              SELECT tf.doc_id,
+                     (n.n - dfreq.df)
+                     * ((tf.tf::HUGEINT * 2200 * 1000 * 1000 * ad.avgdl)
+                        // (tf.tf::HUGEINT * 1000 * 1000 * ad.avgdl
+                            + 1200::HUGEINT * (1000 - 750) * ad.avgdl
+                            + 1200::HUGEINT * 750 * dl.dl)) AS s_m
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN n CROSS JOIN ad)
+            SELECT doc_id, sum(s_m)::BIGINT AS score_milli,
+                   count(*)::BIGINT AS n_terms_matched
+            FROM s GROUP BY doc_id
         """,
         # overlapping fixed-token chunking: window 64, stride 48; DuckDB
         # list slices are 1-based inclusive, hence the +1 bounds

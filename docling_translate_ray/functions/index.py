@@ -55,10 +55,16 @@ def _explode_postings_fn(column: str, id_column: str, num_partitions: int):
             .drop_nulls("term")
             .group_by([id_column, "term"])
             .agg(pl.len().cast(pl.Int64).alias("tf"))
+            # dl (doc token count) denormalized onto every posting row —
+            # the classic impact-index trade: +8 B/posting buys
+            # join-free length-normalized scoring (bm25_rank) at query
+            # time.  A doc's text is one input row, so the window sum
+            # over this batch IS the doc's full length.
+            .with_columns(pl.col("tf").sum().over(id_column).alias("dl"))
         )
-        tbl = out.select(["term", id_column, "tf"]).to_arrow().cast(
+        tbl = out.select(["term", id_column, "tf", "dl"]).to_arrow().cast(
             pa.schema([("term", pa.string()), (id_column, pa.int64()),
-                       ("tf", pa.int64())])
+                       ("tf", pa.int64()), ("dl", pa.int64())])
         )
         parts = _term_partitions(out["term"], num_partitions)
         return tbl.append_column(_PART_COL, pa.array(parts, pa.int32()))
@@ -140,9 +146,13 @@ def inverted_index_compact(index_dir: str,
         max_files_per_partition=max_files_per_partition)
 
 
-def lookup_postings(index_dir: str, terms: list[str]):
+def lookup_postings(index_dir: str, terms: list[str],
+                    with_dl: bool = False):
     """Postings for ``terms`` via a pruned partition read; returns a
-    Dataset (term, <id_column>, tf) — empty if no term's partition exists."""
+    Dataset (term, <id_column>, tf[, dl]) — empty if no term's partition
+    exists.  ``with_dl=True`` also reads the per-posting doc-length
+    column (stored at build/insert time; an index written before dl
+    storage must be rebuilt to use it)."""
     import pyarrow.parquet as pq
 
     import ray.data
@@ -150,6 +160,7 @@ def lookup_postings(index_dir: str, terms: list[str]):
     meta = pq.read_table(os.path.join(index_dir, _META_FILE))
     num_partitions = int(meta["num_partitions"][0].as_py())
     id_column = meta["id_column"][0].as_py()
+    cols = ["term", id_column, "tf"] + (["dl"] if with_dl else [])
     want = sorted(set(terms))
     parts = sorted({int(p) for p in _term_partitions(want, num_partitions)})
     paths: list[str] = []
@@ -163,7 +174,9 @@ def lookup_postings(index_dir: str, terms: list[str]):
             )
     empty = pa.table({"term": pa.array([], pa.string()),
                       id_column: pa.array([], pa.int64()),
-                      "tf": pa.array([], pa.int64())})
+                      "tf": pa.array([], pa.int64()),
+                      **({"dl": pa.array([], pa.int64())}
+                         if with_dl else {})})
     if not paths:
         return ray.data.from_arrow(empty)
 
@@ -173,10 +186,10 @@ def lookup_postings(index_dir: str, terms: list[str]):
         import pyarrow.compute as pc
 
         out = batch.filter(pc.is_in(batch["term"], value_set=want_arr))
-        return out.select(["term", id_column, "tf"])
+        return out.select(cols)
 
     return ray.data.read_parquet(
-        paths, columns=["term", id_column, "tf"]
+        paths, columns=cols
     ).map_batches(keep_terms, batch_format="pyarrow")
 
 
@@ -232,4 +245,84 @@ def search_rank(index_dir: str, terms: list[str], n_docs: int):
         [id_column],
         [pl.col("_s").sum().alias("_s"), pl.col("_m").sum().alias("_m")],
         {"score": "_s", "n_terms_matched": "_m"},
+    )
+
+
+def bm25_rank(index_dir: str, terms: list[str], n_docs: int, avgdl: int,
+              k1_milli: int = 1200, b_milli: int = 750):
+    """Okapi BM25 ranked retrieval over the index — :func:`search_rank`
+    with the BM25 tf saturation + doc-length normalization, in integer
+    fixed point (milli units) so the DuckDB oracle replays it
+    bit-for-bit (a float BM25 would drift between engines; same
+    rationale as search_rank's integer idf analog, which this keeps:
+    ``idf = n_docs − df``).
+
+    Per matched posting, with S=1000, k1m=``k1_milli``, bm=``b_milli``::
+
+        tf_norm_milli = tf·(k1m+S)·S·S·avgdl
+                        // (tf·S·S·avgdl + k1m·((S−bm)·avgdl + bm·dl))
+        score_milli   = Σ_terms (n_docs − df) · tf_norm_milli
+
+    which is floor(1000 · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))) exactly.
+    All-int64: safe while tf·avgdl < ~4·10^9 (tf and avgdl are token
+    counts; a 10^5-token doc against a 10^4 average is still 10^9).
+
+    ``avgdl`` (mean doc token count, floor) and ``n_docs`` are corpus
+    stats the caller maintains — at scale they come from the ingest
+    lineage, never a corpus rescan here.  ``dl`` rides on every posting
+    row (stored at build time), so scoring needs NO doc-side join: cost
+    stays |terms| × partition size, like search_rank.
+
+    Scale shape identical to search_rank: pruned partition read →
+    tiny per-term df grouped_sum broadcast → one combiner-first
+    grouped_sum keyed by doc.  Returns (doc_id, score_milli,
+    n_terms_matched).
+    """
+    import polars as pl
+
+    import ray
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+    from docling_translate_ray.util import collect_to_table
+
+    if avgdl < 1:
+        raise ValueError(f"bm25_rank: avgdl must be >= 1 (got {avgdl})")
+    postings = lookup_postings(index_dir, terms, with_dl=True)
+    id_column = [c for c in postings.schema().names
+                 if c not in ("term", "tf", "dl")][0]
+
+    dfreq = collect_to_table(
+        grouped_sum(
+            postings.map_batches(
+                lambda b: b.select(["term"]).append_column(
+                    "_one", pa.array([1] * b.num_rows, pa.int64())),
+                batch_format="pyarrow",
+            ),
+            ["term"],
+            [pl.col("_one").sum().alias("_one")],
+            {"df": "_one"},
+        ),
+        empty_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+    df_ref = ray.put(dfreq)
+    S = 1000
+
+    def weight(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(ray.get(df_ref))
+        df = pl.from_arrow(batch).join(d, on="term", how="inner")
+        num = pl.col("tf") * ((k1_milli + S) * S * S * avgdl)
+        den = (pl.col("tf") * (S * S * avgdl)
+               + (k1_milli * (S - b_milli) * avgdl)
+               + (k1_milli * b_milli) * pl.col("dl"))
+        return df.select(
+            pl.col(id_column),
+            ((n_docs - pl.col("df")) * (num // den)).alias("_s"),
+            pl.lit(1, dtype=pl.Int64).alias("_m"),
+        ).to_arrow()
+
+    return grouped_sum(
+        postings.map_batches(weight, batch_format="pyarrow"),
+        [id_column],
+        [pl.col("_s").sum().alias("_s"), pl.col("_m").sum().alias("_m")],
+        {"score_milli": "_s", "n_terms_matched": "_m"},
     )

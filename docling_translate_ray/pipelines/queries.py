@@ -2679,6 +2679,39 @@ def q_webcurate(sf_dir: str):
     return pa.table({k: pa.array([v], pa.int64()) for k, v in stats.items()})
 
 
+def q_bm25_rank(sf_dir: str):
+    """Okapi BM25 ranked retrieval (functions/index.bm25_rank) through
+    the inverted index's pruned partition reads: integer fixed-point
+    (milli) tf saturation + doc-length normalization so the SQL oracle
+    replays the exact scores; dl rides on every posting row (stored at
+    build), so scoring needs no doc-side join.  n_docs / avgdl are the
+    corpus stats the ingest pipeline maintains — computed here with one
+    narrow token-count pass."""
+    import tempfile
+
+    import polars as pl
+
+    from docling_translate_ray.functions import index as fidx
+
+    idx_dir = tempfile.mkdtemp(prefix="dtr_bm25_")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    fidx.build_inverted_index(docs, idx_dir, num_partitions=16)
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"]).fill_null("")
+        return pa.table({
+            "n_docs": pa.array([len(s)], pa.int64()),
+            "n_tokens": pa.array(
+                [int(s.str.count_matches(r"\S+").sum() or 0)], pa.int64()),
+        })
+
+    stats = docs.map_batches(tok_counts, batch_format="pyarrow").to_pandas()
+    n_docs = int(stats["n_docs"].sum())
+    avgdl = int(stats["n_tokens"].sum()) // max(1, n_docs)
+    return fidx.bm25_rank(idx_dir, list(_INDEX_LOOKUP_TERMS),
+                          n_docs=n_docs, avgdl=avgdl)
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profiling (functions/profile.profile_columns)
     of the orders table's integer/string columns: per column row count,

@@ -941,6 +941,84 @@ def test_inverted_index_compact_lookup_equivalent(tmp_path):
     assert fidx.inverted_index_compact(idx)["partitions_compacted"] == 0
 
 
+def test_bm25_rank_integer_exact_and_sane(tmp_path):
+    """bm25_rank == the pure-python integer formula doc-for-doc; the
+    milli scores track float BM25 (same integer idf analog) within
+    rounding; longer docs score lower at equal tf; dl rides postings
+    through build AND insert."""
+    import ray.data
+
+    from docling_translate_ray.functions import index as fidx
+
+    pad = lambda n: " ".join(f"pad{i}" for i in range(n))
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "apple apple apple banana " + pad(6),   # dl 10, tf(apple)=3
+            "apple banana " + pad(38),              # dl 40, tf(apple)=1
+            "apple banana",                         # dl 2,  tf(apple)=1
+            "cherry " + pad(9),                     # dl 10, no apple
+        ],
+    })
+    idx = str(tmp_path / "bm25")
+    fidx.build_inverted_index(ray.data.from_arrow(docs), idx,
+                              num_partitions=8)
+
+    # dl plumbing: every posting row carries its doc's total token count
+    got_dl = {(r["doc_id"], r["term"]): r["dl"] for r in _to_table(
+        fidx.lookup_postings(idx, ["apple", "cherry"], with_dl=True)
+    ).to_pylist()}
+    assert got_dl == {(1, "apple"): 10, (2, "apple"): 40, (3, "apple"): 2,
+                      (4, "cherry"): 10}
+
+    n_docs, avgdl = 4, (10 + 40 + 2 + 10) // 4
+    out = {r["doc_id"]: (r["score_milli"], r["n_terms_matched"])
+           for r in _to_table(fidx.bm25_rank(
+               idx, ["apple", "banana"], n_docs=n_docs, avgdl=avgdl,
+           )).to_pylist()}
+
+    def ref_milli(tf, dl, df, k1m=1200, bm=750, S=1000):
+        num = tf * (k1m + S) * S * S * avgdl
+        den = tf * S * S * avgdl + k1m * ((S - bm) * avgdl + bm * dl)
+        return (n_docs - df) * (num // den)
+
+    # df(apple)=3, df(banana)=3
+    want = {
+        1: (ref_milli(3, 10, 3) + ref_milli(1, 10, 3), 2),
+        2: (ref_milli(1, 40, 3) + ref_milli(1, 40, 3), 2),
+        3: (ref_milli(1, 2, 3) + ref_milli(1, 2, 3), 2),
+    }
+    assert out == want
+
+    # float-BM25 agreement (same idf analog) within 1 milli per term
+    import math  # noqa: F401
+
+    def ref_float(tf, dl, df, k1=1.2, b=0.75):
+        return (n_docs - df) * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / avgdl)) * 1000
+    for doc, (tf_a, dl_) in {1: (3, 10), 2: (1, 40), 3: (1, 2)}.items():
+        approx = ref_float(tf_a, dl_, 3) + ref_float(1, dl_, 3)
+        assert abs(out[doc][0] - approx) < (n_docs - 3) * 2 + 2
+
+    # length normalization: doc 3 (short) > doc 2 (long), same tf
+    assert out[3][0] > out[2][0]
+    # saturation: tf 3 scores less than 3x tf 1 at equal dl
+    assert want[1][0] < 3 * (ref_milli(1, 10, 3) + ref_milli(1, 10, 3))
+
+    # insert path stores dl identically to a full rebuild
+    inc = pa.table({"doc_id": [5], "text": ["apple " + pad(19)]})
+    fidx.inverted_index_insert(ray.data.from_arrow(inc), idx)
+    got5 = {r["doc_id"]: r["dl"] for r in _to_table(
+        fidx.lookup_postings(idx, ["apple"], with_dl=True)).to_pylist()}
+    assert got5[5] == 20 and got5[1] == 10
+
+    # avgdl guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        fidx.bm25_rank(idx, ["apple"], n_docs=4, avgdl=0)
+
+
 def test_hll_approx_distinct_accuracy_and_invariance():
     import polars as pl
     import ray.data
