@@ -60,7 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl-frontier scheduling
         "webcurate": q.q_webcurate,
         "ivfpq_topk": q.q_ivfpq_topk,
-        "pq_topk": q.q_pq_topk,
+        # residual-encoded IVF-PQ (IVFADC): full-pipeline SQL oracle
+        # (coarse chain → residual view → subspace chains → per-cluster
+        # LUTs); never driver-checked
+        "ivfpq_residual": q.q_ivfpq_residual,
         "trim_repeated_lines": q.q_trim_repeated_lines,
         "host_components": q.q_host_components,
         "boilerplate_strip": q.q_boilerplate_strip,
@@ -396,6 +399,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # kernel stays oracle-checked here — demoted round 4 to make
         # window room for bm25_rank
         "profile_orders": q.q_profile_orders,
+        # pq_topk → driver-hash-verified r03; flat PQ is exact-equal to
+        # the in-window ivfpq_topk at full probe (they share ONE oracle
+        # SQL by construction), and the PQ substrate is further driven
+        # by the new ivfpq_residual entry — demoted round 4 to make
+        # window room for it; still oracle-checked here
+        "pq_topk": q.q_pq_topk,
     }
 
 
@@ -420,12 +429,14 @@ _WS_CLASS = "[" + _WS_CHARS + "]"
 _NTOK_EXPR = "len(regexp_extract_all(text, '@NONWS@'))"
 
 
-def _pq_chain(tag: str, dlo: int, dhi: int) -> str:
+def _pq_chain(tag: str, dlo: int, dhi: int, src: str = "vd") -> str:
     """One unrolled per-subspace k-means chain (k=4, 2 Lloyd updates,
     final assignment a3) restricted to dims [dlo, dhi] — the q_kmeans
-    oracle recipe parameterized for the pq_topk oracle's subspaces."""
+    oracle recipe parameterized for the pq_topk oracle's subspaces.
+    ``src`` names the (vec_id, d, val) CTE the chain reads — ``vd``
+    (quantized raw vectors) or the residual view ``rvd``."""
     cte = [f"""
-            vd{tag} AS (SELECT vec_id, d, val FROM vd
+            vd{tag} AS (SELECT vec_id, d, val FROM {src}
                         WHERE d BETWEEN {dlo} AND {dhi}),
             c0{tag} AS (SELECT vec_id AS cid, d, val AS cval
                         FROM vd{tag} WHERE vec_id < 4)"""]
@@ -476,6 +487,49 @@ _PQ_TOPK_SQL = f"""
               JOIN luts1 l1 ON a.cid = l1.cid
               JOIN a3s2 b ON a.vec_id = b.vec_id
               JOIN luts2 l2 ON b.cid = l2.cid)
+            WHERE rank <= 10
+        """
+
+
+_IVFPQ_RESIDUAL_SQL = f"""
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                              + 10000000) AS e
+              FROM embeddings),
+            vd AS (SELECT vec_id, unnest(range(1, 65)) AS d,
+                          unnest(e) AS val FROM v),
+            {_pq_chain('co', 1, 64)},
+            rvd AS (SELECT v.vec_id, v.d,
+                           v.val - c.cval + 20000000 AS val
+                    FROM vd v
+                    JOIN a3co a USING (vec_id)
+                    JOIN c2co c ON a.cid = c.cid AND v.d = c.d),
+            {_pq_chain('r1', 1, 32, src='rvd')},
+            {_pq_chain('r2', 33, 64, src='rvd')},
+            qv AS (SELECT d, val AS qval FROM vd WHERE vec_id = 5),
+            qres AS (SELECT c.cid AS ccid, q.d,
+                            q.qval - c.cval + 20000000 AS qval
+                     FROM qv q JOIN c2co c ON q.d = c.d),
+            luts1 AS (SELECT r.ccid, c.cid,
+                             sum((r.qval - c.cval) * (r.qval - c.cval)) AS qd
+                      FROM qres r JOIN c2r1 c ON r.d = c.d
+                      GROUP BY r.ccid, c.cid),
+            luts2 AS (SELECT r.ccid, c.cid,
+                             sum((r.qval - c.cval) * (r.qval - c.cval)) AS qd
+                      FROM qres r JOIN c2r2 c ON r.d = c.d
+                      GROUP BY r.ccid, c.cid)
+            SELECT vec_id, pq_dist, rank FROM (
+              SELECT a.vec_id,
+                     (l1.qd + l2.qd)::BIGINT AS pq_dist,
+                     row_number() OVER (
+                       ORDER BY l1.qd + l2.qd, a.vec_id) AS rank
+              FROM a3r1 a
+              JOIN a3r2 b ON a.vec_id = b.vec_id
+              JOIN a3co g ON a.vec_id = g.vec_id
+              JOIN luts1 l1 ON l1.ccid = g.cid AND l1.cid = a.cid
+              JOIN luts2 l2 ON l2.ccid = g.cid AND l2.cid = b.cid)
             WHERE rank <= 10
         """
 
@@ -2048,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
         # n_probe < n_coarse stays pinned by pytest (partition-delete
         # invariance)
         "ivfpq_topk": _PQ_TOPK_SQL,
+        "ivfpq_residual": _IVFPQ_RESIDUAL_SQL,
         # the webcurate composite end to end: the boilerplate
         # kept-chunk CTE (same planted view as boilerplate_strip)
         # produces each page's clean text, which then feeds the exact

@@ -104,15 +104,19 @@ def _scale_query(query_vec) -> np.ndarray:
 
 
 def pq_topk(codes_ds, codebooks, query_vec, k: int = 10,
-            id_column: str = "vec_id"):
+            id_column: str = "vec_id", _scaled_query=None):
     """Approximate top-k by asymmetric distance over PQ codes: returns
     a pyarrow Table ``(id_column, pq_dist, rank)`` with rank 1..k by
-    ``(pq_dist ASC, id ASC)`` — integer-exact, oracle-comparable."""
+    ``(pq_dist ASC, id ASC)`` — integer-exact, oracle-comparable.
+    ``_scaled_query`` (internal) bypasses the quantize transform with an
+    already-int query — the residual IVF-PQ path computes per-cluster
+    query residuals in the integer domain."""
     import ray
 
     from docling_translate_ray.util import collect_to_table
 
-    q = _scale_query(query_vec)
+    q = (_scale_query(query_vec) if _scaled_query is None
+         else np.asarray(_scaled_query, dtype=np.int64))
     m = len(codebooks)
     sub = len(q) // m
     luts = []
@@ -159,6 +163,7 @@ _CODES_SUBDIR = "codes"
 _PART_COL = "cpart"
 _COARSE_FILE = "coarse.parquet"
 _CODEBOOKS_FILE = "codebooks.parquet"
+_FLAGS_FILE = "flags.parquet"
 _CURRENT_FILE = "CURRENT"
 
 
@@ -178,7 +183,7 @@ def _resolve_gen(index_dir: str) -> str:
 def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
                       k: int = 4, iterations: int = 2,
                       id_column: str = "vec_id", column: str = "embedding",
-                      num_partitions: int = 16):
+                      num_partitions: int = 16, residual: bool = False):
     """ONE-TIME IVF-PQ build (the standing structure a 10^12-vector
     corpus actually serves from): a coarse integer k-means partitions
     the ids, PQ codes replace the vectors, and the index on disk is
@@ -189,10 +194,25 @@ def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
     partition directories of codes — the vectors are gone from the
     serving path entirely.
 
-    Codes are of the RAW vectors (no residual re-encoding), so a
-    full-probe query equals flat :func:`pq_topk` exactly — which is
-    what the driver oracle checks (the same knn_ivf-vs-knn_topk
-    full-probe-is-exact pattern).  Returns ``(codebooks, coarse)``.
+    Codes are of the RAW vectors by default (no residual re-encoding),
+    so a full-probe query equals flat :func:`pq_topk` exactly — which
+    is what the driver oracle checks (the same knn_ivf-vs-knn_topk
+    full-probe-is-exact pattern).
+
+    ``residual=True`` trains and encodes ``vec − coarse_centroid``
+    instead (Jégou 2011 §IV "IVFADC": residuals concentrate near zero,
+    so the same m×k code budget quantizes finer — measured on planted
+    clusters in tests/test_pq.py).  Integer-exact formulation: the
+    residual is computed IN the int domain (``q(x) − c + OFFSET``, the
+    uniform re-offset keeping values positive) and re-emitted as floats
+    whose re-quantization is exact — the PQ codebooks therefore live in
+    the ``r_int + 2·OFFSET`` domain (quantizer re-adds OFFSET), and the
+    per-cluster query residual matches it — so kmeans_int over
+    residuals and the SQL oracle's identical residual CTE reproduce the
+    codes bit-for-bit.  Queries need a PER-PROBED-CLUSTER lookup table
+    (the query's residual differs per cluster); the ``residual`` flag
+    is recorded in the generation's flags table and honored by
+    :func:`ivfpq_topk`.  Returns ``(codebooks, coarse)``.
 
     Crash-safe rebuild: meta tables AND the codes tree are written into
     a fresh ``gen-<uuid>`` subdirectory, then the tiny ``CURRENT``
@@ -212,8 +232,43 @@ def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
     coarse_assign, coarse = kmeans_int(
         ds, k=n_coarse, iterations=iterations, id_column=id_column,
         column=column, return_centroids=True)
+    pq_input = ds
+    if residual:
+        import ray
+
+        from docling_translate_ray.functions.knn import _to_int_matrix
+
+        ccids_a, ccmat_a = coarse
+        order = np.argsort(ccids_a)
+        cids_sorted = ccids_a[order]
+        cmat_sorted = ccmat_a[order]
+        cent_ref = ray.put((cids_sorted, cmat_sorted))
+
+        res_schema = pa.schema([
+            (id_column, pa.int64()), (column, pa.list_(pa.float64()))])
+
+        def to_residual(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return res_schema.empty_table()
+            cids_now, cmat_now = ray.get(cent_ref)
+            mat = _to_int_matrix(batch, column)
+            cl = np.asarray(batch["cluster_id"].to_pylist(), dtype=np.int64)
+            cent_rows = cmat_now[np.searchsorted(cids_now, cl)]
+            # int residual, re-offset positive, re-emitted as floats
+            # whose floor(x·10^6+½) re-quantization is exact (|r| ≤
+            # ~2·10^7 ⇒ float64 round-trip error ≪ ½)
+            res = (mat - cent_rows + _KM_OFFSET).astype(np.float64) / _KM_SCALE
+            return pa.table({
+                id_column: batch[id_column],
+                column: pa.array(res.tolist(), pa.list_(pa.float64())),
+            }).cast(res_schema)
+
+        pq_input = broadcast_join(
+            ds.select_columns([id_column, column]), coarse_assign,
+            on=[id_column], how="inner", num_partitions=num_partitions,
+        ).map_batches(to_residual, batch_format="pyarrow")
     codes, codebooks = pq_train_encode(
-        ds, m=m, k=k, iterations=iterations, id_column=id_column,
+        pq_input, m=m, k=k, iterations=iterations, id_column=id_column,
         column=column, num_partitions=num_partitions)
 
     gen = "gen-" + uuid.uuid4().hex[:12]
@@ -235,6 +290,9 @@ def build_ivfpq_index(ds, index_dir: str, n_coarse: int = 4, m: int = 2,
         "cid": pa.array(rows_c, pa.int64()),
         "vals": pa.array(rows_v, pa.list_(pa.int64())),
     }), os.path.join(gen_dir, _CODEBOOKS_FILE))
+    pqt.write_table(pa.table({
+        "residual": pa.array([residual], pa.bool_()),
+    }), os.path.join(gen_dir, _FLAGS_FILE))
 
     def to_part(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
@@ -282,6 +340,20 @@ def load_ivfpq_meta(index_dir: str):
     return codebooks, coarse
 
 
+def load_ivfpq_flags(index_dir: str) -> dict:
+    """Build-time flags of the live generation; an index written before
+    the flags table existed is a raw-vector (non-residual) one."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    p = os.path.join(_resolve_gen(index_dir), _FLAGS_FILE)
+    if not os.path.exists(p):
+        return {"residual": False}
+    t = pqt.read_table(p)
+    return {"residual": bool(t["residual"][0].as_py())}
+
+
 def ivfpq_probe_cids(index_dir: str, query_vec, n_probe: int) -> list[int]:
     """The coarse partitions a query would read (ascending int distance,
     ties to the lowest cid) — exposed so tests can prove the pruning."""
@@ -296,24 +368,58 @@ def ivfpq_probe_cids(index_dir: str, query_vec, n_probe: int) -> list[int]:
 def ivfpq_topk(index_dir: str, query_vec, n_probe: int = 2, k: int = 10,
                id_column: str = "vec_id"):
     """ADC top-k over ONLY the ``n_probe`` nearest coarse partitions'
-    code files — the pruned standing-index read.  Full probe
-    (``n_probe == n_coarse``) is exactly flat :func:`pq_topk`."""
+    code files — the pruned standing-index read.  On a raw-vector index
+    a full probe (``n_probe == n_coarse``) is exactly flat
+    :func:`pq_topk`.  On a residual index (IVFADC) every probed
+    partition gets its OWN lookup table — the query's residual against
+    that partition's coarse centroid — and the per-partition top-k
+    merge on the driver stays k-bounded (n_probe × k rows)."""
     import os
 
     import ray.data
 
-    codebooks, _ = load_ivfpq_meta(index_dir)
+    out_schema = pa.schema([(id_column, pa.int64()),
+                            ("pq_dist", pa.int64()),
+                            ("rank", pa.int64())])
+    codebooks, (ccids, ccmat) = load_ivfpq_meta(index_dir)
     gen_dir = _resolve_gen(index_dir)
-    paths = []
-    for c in ivfpq_probe_cids(index_dir, query_vec, n_probe):
+    probe = ivfpq_probe_cids(index_dir, query_vec, n_probe)
+
+    def part_paths(c: int) -> list[str]:
         pdir = os.path.join(gen_dir, _CODES_SUBDIR, f"{_PART_COL}={c}")
-        if os.path.isdir(pdir):
-            paths.extend(os.path.join(pdir, f)
-                         for f in sorted(os.listdir(pdir))
-                         if f.endswith(".parquet"))
-    if not paths:
-        return pa.schema([(id_column, pa.int64()),
-                          ("pq_dist", pa.int64()),
-                          ("rank", pa.int64())]).empty_table()
-    return pq_topk(ray.data.read_parquet(paths), codebooks, query_vec,
-                   k=k, id_column=id_column)
+        if not os.path.isdir(pdir):
+            return []
+        return [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                if f.endswith(".parquet")]
+
+    if not load_ivfpq_flags(index_dir)["residual"]:
+        paths = [p for c in probe for p in part_paths(c)]
+        if not paths:
+            return out_schema.empty_table()
+        return pq_topk(ray.data.read_parquet(paths), codebooks, query_vec,
+                       k=k, id_column=id_column)
+
+    import polars as pl
+
+    qs = _scale_query(query_vec)
+    pos = {int(c): i for i, c in enumerate(ccids.tolist())}
+    parts = []
+    for c in probe:
+        paths = part_paths(c)
+        if not paths:
+            continue
+        # codebook domain is r_int + 2·OFFSET: the residual floats are
+        # emitted at (r_int + OFFSET)/SCALE and pq_train_encode's
+        # quantizer adds the second OFFSET — match it exactly
+        qres = qs - ccmat[pos[c]] + 2 * _KM_OFFSET
+        parts.append(pq_topk(
+            ray.data.read_parquet(paths), codebooks, None, k=k,
+            id_column=id_column, _scaled_query=qres,
+        ).drop_columns(["rank"]))
+    if not parts:
+        return out_schema.empty_table()
+    merged = (pl.from_arrow(pa.concat_tables(parts))
+              .sort(["pq_dist", id_column]).head(k)
+              .with_columns((pl.int_range(pl.len()) + 1)
+                            .cast(pl.Int64).alias("rank")))
+    return merged.to_arrow().cast(out_schema)

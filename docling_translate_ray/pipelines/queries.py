@@ -2634,6 +2634,32 @@ def q_ivfpq_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_ivfpq_residual(sf_dir: str):
+    """Residual-encoded IVF-PQ — IVFADC (functions/pq.build_ivfpq_index
+    residual=True): PQ codes quantize ``vec − coarse_centroid`` instead
+    of the raw vector, and every probed partition scores with its OWN
+    per-cluster query-residual lookup table.  Full probe here, so the
+    oracle replays the WHOLE integer pipeline in SQL: coarse k-means
+    chain → residual view (val − cval + 2·OFFSET, the exact stored
+    domain) → per-subspace k-means chains over residuals → per-(coarse,
+    code) LUTs → rank.  The quantization-error win over raw codes is
+    measured in tests/test_pq.py on planted clusters."""
+    import shutil
+    import tempfile
+
+    from docling_translate_ray.functions.pq import build_ivfpq_index, ivfpq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="dtr_ivfpq_res_")
+    try:
+        build_ivfpq_index(emb, idx, n_coarse=4, m=2, k=4, iterations=2,
+                          residual=True)
+        qrow = emb.filter(expr="vec_id == 5").take(1)
+        return ivfpq_topk(idx, list(qrow[0]["embedding"]), n_probe=4, k=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_webcurate(sf_dir: str):
     """The north-star first mile end to end with a FULL composed SQL
     oracle (pipelines/curate.curate_pages): the q_boilerplate_strip

