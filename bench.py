@@ -153,6 +153,11 @@ def extra_queries(sf_dir: str) -> dict:
         "ivfpq_topk": lambda: q.q_ivfpq_topk(sf_dir).num_rows,
         # session-7: raw pages → strip → curate, end-to-end SQL oracle
         "webcurate": lambda: q.q_webcurate(sf_dir).num_rows,
+        # round-4: WET round-trip, BM25 ranked retrieval (index build +
+        # join-free dl-normalized scoring), residual IVF-PQ (IVFADC)
+        "wet_roundtrip": lambda: q.q_wet_roundtrip(sf_dir).num_rows,
+        "bm25_rank": lambda: _consume(q.q_bm25_rank(sf_dir)),
+        "ivfpq_residual": lambda: q.q_ivfpq_residual(sf_dir).num_rows,
     }
 
 
