@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (56 as of round 3) with documented
+    :func:`queries_legacy` (62 as of round 4) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (106 entries total, 95 DuckDB-oracled)."""
+    (112 entries total, 104 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -53,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WET output lane (WARC conversion records — the CC extracted-
         # text interchange; round-trip byte fidelity, never checked)
         "wet_roundtrip": q.q_wet_roundtrip,
+        # JSONL corpus-interchange lane (gzipped NDJSON shards — the
+        # format LLM corpora ship in; vectorized polars write /
+        # pyarrow C++ read; value fidelity incl. nulls, never checked)
+        "jsonl_roundtrip": q.q_jsonl_roundtrip,
         # new operators last session — never driver-checked, next in
         # the window: unicode normalization (NFC + control-strip +
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
@@ -90,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_watermark_disorder": q.q_windowed_watermark_disorder,
         # newly oracle-backed this round (previously rows-only / vacuous)
         "embedding_near_dup": q.q_embedding_near_dup,
-        "knn_ivf": q.q_knn_ivf,
         # new operators this round: persistent-index incremental crawl
         # dedup + cross-snapshot diff + latest-version select
         "minhash_index_probe": q.q_minhash_index_probe,
@@ -405,6 +408,15 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # by the new ivfpq_residual entry — demoted round 4 to make
         # window room for it; still oracle-checked here
         "pq_topk": q.q_pq_topk,
+        # knn_ivf → driver-hash-verified r03; its coarse kmeans +
+        # physically-pruned n_probe partition reads ARE the coarse
+        # stage of the in-window ivfpq_topk AND ivfpq_residual entries
+        # (pq.py builds on functions/knn.py's assign/prune helpers),
+        # and the exact-cosine rerank kernel stays pinned via knn_topk
+        # here — demoted round 4 to make window room for
+        # jsonl_roundtrip (the corpus-interchange lane); still
+        # oracle-checked here
+        "knn_ivf": q.q_knn_ivf,
     }
 
 
@@ -628,6 +640,14 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip": """
             SELECT 'doc://' || doc_id AS url,
                    COALESCE(text, '') AS text,
+                   length(COALESCE(text, ''))::BIGINT AS n_chars
+            FROM documents
+        """,
+        # identity projection — the JSONL writer/parser pair must be
+        # value-transparent (nulls ride through natively, no COALESCE
+        # on the payload columns)
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, text,
                    length(COALESCE(text, ''))::BIGINT AS n_chars
             FROM documents
         """,

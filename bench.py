@@ -158,6 +158,9 @@ def extra_queries(sf_dir: str) -> dict:
         "wet_roundtrip": lambda: q.q_wet_roundtrip(sf_dir).num_rows,
         "bm25_rank": lambda: _consume(q.q_bm25_rank(sf_dir)),
         "ivfpq_residual": lambda: q.q_ivfpq_residual(sf_dir).num_rows,
+        # round-4: JSONL corpus-interchange shards (polars NDJSON write
+        # / pyarrow C++ parse round-trip)
+        "jsonl_roundtrip": lambda: q.q_jsonl_roundtrip(sf_dir).num_rows,
     }
 
 

@@ -178,6 +178,40 @@ def q_wet_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """The corpus-interchange surface: shard the documents table out as
+    gzipped JSON-Lines (the format LLM corpora ship in — Pile /
+    RedPajama / Dolma), ``read_jsonl`` it back with an explicit schema,
+    and return ``(doc_id, lang, text, n_chars)`` — value fidelity of
+    the NDJSON writer/parser pair including nulls and escapes
+    (``sources/jsonl.py``; vectorized polars write / pyarrow C++ read,
+    no per-row json in either direction)."""
+    import shutil
+    import tempfile
+
+    import polars as pl
+
+    from docling_translate_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    tmp = tempfile.mkdtemp(prefix="dtr_jsonl_")
+    try:
+        write_jsonl(_read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+                    tmp)
+        schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                            ("text", pa.string())])
+
+        def with_len(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            return df.with_columns(
+                pl.col("text").fill_null("").str.len_chars().cast(pl.Int64)
+                .alias("n_chars")).to_arrow()
+
+        return _collect(read_jsonl(tmp, schema=schema).map_batches(
+            with_len, batch_format="pyarrow")).sort_by("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def pdf_pages_batch(batch: pa.Table) -> pa.Table:
     """input_hint-shaped pages whose payloads are REAL PDFs (pdf_core
     writer, FlateDecode): a title line ``doc <id>`` then the 8-word-
