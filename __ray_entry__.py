@@ -34,9 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the tail unchecked — hence the cap).  Entries the driver has never
     checked come first, so the whole dict is covered even if the window
     shrinks; entries VERIFIED in a previous round migrate to
-    :func:`queries_legacy` (62 as of round 4) with documented
+    :func:`queries_legacy` (63 as of round 4) with documented
     subsumption, and stay gated locally by tools/check_contract.py
-    (112 entries total, 104 DuckDB-oracled)."""
+    (113 entries total, 105 DuckDB-oracled)."""
     from docling_translate_ray.pipelines import queries as q
 
     return {
@@ -57,6 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # format LLM corpora ship in; vectorized polars write /
         # pyarrow C++ read; value fidelity incl. nulls, never checked)
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
+        # trained quality classifier (integer NB-analog: count-based
+        # training on an md5 split + symmetric scaled likelihood-ratio
+        # scoring; the full train→predict pipeline replays in SQL)
+        "nb_classifier": q.q_nb_classifier,
         # new operators last session — never driver-checked, next in
         # the window: unicode normalization (NFC + control-strip +
         # space-collapse, perturbed-row oracle), quality-retention fuzzy
@@ -83,7 +87,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions: SemDeDup, DSIR importance scoring,
         # temperature language rebalancing (all oracle-backed)
         "semdedup": q.q_semdedup,
-        "dsir_score": q.q_dsir_score,
         "lang_rebalance": q.q_lang_rebalance,
         "bitext_mine": q.q_bitext_mine,
         "bpe_pair_counts": q.q_bpe_pair_counts,
@@ -408,6 +411,15 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # by the new ivfpq_residual entry — demoted round 4 to make
         # window room for it; still oracle-checked here
         "pq_topk": q.q_pq_topk,
+        # dsir_score → driver-hash-verified r03; the hashed-bucket
+        # scaled-ratio substrate stays in-window TWICE over — through
+        # nb_classifier (the supervised two-class extension of the
+        # same md5[:2]-bucket smoothed-ratio scoring, trained on a
+        # split and argmax-predicted) and through mixture (whose
+        # end-to-end oracle embeds the full DSIR CTE chain as its
+        # stage 2) — demoted round 4 to make window room for
+        # nb_classifier; still oracle-checked here
+        "dsir_score": q.q_dsir_score,
         # knn_ivf → driver-hash-verified r03; its coarse kmeans +
         # physically-pruned n_probe partition reads ARE the coarse
         # stage of the in-window ivfpq_topk AND ivfpq_residual entries
@@ -2076,6 +2088,60 @@ def oracle_sql() -> dict[str, str]:
                    sum(f.cnt * s.s)::BIGINT AS dsir_score
             FROM feat f JOIN s ON f.b = s.b
             GROUP BY f.doc_id
+        """,
+        # trained NB-analog classifier (functions/classifier.py): the
+        # dsir_score recipe extended to the supervised two-class case —
+        # counts from the md5-split TRAIN half only, symmetric scaled
+        # ratios, LEFT JOIN + all-smoothing default for buckets unseen
+        # in training, argmax prediction (ties → negative)
+        "nb_classifier": """
+            WITH lab AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_extract_all(text, '@NONWS@'),
+                                     x -> x = 'customer'))
+                     > len(list_filter(regexp_extract_all(text, '@NONWS@'),
+                                       x -> x = 'scan')) AS y,
+                     substr(md5(doc_id::VARCHAR), 1, 1) <= '7' AS tr
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '@NONWS@')) AS w
+              FROM documents),
+            feat AS (
+              SELECT doc_id, substr(md5(w), 1, 2) AS b,
+                     count(*)::BIGINT AS cnt
+              FROM tok GROUP BY 1, 2),
+            g AS (
+              SELECT f.b, sum(f.cnt)::BIGINT AS n_all,
+                     sum(CASE WHEN l.y THEN f.cnt ELSE 0 END)::BIGINT AS n_pos
+              FROM feat f JOIN lab l USING (doc_id)
+              WHERE l.tr GROUP BY f.b),
+            tot AS (SELECT sum(n_pos)::HUGEINT AS np,
+                           sum(n_all - n_pos)::HUGEINT AS nn FROM g),
+            s AS (
+              SELECT b,
+                     (((n_pos + 1)::HUGEINT * 1000000 * (nn + 256))
+                      // ((n_all - n_pos + 1)::HUGEINT * (np + 256)))::BIGINT
+                       AS s_pos,
+                     (((n_all - n_pos + 1)::HUGEINT * 1000000 * (np + 256))
+                      // ((n_pos + 1)::HUGEINT * (nn + 256)))::BIGINT AS s_neg
+              FROM g, tot),
+            defs AS (
+              SELECT ((1::HUGEINT * 1000000 * (nn + 256))
+                      // (1::HUGEINT * (np + 256)))::BIGINT AS d_pos,
+                     ((1::HUGEINT * 1000000 * (np + 256))
+                      // (1::HUGEINT * (nn + 256)))::BIGINT AS d_neg
+              FROM tot)
+            SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_tokens, l.y AS label,
+                   sum(f.cnt * COALESCE(s.s_pos, d.d_pos))::BIGINT
+                     AS score_pos,
+                   sum(f.cnt * COALESCE(s.s_neg, d.d_neg))::BIGINT
+                     AS score_neg,
+                   sum(f.cnt * COALESCE(s.s_pos, d.d_pos))
+                     > sum(f.cnt * COALESCE(s.s_neg, d.d_neg)) AS pred
+            FROM feat f JOIN lab l USING (doc_id)
+                 LEFT JOIN s ON f.b = s.b, defs d
+            WHERE NOT l.tr
+            GROUP BY f.doc_id, l.y
         """,
         # integer-exact bigram LM (functions/lm.py): adjacent-token
         # pairs via lockstep double-unnest of two list slices; S =

@@ -161,6 +161,9 @@ def extra_queries(sf_dir: str) -> dict:
         # round-4: JSONL corpus-interchange shards (polars NDJSON write
         # / pyarrow C++ parse round-trip)
         "jsonl_roundtrip": lambda: q.q_jsonl_roundtrip(sf_dir).num_rows,
+        # round-4: trained NB-analog quality classifier (count-based
+        # train on md5 split + integer ratio scoring of held-out docs)
+        "nb_classifier": lambda: q.q_nb_classifier(sf_dir).num_rows,
     }
 
 

@@ -2244,6 +2244,54 @@ def q_dsir_score(sf_dir: str):
                       scratch_dir=scratch)
 
 
+def q_nb_classifier(sf_dir: str):
+    """Trained quality classifier (functions/classifier.py): integer
+    Naive-Bayes-analog fit on a deterministic 50% md5 split with
+    planted-truth labels (more ``customer`` than ``scan`` tokens —
+    balanced ~0.38 positive, and genuinely learnable from per-bucket
+    count ratios: held-out accuracy 0.84–0.89 vs the 0.62–0.65
+    majority baseline), scoring every held-out doc with symmetric
+    scaled likelihood-ratios — the learned web-filter slot
+    (CCNet/RefinedWeb).  Training is pure counting, so the WHOLE
+    train→predict pipeline replays in SQL (full hash oracle);
+    zero-token docs are absent on both engines."""
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    import polars as pl
+
+    from docling_translate_ray.functions.classifier import nb_classify
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        # label: planted truth — MORE 'customer' than 'scan' tokens
+        # (the oracle replays it with list_filter over @NONWS@).
+        # split: md5 of the id STRING (ids only — cheap; text hashing
+        # stays vectorized xx64 elsewhere), first hex digit < '8'.
+        ids = df["doc_id"].to_list()
+        tr = [_hl.md5(str(i).encode()).hexdigest()[0] <= "7" for i in ids]
+        toks = pl.col("text").fill_null("").str.extract_all(r"\S+")
+        return (
+            df.with_columns(
+                (toks.list.count_matches("customer")
+                 > toks.list.count_matches("scan")).alias("label"),
+                pl.Series("is_train", tr, dtype=pl.Boolean),
+            ).to_arrow()
+        )
+
+    tmp = tempfile.mkdtemp(prefix="dtr_nb_")
+    try:
+        out = nb_classify(docs.map_batches(mark, batch_format="pyarrow"),
+                          scratch_dir=tmp)
+        # pin before the scratch feature parquet vanishes
+        return _collect(out).sort_by("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_mixture(sf_dir: str):
     """Composite mixture builder (pipelines/mixture.py): quality gate →
     DSIR scores vs source='src1' → 50%-token-budget selection →
