@@ -53,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
                         "(offsets + extracted_text remain)")
     p.add_argument("--pipeline",
                    choices=["extract", "curate", "mixture", "webcurate",
-                            "wet"],
+                            "wet", "jsonl"],
                    default="extract",
                    help="extract = the flagship job over pages parquet; "
                         "webcurate = raw pages → boilerplate strip → the "
@@ -63,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
                         "wet = the Common-Crawl conversion job — INPUT is a "
                         "dir of .warc[.gz] segments, OUT_DIR gets .wet.gz "
                         "segments (extraction in between, streaming); "
+                        "jsonl = the same WARC→extract job emitting gzipped "
+                        "JSONL corpus shards (url, lang, text, n_chars); "
                         "OUT_DIR is the composite work_dir — stage resume is "
                         "on unless --no-resume")
     p.add_argument("--retention", choices=["min_id", "keep_best"],
@@ -107,6 +109,22 @@ def main(argv: list[str] | None = None) -> int:
                           if f.endswith((".wet", ".wet.gz"))])
         print(json.dumps({"out": args.out, "segments": n_segments,
                           "records": read_wet(args.out).count()}))
+        ray.shutdown()
+        return 0
+
+    if args.pipeline == "jsonl":
+        import os
+
+        from docling_translate_ray.sources.jsonl import (
+            JSONL_CORPUS_SCHEMA, read_jsonl, warc_to_jsonl)
+
+        warc_to_jsonl(args.input, args.out)
+        n_shards = len([f for f in os.listdir(args.out)
+                        if f.endswith((".jsonl", ".jsonl.gz"))])
+        print(json.dumps({
+            "out": args.out, "shards": n_shards,
+            "records": read_jsonl(args.out,
+                                  schema=JSONL_CORPUS_SCHEMA).count()}))
         ray.shutdown()
         return 0
 

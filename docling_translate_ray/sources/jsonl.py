@@ -92,6 +92,41 @@ def write_jsonl(ds, out_dir: str, columns: list[str] | None = None,
     ds.map_batches(write_shard, batch_format="pyarrow").materialize()
 
 
+def warc_to_jsonl(in_path: str, out_dir: str,
+                  gzip_compress: bool = True) -> None:
+    """The CCNet-style corpus export job: WARC segments in → extraction
+    → gzipped JSONL shards of ``(url, lang, text, n_chars)`` out — the
+    shape downstream LLM-data tooling consumes.  Streaming end to end
+    (the ``warc_to_wet`` recipe with the interchange sink swapped): one
+    task per WARC segment, extraction in the batch kernel, one shard
+    file per output batch, no driver materialization, resumable at the
+    shard-file level."""
+    from docling_translate_ray.sources.warc import read_warc
+    from docling_translate_ray.stages.extract import extract_batch
+
+    pages = read_warc(in_path).select_columns(["url", "html", "lang"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ext = extract_batch(batch)
+        return pa.table({
+            "url": ext["url"],
+            "lang": ext["lang"],
+            "text": ext["extracted_text"],
+            "n_chars": ext["n_chars"],
+        })
+
+    write_jsonl(pages.map_batches(to_rows, batch_format="pyarrow"),
+                out_dir, gzip_compress=gzip_compress)
+
+
+JSONL_CORPUS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("lang", pa.string()),
+    ("text", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+
 def read_jsonl(path: str, schema: pa.Schema | None = None,
                strict: bool = False):
     """Dataset from a directory/glob of ``.jsonl`` / ``.jsonl.gz``

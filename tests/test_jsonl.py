@@ -117,6 +117,41 @@ def test_read_jsonl_skips_poison_files(tmp_path):
         jsonl.read_jsonl(out, schema=schema, strict=True).take_all()
 
 
+def test_warc_to_jsonl_matches_extraction_kernel(tmp_path):
+    from docling_translate_ray.sources import warc
+    from docling_translate_ray.sources.jsonl import (JSONL_CORPUS_SCHEMA,
+                                                     read_jsonl,
+                                                     warc_to_jsonl)
+    from docling_translate_ray.stages.extract import extract_batch
+
+    pages = [
+        ("https://w.example/p1", _TS,
+         b"<html><body><h1>Title</h1><p>Body paragraph with words."
+         b"</p></body></html>"),
+        ("https://w.example/p2", _TS, b"\x00PK\x03\x04binary-sniff"),
+        ("https://w.example/p3", _TS, b"plain text page content"),
+    ]
+    in_dir, out_dir = str(tmp_path / "warc"), str(tmp_path / "jsonl")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "seg.warc.gz"), "wb") as f:
+        f.write(warc.build_warc_bytes(pages, gzip_per_record=True))
+
+    warc_to_jsonl(in_dir, out_dir)
+    got = {r["url"]: r for r in
+           read_jsonl(out_dir, schema=JSONL_CORPUS_SCHEMA).take_all()}
+
+    want = extract_batch(pa.table({
+        "url": pa.array([u for u, _, _ in pages], pa.string()),
+        "html": pa.array([b for _, _, b in pages], pa.binary()),
+        "lang": pa.array([""] * len(pages), pa.string()),
+    }))
+    for u, t, n in zip(want["url"].to_pylist(),
+                       want["extracted_text"].to_pylist(),
+                       want["n_chars"].to_pylist()):
+        assert got[u]["text"] == t
+        assert got[u]["n_chars"] == n
+
+
 def test_explicit_schema_rescues_all_null_shard(tmp_path):
     import ray.data
 
