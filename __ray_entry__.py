@@ -41,7 +41,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # round-4 additions — never driver-checked, first in the
-        # window: the OOXML converter lanes (stdlib zip+XML DOCX and
+        # window: CDX-style sorted URL index (SURT canonicalization,
+        # range-partitioned surt-sorted parquet + boundary manifest,
+        # prefix lookup reading only the intersecting partitions — the
+        # Common-Crawl index-service analog, functions/cdx.py)
+        "cdx_lookup": q.q_cdx_lookup,
+        # the OOXML converter lanes (stdlib zip+XML DOCX and
         # PPTX readers + deterministic writers, the pdf_extract
         # round-trip recipe; VERDICT r03 top item)
         "docx_extract": q.q_docx_extract,
@@ -101,7 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup + cross-snapshot diff + latest-version select
         "minhash_index_probe": q.q_minhash_index_probe,
         "snapshot_diff": q.q_snapshot_diff,
-        "latest_version": q.q_latest_version,
         "recrawl_priority": q.q_recrawl_priority,
         "extract_links": q.q_extract_links,
         "robots_filter": q.q_robots_filter,
@@ -327,6 +331,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       iteration 1 of the same pair-count exchange) — driver
       rows-only-verified r03, demoted round 4 to make window room for
       pptx_extract
+    * latest_version → snapshot_diff (in-window sibling from the same
+      two-snapshot family: latest-wins per-key resolution IS the diff's
+      "changed" arm) + incremental_extract (the operational consumer of
+      the same manifest latest-version view, in-window) — driver
+      hash-verified r03, demoted round 4 to make window room for
+      cdx_lookup (the sorted URL index)
     * curate → webcurate (the in-window STRICT SUPERSET: curate_pages
       runs the identical curate_docs code path — quality → exact dedup
       → near-dedup, same StageRunner stages — with the boilerplate
@@ -429,6 +439,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # jsonl_roundtrip (the corpus-interchange lane); still
         # oracle-checked here
         "knn_ivf": q.q_knn_ivf,
+        # latest_version → driver-hash-verified r03; demoted round 4 to
+        # make window room for cdx_lookup (rationale in the docstring);
+        # still oracle-checked here
+        "latest_version": q.q_latest_version,
     }
 
 
@@ -1153,6 +1167,47 @@ def oracle_sql() -> dict[str, str]:
                              // (count(*) - 1)
                         ELSE 0 END::BIGINT AS change_rate_pct
             FROM c GROUP BY url
+        """,
+        # CDX URL index: rebuild the crawl-variant url view + the SURT
+        # chain regex-for-regex (fragment → query → authority userinfo/
+        # port/www strips mirroring urltools.extract_hosts' order, path
+        # lowercased, host labels reversed comma-joined), then the
+        # prefix filter the pruned index lookup resolves
+        "cdx_lookup": r"""
+            WITH v AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                     'HTTPS://'
+                     || CASE WHEN doc_id % 11 = 0 THEN 'user@' ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+                     || 'Host-' || (doc_id % 23) || '.Example.COM'
+                     || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+                     || '/Sec' || (doc_id % 7) || '/Page/' || doc_id
+                     || CASE WHEN doc_id % 3 = 0 THEN '?q=' || doc_id
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END
+                       AS url
+              FROM documents),
+            s AS (
+              SELECT doc_id, url,
+                     regexp_replace(regexp_replace(url, '#.*$', ''),
+                                    '\?.*$', '') AS u
+              FROM v),
+            h AS (
+              SELECT doc_id, url,
+                     regexp_replace(lower(regexp_replace(regexp_replace(
+                         regexp_extract(u,
+                             '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                         '^[^@]*@', ''), ':[0-9]*$', '')),
+                         '^www\.', '') AS host,
+                     lower(regexp_replace(u,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', ''))
+                       AS path
+              FROM s)
+            SELECT array_to_string(list_reverse(string_split(host, '.')),
+                                   ',') || ')' || path AS surt,
+                   doc_id, url
+            FROM h
+            WHERE starts_with(surt, 'com,example,host-7)')
         """,
         "latest_version": """
             WITH v AS (

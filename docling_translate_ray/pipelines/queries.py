@@ -2854,3 +2854,52 @@ def q_url_pair_mine(sf_dir: str):
         return df.select(["doc_id", "url"]).to_arrow()
 
     return url_pair_mine(docs.map_batches(synth, batch_format="pyarrow"))
+
+
+def q_cdx_lookup(sf_dir: str):
+    """CDX-style sorted URL index (functions/cdx — the Common-Crawl
+    index-service analog) over a deterministic crawl-variant URL view
+    with SURT-canonicalization noise on every axis: mixed-case scheme /
+    host / path, a ``user@`` userinfo on every 11th url, a leading
+    ``WWW.`` on evens, a default ``:443`` port on every 5th, a query
+    string on every 3rd and a fragment on every 4th.  Build a
+    range-partitioned SURT index in a fresh tempdir, then resolve one
+    host-prefix lookup (``com,example,host-7)``) reading only the
+    partitions whose boundary range intersects the prefix.  The oracle
+    rebuilds url + SURT with the same regex chain (RE2 ∩ rust-regex)
+    and filters ``starts_with``."""
+    import tempfile
+
+    import polars as pl
+
+    from docling_translate_ray.functions.cdx import (build_url_index,
+                                                     url_index_lookup)
+
+    def cdx_view(batch: pa.Table) -> pa.Table:
+        d = pl.col("doc_id")
+        url = (
+            pl.lit("HTTPS://")
+            + pl.when(d % 11 == 0).then(pl.lit("user@"))
+            .otherwise(pl.lit(""))
+            + pl.when(d % 2 == 0).then(pl.lit("WWW.")).otherwise(pl.lit(""))
+            + pl.lit("Host-") + (d % 23).cast(pl.String)
+            + pl.lit(".Example.COM")
+            + pl.when(d % 5 == 0).then(pl.lit(":443")).otherwise(pl.lit(""))
+            + pl.lit("/Sec") + (d % 7).cast(pl.String)
+            + pl.lit("/Page/") + d.cast(pl.String)
+            + pl.when(d % 3 == 0).then(pl.lit("?q=") + d.cast(pl.String))
+            .otherwise(pl.lit(""))
+            + pl.when(d % 4 == 0).then(pl.lit("#frag")).otherwise(pl.lit(""))
+        )
+        return (
+            pl.from_arrow(batch.select(["doc_id"]))
+            .select(d.cast(pl.Int64), url.alias("url"))
+            .to_arrow()
+            .cast(pa.schema([("doc_id", pa.int64()), ("url", pa.string())]))
+        )
+
+    urls = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        cdx_view, batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="dtr_cdx_")
+    build_url_index(urls, idx, num_partitions=8)
+    return url_index_lookup(idx, "com,example,host-7)")
