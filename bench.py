@@ -164,6 +164,9 @@ def extra_queries(sf_dir: str) -> dict:
         # round-4: trained NB-analog quality classifier (count-based
         # train on md5 split + integer ratio scoring of held-out docs)
         "nb_classifier": lambda: q.q_nb_classifier(sf_dir).num_rows,
+        # round-4: CDX-style sorted URL index (SURT build + pruned
+        # prefix lookup)
+        "cdx_lookup": lambda: _consume(q.q_cdx_lookup(sf_dir)),
     }
 
 
