@@ -46,6 +46,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix lookup reading only the intersecting partitions — the
         # Common-Crawl index-service analog, functions/cdx.py)
         "cdx_lookup": q.q_cdx_lookup,
+        # incremental vector upsert into the standing IVF-PQ index:
+        # increment encoded by the FROZEN base-trained model (no
+        # retrain), LSM compact, full-probe query over the merged
+        # generations; oracle trains its k-means chains on base rows
+        # only and assigns over the union (functions/pq.ivfpq_insert)
+        "ivfpq_insert": q.q_ivfpq_insert,
         # the OOXML converter lanes (stdlib zip+XML DOCX and
         # PPTX readers + deterministic writers, the pdf_extract
         # round-trip recipe; VERDICT r03 top item)
@@ -72,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup (keep best per cluster) and politeness-aware
         # crawl-frontier scheduling
         "webcurate": q.q_webcurate,
-        "ivfpq_topk": q.q_ivfpq_topk,
         # residual-encoded IVF-PQ (IVFADC): full-pipeline SQL oracle
         # (coarse chain → residual view → subspace chains → per-cluster
         # LUTs); never driver-checked
@@ -331,6 +336,11 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       iteration 1 of the same pair-count exchange) — driver
       rows-only-verified r03, demoted round 4 to make window room for
       pptx_extract
+    * ivfpq_topk → ivfpq_insert (in-window STRICT SUPERSET: the same
+      build_ivfpq_index + full-probe ivfpq_topk code path, plus the
+      incremental insert + compact legs) + ivfpq_residual (the same
+      build/probe machinery, residual=True) — driver hash-verified
+      r03, demoted round 4 to make window room for its superset
     * latest_version → snapshot_diff (in-window sibling from the same
       two-snapshot family: latest-wins per-key resolution IS the diff's
       "changed" arm) + incremental_extract (the operational consumer of
@@ -443,6 +453,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # make window room for cdx_lookup (rationale in the docstring);
         # still oracle-checked here
         "latest_version": q.q_latest_version,
+        # ivfpq_topk → driver-hash-verified r03; demoted round 4 for
+        # its strict superset ivfpq_insert (rationale in the
+        # docstring); still oracle-checked here
+        "ivfpq_topk": q.q_ivfpq_topk,
     }
 
 
@@ -467,23 +481,33 @@ _WS_CLASS = "[" + _WS_CHARS + "]"
 _NTOK_EXPR = "len(regexp_extract_all(text, '@NONWS@'))"
 
 
-def _pq_chain(tag: str, dlo: int, dhi: int, src: str = "vd") -> str:
+def _pq_chain(tag: str, dlo: int, dhi: int, src: str = "vd",
+              asrc: str | None = None) -> str:
     """One unrolled per-subspace k-means chain (k=4, 2 Lloyd updates,
     final assignment a3) restricted to dims [dlo, dhi] — the q_kmeans
     oracle recipe parameterized for the pq_topk oracle's subspaces.
     ``src`` names the (vec_id, d, val) CTE the chain reads — ``vd``
-    (quantized raw vectors) or the residual view ``rvd``."""
+    (quantized raw vectors) or the residual view ``rvd``.  ``asrc``
+    (optional) names a DIFFERENT source for the FINAL assignment d3/a3
+    only — the incremental-insert split: codebooks train on the base
+    rows (``src``), the frozen model then encodes base ∪ increment
+    (``asrc``), exactly what ivfpq_insert does on the Ray side."""
     cte = [f"""
             vd{tag} AS (SELECT vec_id, d, val FROM {src}
                         WHERE d BETWEEN {dlo} AND {dhi}),
             c0{tag} AS (SELECT vec_id AS cid, d, val AS cval
                         FROM vd{tag} WHERE vec_id < 4)"""]
+    if asrc is not None:
+        cte.append(f"""
+            vda{tag} AS (SELECT vec_id, d, val FROM {asrc}
+                         WHERE d BETWEEN {dlo} AND {dhi})""")
     prev = f"c0{tag}"
     for r in (1, 2, 3):
+        read = f"vda{tag}" if (r == 3 and asrc is not None) else f"vd{tag}"
         cte.append(f"""
             d{r}{tag} AS (SELECT v.vec_id, c.cid,
                           sum((v.val - c.cval) * (v.val - c.cval)) AS dist
-                   FROM vd{tag} v JOIN {prev} c USING (d)
+                   FROM {read} v JOIN {prev} c USING (d)
                    GROUP BY v.vec_id, c.cid),
             a{r}{tag} AS (SELECT vec_id, cid FROM (
                      SELECT vec_id, cid, row_number() OVER (
@@ -568,6 +592,43 @@ _IVFPQ_RESIDUAL_SQL = f"""
               JOIN a3co g ON a.vec_id = g.vec_id
               JOIN luts1 l1 ON l1.ccid = g.cid AND l1.cid = a.cid
               JOIN luts2 l2 ON l2.ccid = g.cid AND l2.cid = b.cid)
+            WHERE rank <= 10
+        """
+
+
+# incremental upsert: codebooks TRAIN on the base 80% (vd = vec_id <
+# 400, seeds vec_id < 4 unchanged) and the frozen model ASSIGNS over
+# the union (vda, via _pq_chain's asrc) — exactly ivfpq_insert's
+# encode; full-probe scoring over the merged generations is then the
+# same LUT join as flat PQ
+_IVFPQ_INSERT_SQL = f"""
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                              + 10000000) AS e
+              FROM embeddings),
+            vda AS (SELECT vec_id, unnest(range(1, 65)) AS d,
+                           unnest(e) AS val FROM v),
+            vd AS (SELECT vec_id, d, val FROM vda WHERE vec_id < 400),
+            qv AS (SELECT d, val AS qval FROM vda WHERE vec_id = 5),
+            {_pq_chain('s1', 1, 32, asrc='vda')},
+            {_pq_chain('s2', 33, 64, asrc='vda')},
+            luts1 AS (SELECT c.cid,
+                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
+                      FROM c2s1 c JOIN qv q USING (d) GROUP BY c.cid),
+            luts2 AS (SELECT c.cid,
+                             sum((q.qval - c.cval) * (q.qval - c.cval)) AS qd
+                      FROM c2s2 c JOIN qv q USING (d) GROUP BY c.cid)
+            SELECT vec_id, pq_dist, rank FROM (
+              SELECT a.vec_id,
+                     (l1.qd + l2.qd)::BIGINT AS pq_dist,
+                     row_number() OVER (
+                       ORDER BY l1.qd + l2.qd, a.vec_id) AS rank
+              FROM a3s1 a
+              JOIN luts1 l1 ON a.cid = l1.cid
+              JOIN a3s2 b ON a.vec_id = b.vec_id
+              JOIN luts2 l2 ON b.cid = l2.cid)
             WHERE rank <= 10
         """
 
@@ -2244,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         # invariance)
         "ivfpq_topk": _PQ_TOPK_SQL,
         "ivfpq_residual": _IVFPQ_RESIDUAL_SQL,
+        "ivfpq_insert": _IVFPQ_INSERT_SQL,
         # the webcurate composite end to end: the boilerplate
         # kept-chunk CTE (same planted view as boilerplate_strip)
         # produces each page's clean text, which then feeds the exact

@@ -167,6 +167,9 @@ def extra_queries(sf_dir: str) -> dict:
         # round-4: CDX-style sorted URL index (SURT build + pruned
         # prefix lookup)
         "cdx_lookup": lambda: _consume(q.q_cdx_lookup(sf_dir)),
+        # round-4: incremental IVF-PQ upsert (frozen-model encode +
+        # compact + full-probe query over merged generations)
+        "ivfpq_insert": lambda: q.q_ivfpq_insert(sf_dir).num_rows,
     }
 
 

@@ -423,3 +423,90 @@ def ivfpq_topk(index_dir: str, query_vec, n_probe: int = 2, k: int = 10,
               .with_columns((pl.int_range(pl.len()) + 1)
                             .cast(pl.Int64).alias("rank")))
     return merged.to_arrow().cast(out_schema)
+
+
+def ivfpq_insert(ds, index_dir: str, id_column: str = "vec_id",
+                 column: str = "embedding") -> None:
+    """Append new vectors to an EXISTING IVF-PQ index using the live
+    generation's OWN frozen model (coarse centroids + per-subspace
+    codebooks — NO retrain): each vector is coarse-assigned (ties to
+    the lowest cid, the kmeans_int rule), residual-shifted when the
+    generation was built ``residual=True`` (codebook domain
+    ``r_int + 2·OFFSET`` — see :func:`build_ivfpq_index`), per-subspace
+    encoded against the frozen codebooks, and written as uuid-named
+    part files into the generation's ``codes/cpart=<c>/`` dirs —
+    probe-visible immediately, old vectors' codes untouched.
+
+    Re-encoding is bit-identical to the build (same int kernels), so
+    re-inserting already-indexed vectors creates EXACT duplicate rows
+    that :func:`ivfpq_compact` collapses — the shared standing-index
+    crash contract (duplicates possible in the crash window, loss
+    impossible).  A concurrent :func:`build_ivfpq_index` rebuild flips
+    ``CURRENT`` to a fresh generation and supersedes all inserts (the
+    rebuild reads the base dataset); inserts between rebuilds are the
+    crawl-cadence path, exactly like ``minhash_index_insert`` /
+    ``url_index_insert``."""
+    import os
+
+    import ray
+
+    codebooks, (ccids, ccmat) = load_ivfpq_meta(index_dir)
+    residual = load_ivfpq_flags(index_dir)["residual"]
+    gen_dir = _resolve_gen(index_dir)
+    m = len(codebooks)
+    sub = ccmat.shape[1] // m
+    ref = ray.put((codebooks, ccids, ccmat))
+
+    out_schema = pa.schema(
+        [(id_column, pa.int64())]
+        + [(f"code_{j}", pa.int64()) for j in range(m)]
+        + [(_PART_COL, pa.int64())])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        from docling_translate_ray.functions.knn import _to_int_matrix
+
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cbs, cn, cm = ray.get(ref)
+        mat = _to_int_matrix(batch, column)
+        d = mat[:, None, :] - cm[None, :, :]
+        best = np.argmin(np.einsum("bkd,bkd->bk", d, d), axis=1)
+        cpart = cn[best]  # cn sorted ascending → ties to lowest cid
+        enc = mat
+        if residual:
+            # build emitted residual floats whose re-quantization lands
+            # at r_int + 2·OFFSET; encode in that domain directly
+            enc = mat - cm[best] + 2 * _KM_OFFSET
+        cols = {id_column:
+                batch[id_column].combine_chunks().cast(pa.int64())}
+        for j, (cids_j, cmat_j) in enumerate(cbs):
+            seg = enc[:, j * sub:(j + 1) * sub]
+            dj = seg[:, None, :] - cmat_j[None, :, :]
+            bj = np.argmin(np.einsum("bkd,bkd->bk", dj, dj), axis=1)
+            cols[f"code_{j}"] = pa.array(cids_j[bj], pa.int64())
+        cols[_PART_COL] = pa.array(cpart, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    (ds.select_columns([id_column, column])
+       .map_batches(encode, batch_format="pyarrow")
+       .write_parquet(os.path.join(gen_dir, _CODES_SUBDIR),
+                      partition_cols=[_PART_COL]))
+
+
+def ivfpq_compact(index_dir: str, id_column: str = "vec_id",
+                  max_files_per_partition: int = 1) -> dict:
+    """Merge each coarse partition's insert generations into one
+    id-sorted file (the shared LSM maintenance contract —
+    rename-visible-before-delete, exact-duplicate rows collapse)."""
+    import os
+
+    from docling_translate_ray.util import compact_partition_dirs
+
+    load_ivfpq_meta(index_dir)  # fail loudly on a non-index dir
+    base = os.path.join(_resolve_gen(index_dir), _CODES_SUBDIR)
+    pdirs = [os.path.join(base, d) for d in sorted(os.listdir(base))
+             if os.path.isdir(os.path.join(base, d))] \
+        if os.path.isdir(base) else []
+    return compact_partition_dirs(
+        pdirs, sort_keys=(id_column,),
+        max_files_per_partition=max_files_per_partition)

@@ -2903,3 +2903,35 @@ def q_cdx_lookup(sf_dir: str):
     idx = tempfile.mkdtemp(prefix="dtr_cdx_")
     build_url_index(urls, idx, num_partitions=8)
     return url_index_lookup(idx, "com,example,host-7)")
+
+
+def q_ivfpq_insert(sf_dir: str):
+    """Incremental vector upsert into the standing IVF-PQ index
+    (functions/pq.ivfpq_insert): build on the base 80% (vec_id < 400),
+    append the remaining 20% encoded with the FROZEN base-trained
+    model (no retrain — the standard IVF incremental contract), run
+    the LSM compact, then answer a full-probe query over the merged
+    generations.  The oracle replays the split exactly: the per-
+    subspace k-means chains TRAIN on base rows only and ASSIGN over
+    the union (the _pq_chain asrc parameter), so every inserted code
+    is derived from the frozen codebooks, bit for bit."""
+    import shutil
+    import tempfile
+
+    from docling_translate_ray.functions.pq import (build_ivfpq_index,
+                                                    ivfpq_compact,
+                                                    ivfpq_insert,
+                                                    ivfpq_topk)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="dtr_ivfpq_ins_")
+    try:
+        build_ivfpq_index(emb.filter(expr="vec_id < 400"), idx,
+                          n_coarse=4, m=2, k=4, iterations=2)
+        ivfpq_insert(emb.filter(expr="vec_id >= 400"), idx)
+        ivfpq_compact(idx)
+        qrow = emb.filter(expr="vec_id == 5").take(1)
+        return ivfpq_topk(idx, list(qrow[0]["embedding"]), n_probe=4,
+                          k=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

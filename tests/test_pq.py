@@ -290,3 +290,124 @@ def test_ivfpq_residual_driver_query_matches_oracle(sf_dir):
     exp.sort(key=lambda r: r["rank"])
     assert got == exp
     assert len(got) == 10
+
+
+def _code_rows(idx):
+    """All (vec_id, code_0, code_1, cpart) rows across the live
+    generation's partition dirs."""
+    import pyarrow.parquet as pqt
+
+    from docling_translate_ray.functions.pq import _resolve_gen
+
+    root = os.path.join(_resolve_gen(idx), "codes")
+    rows = set()
+    for d in sorted(os.listdir(root)):
+        cid = int(d.split("=")[1])
+        pdir = os.path.join(root, d)
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pqt.read_table(os.path.join(pdir, f))
+            for r in t.to_pylist():
+                rows.add((r["vec_id"], r["code_0"], r["code_1"], cid))
+    return rows
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_ivfpq_insert_reencodes_bit_identical(tmp_path, residual):
+    """Re-inserting the ALREADY-INDEXED vectors must re-derive every
+    (coarse assignment, code) exactly — compact's exact-duplicate
+    collapse then restores the original row set bit-for-bit."""
+    import ray.data
+
+    from docling_translate_ray.functions.pq import (build_ivfpq_index,
+                                                    ivfpq_compact,
+                                                    ivfpq_insert)
+
+    t = _vectors(n=60, dim=8, seed=11)
+    ds = ray.data.from_arrow(t)
+    idx = str(tmp_path / f"ins_{residual}")
+    build_ivfpq_index(ds, idx, n_coarse=4, m=2, k=4, iterations=2,
+                      residual=residual)
+    built = _code_rows(idx)
+    assert len(built) == 60
+
+    ivfpq_insert(ray.data.from_arrow(t), idx)
+    doubled = _code_rows(idx)
+    assert doubled == built  # identical rows, just duplicated files
+
+    stats = ivfpq_compact(idx)
+    assert stats["files_after"] <= stats["files_before"]
+    assert _code_rows(idx) == built
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_ivfpq_insert_probe_visible(tmp_path, residual):
+    """Inserted vectors are served by the probe path immediately — no
+    rebuild, no retrain.  (ADC note: an insert sharing a code with a
+    lower-id base vector can never out-RANK it — ties break on id — so
+    visibility is asserted structurally: a full probe wide enough for
+    the whole corpus must return every inserted id.)"""
+    import ray.data
+
+    from docling_translate_ray.functions.pq import (build_ivfpq_index,
+                                                    ivfpq_insert,
+                                                    ivfpq_topk)
+
+    base = _vectors(n=50, dim=8, seed=11)
+    idx = str(tmp_path / f"vis_{residual}")
+    build_ivfpq_index(ray.data.from_arrow(base), idx, n_coarse=4, m=2,
+                      k=4, iterations=2, residual=residual)
+
+    rng = np.random.RandomState(7)
+    inc = pa.table({
+        "vec_id": pa.array(range(50, 60), pa.int64()),
+        "embedding": pa.array(rng.rand(10, 8).tolist(),
+                              pa.list_(pa.float64())),
+    })
+    q = list(base["embedding"][9].as_py())
+    before = {r["vec_id"] for r in
+              ivfpq_topk(idx, q, n_probe=4, k=60).to_pylist()}
+    assert before == set(range(50))
+
+    ivfpq_insert(ray.data.from_arrow(inc), idx)
+    after = {r["vec_id"] for r in
+             ivfpq_topk(idx, q, n_probe=4, k=60).to_pylist()}
+    assert after == set(range(60))
+
+
+def test_ivfpq_compact_idempotent_and_topk_stable(tmp_path):
+    import glob
+
+    import ray.data
+
+    from docling_translate_ray.functions.pq import (_resolve_gen,
+                                                    build_ivfpq_index,
+                                                    ivfpq_compact,
+                                                    ivfpq_insert,
+                                                    ivfpq_topk)
+
+    t = _vectors(n=60, dim=8, seed=11)
+    idx = str(tmp_path / "cmp")
+    build_ivfpq_index(ray.data.from_arrow(t), idx, n_coarse=4, m=2, k=4,
+                      iterations=2)
+    rng = np.random.RandomState(9)
+    for start in (60, 80):
+        inc = pa.table({
+            "vec_id": pa.array(range(start, start + 20), pa.int64()),
+            "embedding": pa.array(rng.rand(20, 8).tolist(),
+                                  pa.list_(pa.float64())),
+        })
+        ivfpq_insert(ray.data.from_arrow(inc), idx)
+
+    q = list(t["embedding"][9].as_py())
+    before = ivfpq_topk(idx, q, n_probe=4, k=10).to_pylist()
+    stats = ivfpq_compact(idx)
+    assert stats["partitions_compacted"] >= 1
+    for pdir in glob.glob(os.path.join(_resolve_gen(idx), "codes",
+                                       "cpart=*")):
+        assert len([f for f in os.listdir(pdir)
+                    if f.endswith(".parquet")]) == 1
+    assert ivfpq_topk(idx, q, n_probe=4, k=10).to_pylist() == before
+    again = ivfpq_compact(idx)
+    assert again["partitions_compacted"] == 0
