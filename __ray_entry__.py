@@ -52,6 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generations; oracle trains its k-means chains on base rows
         # only and assigns over the union (functions/pq.ivfpq_insert)
         "ivfpq_insert": q.q_ivfpq_insert,
+        # mojibake repair (the CCNet/ftfy encoding-fix slot): frozen
+        # UTF-8-as-cp1252 garble table, vectorized literal replaces,
+        # oracle replays the identical chain from the same constant
+        # (functions/normalize.fix_mojibake_docs)
+        "fix_mojibake": q.q_fix_mojibake,
         # the OOXML converter lanes (stdlib zip+XML DOCX and
         # PPTX readers + deterministic writers, the pdf_extract
         # round-trip recipe; VERDICT r03 top item)
@@ -91,7 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shards": q.q_train_shards,
         "quality_tiers": q.q_quality_tiers,
         "bpe_encode": q.q_bpe_encode,
-        "normalize_text": q.q_normalize_text,
         "dedup_keep_best": q.q_dedup_keep_best,
         "frontier_schedule": q.q_frontier_schedule,
         # round-3 additions: SemDeDup, DSIR importance scoring,
@@ -336,6 +340,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       iteration 1 of the same pair-count exchange) — driver
       rows-only-verified r03, demoted round 4 to make window room for
       pptx_extract
+    * normalize_text → fix_mojibake (in-window sibling from the SAME
+      functions/normalize module: identical pure per-batch map shape,
+      identical perturbed-row oracle recipe — plant a deterministic
+      defect in the query, replay the plant + the fix chain in SQL) —
+      driver hash-verified r03, demoted round 4 to make window room
+      for its sibling
     * ivfpq_topk → ivfpq_insert (in-window STRICT SUPERSET: the same
       build_ivfpq_index + full-probe ivfpq_topk code path, plus the
       incremental insert + compact legs) + ivfpq_residual (the same
@@ -457,6 +467,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # its strict superset ivfpq_insert (rationale in the
         # docstring); still oracle-checked here
         "ivfpq_topk": q.q_ivfpq_topk,
+        # normalize_text → driver-hash-verified r03; demoted round 4
+        # for its normalize-module sibling fix_mojibake (rationale in
+        # the docstring); still oracle-checked here
+        "normalize_text": q.q_normalize_text,
     }
 
 
@@ -661,9 +675,37 @@ def _media_closure_sql(path: str, sig_col: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from docling_translate_ray.functions.normalize import (
+        MOJIBAKE_SAMPLE, _cp1252_garble, mojibake_sql_expr,
+        mojibake_sql_literal)
     from docling_translate_ray.pipelines.queries import MEDIA_SIG_PATHS
 
+    # mojibake oracle: plant the SAME garble the Ray query plants
+    # (both sides generate it from MOJIBAKE_SAMPLE — one source of
+    # truth) then replay the frozen replace chain in the same order.
+    # `text || plant` propagates NULL exactly like the polars `+` in
+    # q_fix_mojibake's perturb; the fixer side COALESCEs, mirroring
+    # fill_null("") in fix_mojibake_batch.
+    _moji_plant = mojibake_sql_literal(_cp1252_garble(MOJIBAKE_SAMPLE))
+    _fix_mojibake_sql = f"""
+            WITH perturbed AS (
+              SELECT doc_id,
+                     COALESCE(CASE WHEN doc_id % 5 = 0
+                                   THEN text || {_moji_plant}
+                                   ELSE text END, '') AS ptext
+              FROM documents),
+            fixed AS (
+              SELECT doc_id, ptext,
+                     {mojibake_sql_expr('ptext')} AS text_fixed
+              FROM perturbed)
+            SELECT doc_id, text_fixed,
+                   (length(ptext) - length(text_fixed))::BIGINT
+                     AS chars_removed
+            FROM fixed
+        """
+
     raw = {
+        "fix_mojibake": _fix_mojibake_sql,
         "image_near_dup": _media_closure_sql(
             MEDIA_SIG_PATHS["image"], "ahash"),
         "audio_near_dup": _media_closure_sql(

@@ -2935,3 +2935,37 @@ def q_ivfpq_insert(sf_dir: str):
                           k=10)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def q_fix_mojibake(sf_dir: str):
+    """Mojibake repair (functions/normalize.fix_mojibake_docs — the
+    CCNet/ftfy encoding-fix slot): the corpus text is clean, so every
+    5th doc gets _cp1252_garble(MOJIBAKE_SAMPLE) appended IN the query
+    (the normalize_text perturbed-row recipe) — the fixer must restore
+    those rows to the clean sample and leave every other row
+    byte-identical (chars_removed 0).  The oracle plants the identical
+    chr()-literal and replays the frozen replace chain in the same
+    order (both generated from MOJIBAKE_TABLE — one source of
+    truth)."""
+    import polars as pl
+
+    from docling_translate_ray.functions.normalize import (
+        MOJIBAKE_SAMPLE, _cp1252_garble, fix_mojibake_docs)
+
+    plant = _cp1252_garble(MOJIBAKE_SAMPLE)
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.when(pl.col("doc_id") % 5 == 0)
+                .then(pl.col("text") + pl.lit(plant))
+                .otherwise(pl.col("text"))
+                .alias("text"))
+            .to_arrow()
+        )
+        return out.cast(batch.schema)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        perturb, batch_format="pyarrow")
+    return fix_mojibake_docs(docs)

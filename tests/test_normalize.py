@@ -102,3 +102,91 @@ def test_nfc_engines_agree_on_composition_hotspots():
     d = [r[0] for r in duckdb.connect().execute(
         "SELECT nfc_normalize(v) FROM (SELECT unnest(?) v)", [vals]).fetchall()]
     assert p == d
+
+
+# ---- mojibake repair ------------------------------------------------
+
+
+def test_mojibake_table_shape():
+    from docling_translate_ray.functions.normalize import (
+        MOJIBAKE_TABLE, MOJIBAKE_TARGETS, _cp1252_garble)
+
+    assert len(MOJIBAKE_TABLE) == len(set(MOJIBAKE_TARGETS))
+    gs = [g for g, _ in MOJIBAKE_TABLE]
+    # no garble contains another (replace chain can't shadow a match)
+    assert not [(a, b) for a in gs for b in gs if a != b and a in b]
+    # frozen order: longest first, then lexicographic
+    assert gs == sorted(gs, key=lambda g: (-len(g), g))
+    for g, f in MOJIBAKE_TABLE:
+        assert _cp1252_garble(f) == g
+        assert len(f) == 1 and len(g) in (2, 3)
+
+
+def test_mojibake_repairs_garbled_text():
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.normalize import (
+        MOJIBAKE_SAMPLE, _cp1252_garble, fix_mojibake_batch)
+
+    garbled = _cp1252_garble(MOJIBAKE_SAMPLE)
+    assert garbled != MOJIBAKE_SAMPLE
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([garbled, "plain ascii", None])})
+    rows = fix_mojibake_batch(t).to_pylist()
+    assert rows[0]["text_fixed"] == MOJIBAKE_SAMPLE
+    assert rows[0]["chars_removed"] == len(garbled) - len(MOJIBAKE_SAMPLE)
+    assert rows[1] == {"doc_id": 1, "text_fixed": "plain ascii",
+                       "chars_removed": 0}
+    assert rows[2] == {"doc_id": 2, "text_fixed": "", "chars_removed": 0}
+
+
+def test_mojibake_sql_chain_lockstep():
+    """DuckDB's generated replace chain agrees with the polars kernel
+    char-for-char — including on ADVERSARIAL self-referential input
+    where a garble forms across a replacement boundary (the documented
+    order-dependence: both sides run the same frozen order)."""
+    import duckdb
+    import pyarrow as pa
+
+    from docling_translate_ray.functions.normalize import (
+        MOJIBAKE_SAMPLE, MOJIBAKE_TABLE, _cp1252_garble,
+        fix_mojibake_batch, mojibake_sql_expr, mojibake_sql_literal)
+
+    garbled = _cp1252_garble(MOJIBAKE_SAMPLE)
+    cases = [garbled, "clean", "", "Ã", "â€",          # bare prefixes
+             "ââ‚¬¦",                                   # cascade case
+             "".join(g for g, _ in MOJIBAKE_TABLE),     # every garble
+             "Ã©" * 50 + "â€¦" * 50]
+    t = pa.table({"doc_id": pa.array(range(len(cases)), pa.int64()),
+                  "text": pa.array(cases, pa.string())})
+    got = fix_mojibake_batch(t).to_pylist()
+    con = duckdb.connect()
+    for i, case in enumerate(cases):
+        lit = mojibake_sql_literal(case) if case else "''"
+        want, = con.execute(
+            f"SELECT {mojibake_sql_expr(lit)}").fetchone()
+        assert got[i]["text_fixed"] == want, (i, case)
+        assert got[i]["chars_removed"] == len(case) - len(want)
+
+
+def test_mojibake_dataset_wrapper(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docling_translate_ray.functions.normalize import (
+        MOJIBAKE_SAMPLE, _cp1252_garble, fix_mojibake_docs)
+
+    garbled = _cp1252_garble(MOJIBAKE_SAMPLE)
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([garbled if i % 3 == 0 else f"doc {i}"
+                          for i in range(100)]),
+    })
+    rows = fix_mojibake_docs(ray.data.from_arrow(t)).take_all()
+    assert len(rows) == 100
+    for r in rows:
+        if r["doc_id"] % 3 == 0:
+            assert r["text_fixed"] == MOJIBAKE_SAMPLE
+            assert r["chars_removed"] > 0
+        else:
+            assert r["chars_removed"] == 0
