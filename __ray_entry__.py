@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle replays the identical chain from the same constant
         # (functions/normalize.fix_mojibake_docs)
         "fix_mojibake": q.q_fix_mojibake,
+        # publish-date extraction (the trafilatura/htmldate slot):
+        # meta/time/url-path/body-text evidence ladder as one
+        # vectorized regex pass per rung, frozen precedence; oracle
+        # replays the ladder from the same pattern constants
+        # (functions/dates.extract_pub_dates)
+        "pub_dates": q.q_pub_dates,
         # the OOXML converter lanes (stdlib zip+XML DOCX and
         # PPTX readers + deterministic writers, the pdf_extract
         # round-trip recipe; VERDICT r03 top item)
@@ -129,7 +135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first mile (sources/warc.py; same DAG + identical oracle as
         # the retired extract_pages window entry)
         "warc_extract": q.q_warc_extract,
-        "score_upper": q.q_score_upper,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_near_dup": q.q_minhash_near_dup,
@@ -244,6 +249,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       kernel staying pytest-pinned and oracle-checked here —
       driver-hash-verified r03 (1981 rows), demoted round 4 to make
       window room for wet_roundtrip
+    * score_upper → pub_dates (same pure per-batch map-over-documents
+      shape with a doc_id-derived planted oracle; the engine actor-pool
+      half of score_upper stays pytest-pinned and its composite
+      exercises the in-window unique/dedup kernels) — driver-hash-
+      verified r01 AND r02 AND r03 (the window's most-verified entry),
+      demoted round 4 to make window room for pub_dates
     * unique_sentences → exact_dedup (same combiner-first distinct
       exchange; dedup adds the md5→min-id winner select) + score_upper
       (whose phase-2 unique-build runs the SAME unique_sentences kernel
@@ -471,6 +482,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # for its normalize-module sibling fix_mojibake (rationale in
         # the docstring); still oracle-checked here
         "normalize_text": q.q_normalize_text,
+        # score_upper → driver-hash-verified r01 AND r02 AND r03;
+        # demoted round 4 for pub_dates (rationale in the docstring);
+        # still oracle-checked here
+        "score_upper": q.q_score_upper,
     }
 
 
@@ -704,8 +719,50 @@ def oracle_sql() -> dict[str, str]:
             FROM fixed
         """
 
+    # publish-date oracle: replant url+html from doc_id arithmetic
+    # (one ladder rung per doc_id%6 residue, residue 4 = meta-vs-url
+    # precedence conflict) and replay the ladder from the SAME pattern
+    # constants via pub_date_sql_exprs.
+    from docling_translate_ray.functions.dates import pub_date_sql_exprs
+
+    _pub_expr, _src_expr = pub_date_sql_exprs("url", "html")
+
+    def _iso_sql(yoff: int, moff: int, doff: int, sep: str) -> str:
+        return (f"(2001 + (doc_id + {yoff}) % 24)::VARCHAR || '{sep}' || "
+                f"lpad((1 + (doc_id + {moff}) % 12)::VARCHAR, 2, '0') || "
+                f"'{sep}' || "
+                f"lpad((1 + (doc_id + {doff}) % 28)::VARCHAR, 2, '0')")
+
+    _pub_dates_sql = f"""
+            WITH iso AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     doc_id % 6 AS k,
+                     {_iso_sql(0, 0, 0, '-')} AS iso1,
+                     {_iso_sql(0, 0, 0, '/')} AS slash1,
+                     {_iso_sql(7, 5, 11, '/')} AS slash2
+              FROM documents),
+            planted AS (
+              SELECT doc_id,
+                CASE
+                  WHEN k IN (0, 4) THEN
+                    '<meta property="article:published_time" content="'
+                    || iso1 || 'T00:00:00Z">' || t
+                  WHEN k = 1 THEN '<time datetime="' || iso1 || '">' || t
+                  WHEN k = 3 THEN t || ' published ' || iso1 || ' end'
+                  ELSE t END AS html,
+                CASE
+                  WHEN k = 2 THEN 'http://ex.com/' || slash1 || '/post'
+                  WHEN k = 4 THEN 'http://ex.com/' || slash2 || '/post'
+                  ELSE 'http://ex.com/p/' || doc_id END AS url
+              FROM iso)
+            SELECT doc_id, {_pub_expr} AS pub_date,
+                   {_src_expr} AS date_source
+            FROM planted
+        """
+
     raw = {
         "fix_mojibake": _fix_mojibake_sql,
+        "pub_dates": _pub_dates_sql,
         "image_near_dup": _media_closure_sql(
             MEDIA_SIG_PATHS["image"], "ahash"),
         "audio_near_dup": _media_closure_sql(

@@ -2969,3 +2969,57 @@ def q_fix_mojibake(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         perturb, batch_format="pyarrow")
     return fix_mojibake_docs(docs)
+
+
+def q_pub_dates(sf_dir: str):
+    """Publish-date extraction (functions/dates.extract_pub_dates —
+    the trafilatura/htmldate slot): the corpus has no page metadata,
+    so url+html are synthesized IN the query from doc_id arithmetic —
+    one rung of the evidence ladder planted per doc_id%6 residue
+    (meta / time / url-path / body-text / meta-vs-url conflict /
+    nothing), every date string derived from doc_id so the oracle
+    replants bit-identically.  The conflict residue (4) proves the
+    frozen precedence, not just single-rung extraction."""
+    import polars as pl
+
+    from docling_translate_ray.functions.dates import extract_pub_dates
+
+    def _iso(yoff, moff, doff, sep: str):
+        did = pl.col("doc_id")
+        return pl.concat_str([
+            ((did + yoff) % 24 + 2001).cast(pl.String), pl.lit(sep),
+            ((did + moff) % 12 + 1).cast(pl.String).str.zfill(2),
+            pl.lit(sep),
+            ((did + doff) % 28 + 1).cast(pl.String).str.zfill(2)])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        did, k = pl.col("doc_id"), pl.col("doc_id") % 6
+        iso1, slash1 = _iso(0, 0, 0, "-"), _iso(0, 0, 0, "/")
+        slash2 = _iso(7, 5, 11, "/")
+        text = pl.col("text").fill_null("")
+        meta = pl.concat_str([
+            pl.lit('<meta property="article:published_time" content="'),
+            iso1, pl.lit('T00:00:00Z">'), text])
+        html = (
+            pl.when(k.is_in([0, 4])).then(meta)
+            .when(k == 1).then(pl.concat_str([
+                pl.lit('<time datetime="'), iso1, pl.lit('">'), text]))
+            .when(k == 3).then(pl.concat_str([
+                text, pl.lit(" published "), iso1, pl.lit(" end")]))
+            .otherwise(text))
+        url = (
+            pl.when(k == 2).then(pl.concat_str([
+                pl.lit("http://ex.com/"), slash1, pl.lit("/post")]))
+            .when(k == 4).then(pl.concat_str([
+                pl.lit("http://ex.com/"), slash2, pl.lit("/post")]))
+            .otherwise(pl.concat_str([
+                pl.lit("http://ex.com/p/"), did.cast(pl.String)])))
+        out = df.select(did, url.alias("url"), html.alias("html"))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("url", pa.string()),
+            ("html", pa.string())]))
+
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    return extract_pub_dates(pages)
