@@ -40,7 +40,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
-        # round-4 additions — never driver-checked, first in the
+        # round-4 late additions — never driver-checked, first in the
+        # window: declared-charset decoding (BOM → meta declaration →
+        # reference ladder, vectorized router + arrow cast fast path;
+        # end-output oracle from frozen per-codec samples,
+        # functions/charset.py)
+        "charset_decode": q.q_charset_decode,
+        # head-metadata extraction (title/description/canonical
+        # precedence ladders as vectorized regex rungs over a frozen
+        # HEAD_CHARS window; oracle generated from the SAME ladder
+        # constants, functions/headmeta.py)
+        "page_meta": q.q_page_meta,
+        # redirect-chain resolution (pointer-doubling exchange,
+        # log-rounds co-partitioned composition with hop-cap semantics;
+        # hop-capped recursive-CTE oracle, functions/crawl.py)
+        "resolve_redirects": q.q_resolve_redirects,
+        # WAT metadata lane, completing the WARC/WET/WAT interchange
+        # triple (sources/warc.py: headmeta + link-resolution envelope
+        # → JSON metadata records → gzip segments; end-output oracle
+        # from the doc_id-derived plant)
+        "wat_extract": q.q_wat_extract,
+        # round-4 additions — never driver-checked, next in the
         # window: CDX-style sorted URL index (SURT canonicalization,
         # range-partitioned surt-sorted parquet + boundary manifest,
         # prefix lookup reading only the intersecting partitions — the
@@ -93,8 +113,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (coarse chain → residual view → subspace chains → per-cluster
         # LUTs); never driver-checked
         "ivfpq_residual": q.q_ivfpq_residual,
-        "trim_repeated_lines": q.q_trim_repeated_lines,
-        "host_components": q.q_host_components,
         "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
@@ -122,13 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_index_probe": q.q_minhash_index_probe,
         "snapshot_diff": q.q_snapshot_diff,
         "recrawl_priority": q.q_recrawl_priority,
-        "extract_links": q.q_extract_links,
         "robots_filter": q.q_robots_filter,
         "sitemap_seeds": q.q_sitemap_seeds,
         "host_reputation": q.q_host_reputation,
         "crawl_cycle": q.q_crawl_cycle,
         "incremental_extract": q.q_incremental_extract,
-        "anchor_text": q.q_anchor_text,
         "host_template": q.q_host_template,
         "pdf_extract": q.q_pdf_extract,
         # extraction core (S2-S6, M1-M16, O1) — through the WARC
@@ -486,6 +502,42 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         # demoted round 4 for pub_dates (rationale in the docstring);
         # still oracle-checked here
         "score_upper": q.q_score_upper,
+        # host_components → driver-hash-verified r03; the distributed
+        # multi-hop closure family stays in-window THREE ways — through
+        # resolve_redirects (its direct successor: the same
+        # iterated-join chain closure over a functional graph, plus the
+        # hop cap, via pointer doubling) and through minhash_near_dup /
+        # embedding_near_dup (whose cluster stage runs the SAME
+        # connected_components kernel, dedup.py:130) — demoted round 4
+        # to make window room for resolve_redirects; still
+        # oracle-checked here (recursive-CTE reachability)
+        "host_components": q.q_host_components,
+        # anchor_text → driver-hash-verified r03; the link-graph
+        # substrate stays in-window through extract_links (the same
+        # href/anchor lexer feeding it) and host_reputation /
+        # crawl_cycle (the same target-keyed narrow aggregation shape
+        # over functions/graph edges) — demoted round 4 to make window
+        # room for page_meta (the head-metadata sibling of the same
+        # per-page HTML evidence family); still oracle-checked here
+        "anchor_text": q.q_anchor_text,
+        # trim_repeated_lines → driver-hash-verified r03; the
+        # line-explode / first-occurrence / ordered-reassembly family
+        # stays in-window through host_template (the corpus-level
+        # frequent-line variant with the host-scoped exchange) and
+        # boilerplate_strip (the rule-based sibling) — demoted round 4
+        # to make window room for charset_decode; still oracle-checked
+        # here
+        "trim_repeated_lines": q.q_trim_repeated_lines,
+        # extract_links → driver-hash-verified r03; the href lexer +
+        # RFC-3986-subset resolution kernel stays in-window VERBATIM
+        # through wat_extract (whose WAT envelope calls the SAME
+        # graph._LINK_RE / resolve_href kernel per page and
+        # hash-checks the resolved links end-to-end through the WARC →
+        # WAT → JSON round trip) plus crawl_cycle / host_reputation
+        # (the same edge-explode feeding their graph stages) — demoted
+        # round 4 to make window room for wat_extract; still
+        # oracle-checked here
+        "extract_links": q.q_extract_links,
     }
 
 
@@ -760,7 +812,141 @@ def oracle_sql() -> dict[str, str]:
             FROM planted
         """
 
+    # declared-charset oracle: SQL cannot decode bytes, so the check is
+    # END-OUTPUT equality — expected (codec, evidence, text) recomputed
+    # from the same frozen constants the query planted from
+    # (functions/charset.CHARSET_SAMPLES, chr()-literal transport); the
+    # ASCII strip mirrors q_charset_decode's re.sub exactly.
+    from docling_translate_ray.functions.charset import CHARSET_SAMPLES
+
+    _l1252 = mojibake_sql_literal(CHARSET_SAMPLES["cp1252"])
+    _lsjis = mojibake_sql_literal(CHARSET_SAMPLES["shift_jis"])
+    _lskr = mojibake_sql_literal(CHARSET_SAMPLES["cp949"])
+    _charset_sql = f"""
+            WITH a AS (
+              SELECT doc_id, doc_id % 7 AS k,
+                     regexp_replace(COALESCE(text, ''),
+                                    '[^ -~]', '', 'g') AS t
+              FROM documents)
+            SELECT doc_id,
+              CASE k WHEN 1 THEN 'cp1252' WHEN 2 THEN 'shift_jis'
+                     WHEN 3 THEN 'cp949' WHEN 6 THEN 'cp949'
+                     ELSE 'utf-8' END AS codec,
+              CASE WHEN k <= 3 THEN 'meta' WHEN k = 4 THEN 'bom'
+                   ELSE 'ladder' END AS evidence,
+              CASE k
+                WHEN 0 THEN '<meta charset="utf-8">' || t
+                WHEN 1 THEN '<meta charset="ISO-8859-1">' || {_l1252} || t
+                WHEN 2 THEN '<meta charset="Shift_JIS">' || {_lsjis} || t
+                WHEN 3 THEN '<meta charset=''EUC-KR''>' || {_lskr} || t
+                WHEN 4 THEN '<meta charset="shift_jis">' || t
+                WHEN 5 THEN t
+                ELSE {_lskr} || t END AS text
+            FROM a
+        """
+
+    # head-metadata oracle: replant the html from doc_id arithmetic
+    # (same residues as q_page_meta) and replay the precedence ladders
+    # via exprs generated from the SAME pattern constants.
+    from docling_translate_ray.functions.headmeta import (
+        HEAD_CHARS as _HEAD_CHARS, head_meta_sql_exprs)
+
+    _hm = head_meta_sql_exprs("html")
+    _page_meta_sql = f"""
+            WITH base AS (
+              SELECT doc_id, doc_id % 6 AS k,
+                     COALESCE(text, '') AS t,
+                     doc_id::VARCHAR AS ds
+              FROM documents),
+            planted AS (
+              SELECT doc_id,
+                CASE k
+                  WHEN 0 THEN '<meta property="og:title" content="OG Title '
+                    || ds || '"><title>Doc Title ' || ds
+                    || '</title><meta name="description" content='
+                    || '"Summary of doc ' || ds || '">' || t
+                  WHEN 1 THEN '<title> ' || chr(9) || 'Doc Title ' || ds
+                    || ' ' || chr(13) || chr(10)
+                    || '</title><meta property="og:description" content='
+                    || '"OG summary ' || ds || '">' || t
+                  WHEN 2 THEN '<link href="https://ex.com/c/' || ds
+                    || '" rel="canonical"><title>Doc Title ' || ds
+                    || '</title>' || t
+                  WHEN 3 THEN t || repeat('x', {_HEAD_CHARS})
+                    || '<meta property="og:title" content="decoy">'
+                  WHEN 4 THEN '<meta content="OG Title ' || ds
+                    || '" property="og:title"><link rel="canonical" href="'
+                    || 'https://ex.com/c/' || ds || '"><meta content='
+                    || '"Summary of doc ' || ds || '" name="description">'
+                    || t
+                  ELSE '<meta content="OG summary ' || ds
+                    || '" property="og:description">' || t
+                END AS html
+              FROM base)
+            SELECT doc_id, {_hm['title']} AS title,
+                   {_hm['title_source']} AS title_source,
+                   {_hm['description']} AS description,
+                   {_hm['desc_source']} AS desc_source,
+                   {_hm['canonical_url']} AS canonical_url
+            FROM planted
+        """
+
+    # redirect-resolution oracle: identical planted edges, hop-capped
+    # recursive chain walk; terminality is "cur is not a src", the same
+    # predicate the pointer-doubling exchange uses.
+    _redirects_sql = """
+            WITH RECURSIVE edges AS (
+              SELECT 'u' || doc_id::VARCHAR AS src_url,
+                     CASE WHEN doc_id % 8 <> 7
+                          THEN 'u' || (doc_id + 1)::VARCHAR
+                          ELSE 'u' || (doc_id - 7)::VARCHAR
+                     END AS dst_url
+              FROM documents
+              WHERE doc_id % 8 <> 7 OR (doc_id // 8) % 5 = 0),
+            walk(src_url, cur, hops) AS (
+              SELECT src_url, dst_url, 1 FROM edges
+              UNION ALL
+              SELECT w.src_url, e.dst_url, w.hops + 1
+              FROM walk w JOIN edges e ON e.src_url = w.cur
+              WHERE w.hops < 4),
+            term AS (
+              SELECT w.src_url, w.cur, w.hops
+              FROM walk w LEFT JOIN edges e ON e.src_url = w.cur
+              WHERE e.src_url IS NULL)
+            SELECT e.src_url,
+                   COALESCE(t.cur, '') AS final_url,
+                   COALESCE(t.hops, -1)::BIGINT AS hops,
+                   (t.src_url IS NULL) AS is_cycle
+            FROM edges e LEFT JOIN term t ON t.src_url = e.src_url
+        """
+
+    # WAT-lane oracle: SQL cannot read WAT segment files, so the check
+    # is END-OUTPUT equality — expected (title, n_links, links_concat)
+    # recomputed from the same doc_id arithmetic the query planted the
+    # page html from; k ∈ 0..3, the mailto/fragment decoys contribute
+    # nothing by the resolve_href skip rules the oracle mirrors.
+    _wat_sql = """
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS k,
+                     'doc://' || doc_id::VARCHAR AS url
+              FROM documents)
+            SELECT url,
+                   'Doc Title ' || doc_id::VARCHAR AS title,
+                   k::BIGINT AS n_links,
+                   CASE k WHEN 0 THEN ''
+                          WHEN 1 THEN url || '/l0'
+                          WHEN 2 THEN url || '/l0,' || url || '/l1'
+                          ELSE url || '/l0,' || url || '/l1,'
+                               || url || '/l2'
+                   END AS links_concat
+            FROM d
+        """
+
     raw = {
+        "charset_decode": _charset_sql,
+        "page_meta": _page_meta_sql,
+        "resolve_redirects": _redirects_sql,
+        "wat_extract": _wat_sql,
         "fix_mojibake": _fix_mojibake_sql,
         "pub_dates": _pub_dates_sql,
         "image_near_dup": _media_closure_sql(

@@ -170,6 +170,18 @@ def extra_queries(sf_dir: str) -> dict:
         # round-4: incremental IVF-PQ upsert (frozen-model encode +
         # compact + full-probe query over merged generations)
         "ivfpq_insert": lambda: q.q_ivfpq_insert(sf_dir).num_rows,
+        # round-4 late: encoding fixes + head metadata + redirect
+        # resolution (mojibake replace chain; charset router + sniff;
+        # regex-ladder metadata; pointer-doubling chain closure)
+        "fix_mojibake": lambda: _consume(q.q_fix_mojibake(sf_dir)),
+        "pub_dates": lambda: _consume(q.q_pub_dates(sf_dir)),
+        "charset_decode": lambda: _consume(q.q_charset_decode(sf_dir)),
+        "page_meta": lambda: _consume(q.q_page_meta(sf_dir)),
+        "resolve_redirects":
+            lambda: _consume(q.q_resolve_redirects(sf_dir)),
+        # round-4 late: WAT metadata lane (WARC in → headmeta+links
+        # JSON envelope → WAT segments → parse back)
+        "wat_extract": lambda: q.q_wat_extract(sf_dir).num_rows,
     }
 
 

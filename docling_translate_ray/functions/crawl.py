@@ -853,3 +853,177 @@ def sitemap_seeds(ds, host_column: str = "host",
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+_REDIRECT_SCHEMA = pa.schema([
+    ("src_url", pa.string()),
+    ("final_url", pa.string()),
+    ("hops", pa.int64()),
+    ("is_cycle", pa.bool_()),
+])
+
+
+def resolve_redirects(edges_ds, src_column: str = "src_url",
+                      dst_column: str = "dst_url", max_hops: int = 16,
+                      strategy: str = "auto",
+                      broadcast_budget: int = 5_000_000,
+                      num_partitions: int = 64):
+    """Resolve HTTP redirect chains to their final landing url.
+
+    Input: a functional edge table (one ``src → dst`` row per
+    redirecting url — a url redirects to exactly one place).  Output:
+    ``(src_url, final_url, hops, is_cycle)`` for EVERY src — srcs whose
+    chain does not reach a non-redirecting url within ``max_hops``
+    edges (true cycles, or over-cap chains) get ``is_cycle=true`` with
+    null final/hops; both engines share that hop-cap semantic.
+
+    A crawl pipeline needs this before url dedup / frontier planning:
+    fetch records say ``301 → Location`` one hop at a time, but the
+    corpus wants every variant collapsed onto the landing page.
+
+    Two physical paths (the repo's broadcast-or-exchange convention):
+
+    * ``broadcast`` (edge count ≤ ``broadcast_budget``) — the narrow
+      (src, dst) map is ``ray.put`` ONCE and every task walks its
+      batch's chains in memory (each step is a dict hop, bounded by
+      ``max_hops``); pages/bodies never enter the plan.
+    * ``exchange`` — pointer doubling: the state table
+      ``src → (cur, hops, done)`` self-composes each round
+      (``f ← f∘f``), so ``ceil(log2(max_hops)) + 1`` co-partitioned
+      hash exchanges replace up-to-``max_hops`` sequential joins.
+      Each round moves 2 narrow rows per src (probe keyed by ``cur``,
+      build keyed by ``src``); composition is a vectorized polars join
+      per partition.  A probe whose ``cur`` misses the build side has
+      reached a non-redirecting url — terminal, exact total hops; a
+      composition that would exceed ``max_hops`` is blocked (its total
+      distance provably exceeds the cap, see the alignment note in
+      tests/test_redirects.py).
+    """
+    import math
+
+    import numpy as np  # noqa: F401  (polars pulls it in anyway)
+    import ray
+    import ray.data
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type)
+                      for f in _REDIRECT_SCHEMA}))
+    if strategy == "auto":
+        strategy = ("broadcast" if n_edges <= broadcast_budget
+                    else "exchange")
+
+    if strategy == "broadcast":
+        narrow = pa.concat_tables(
+            ray.get(edges_ds.select_columns([src_column, dst_column])
+                    .to_arrow_refs())).combine_chunks()
+        nxt_ref = ray.put(dict(
+            zip(narrow[src_column].to_pylist(),
+                narrow[dst_column].to_pylist())))
+
+        def walk(batch: pa.Table) -> pa.Table:
+            nxt = ray.get(nxt_ref)
+            srcs = batch[src_column].to_pylist()
+            finals, hops_out, cyc = [], [], []
+            for s in srcs:
+                cur, hops = s, 0
+                while hops < max_hops and cur in nxt:
+                    cur = nxt[cur]
+                    hops += 1
+                if cur in nxt:  # still redirecting at the cap
+                    finals.append(None)
+                    hops_out.append(None)
+                    cyc.append(True)
+                else:
+                    finals.append(cur)
+                    hops_out.append(hops)
+                    cyc.append(False)
+            return pa.table({
+                "src_url": pa.array(srcs, pa.string()),
+                "final_url": pa.array(finals, pa.string()),
+                "hops": pa.array(hops_out, pa.int64()),
+                "is_cycle": pa.array(cyc, pa.bool_()),
+            })
+
+        return edges_ds.map_batches(walk, batch_format="pyarrow")
+
+    # ---- pointer-doubling exchange path ----
+    import polars as pl
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch[src_column],
+            "cur": batch[dst_column],
+            "hops": pa.array([1] * batch.num_rows, pa.int64()),
+            "done": pa.array([False] * batch.num_rows, pa.bool_()),
+        })
+
+    state = edges_ds.map_batches(init_state, batch_format="pyarrow")
+
+    def tag(kind: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": batch[key_col],
+                "kind": pa.array([kind] * batch.num_rows, pa.int8()),
+                "src": batch["src"], "cur": batch["cur"],
+                "hops": batch["hops"], "done": batch["done"],
+            })
+        return fn
+
+    def compose(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        probe = df.filter(pl.col("kind") == 0)
+        build = (df.filter(pl.col("kind") == 1)
+                 .select(pl.col("key"), pl.col("cur").alias("_bcur"),
+                         pl.col("hops").alias("_bhops"),
+                         pl.col("done").alias("_bdone")))
+        j = probe.join(build, on="key", how="left")
+        miss = pl.col("_bcur").is_null()
+        blocked = (~miss) & ((pl.col("hops") + pl.col("_bhops"))
+                             > max_hops)
+        out = j.select(
+            pl.col("src"),
+            pl.when(miss | blocked).then(pl.col("cur"))
+            .otherwise(pl.col("_bcur")).alias("cur"),
+            pl.when(miss | blocked).then(pl.col("hops"))
+            .otherwise(pl.col("hops") + pl.col("_bhops")).alias("hops"),
+            pl.when(miss).then(pl.lit(True))
+            .when(blocked).then(pl.lit(False))
+            .otherwise(pl.col("_bdone")).alias("done"),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("src", pa.string()), ("cur", pa.string()),
+            ("hops", pa.int64()), ("done", pa.bool_())]))
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops)))) + 1
+    for _ in range(rounds):
+        done_rows = state.filter(expr="done == True")
+        todo = state.filter(expr="done == False")
+        tagged = (todo.map_batches(tag(0, "cur"), batch_format="pyarrow")
+                  .union(state.map_batches(tag(1, "src"),
+                                           batch_format="pyarrow")))
+        probed = hash_partition_apply(
+            tagged, ["key"], compose, num_partitions=num_partitions,
+            label="redirects:compose")
+        state = probed.union(done_rows).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.select(
+            pl.col("src").alias("src_url"),
+            pl.when(pl.col("done")).then(pl.col("cur"))
+            .alias("final_url"),
+            pl.when(pl.col("done")).then(pl.col("hops")).alias("hops"),
+            (~pl.col("done")).alias("is_cycle"),
+        )
+        return out.to_arrow().cast(_REDIRECT_SCHEMA)
+
+    return state.map_batches(finish, batch_format="pyarrow")

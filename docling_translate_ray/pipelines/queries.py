@@ -3023,3 +3023,262 @@ def q_pub_dates(sf_dir: str):
     pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         plant, batch_format="pyarrow")
     return extract_pub_dates(pages)
+
+
+def q_page_meta(sf_dir: str):
+    """Head-metadata extraction (functions/headmeta.extract_head_meta
+    — the trafilatura/extruct metadata slot): the corpus has no page
+    heads, so html is synthesized IN the query from doc_id arithmetic
+    — one residue per ladder shape (og-beats-tag conflict / padded
+    tag + og:description / href-first canonical / beyond-cutoff decoy
+    / content-first attribute variants / og:description only), every
+    planted value derived from doc_id so the oracle replants
+    bit-identically and replays the same regex ladders.  Residue 3
+    pads HEAD_CHARS of filler before an og:title decoy, pinning the
+    frozen scan cutoff end-to-end."""
+    import polars as pl
+
+    from docling_translate_ray.functions.headmeta import (
+        HEAD_CHARS, extract_head_meta)
+
+    pad = "x" * HEAD_CHARS
+
+    def plant(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        did, k = pl.col("doc_id"), pl.col("doc_id") % 6
+        text = pl.col("text").fill_null("")
+        ds = did.cast(pl.String)
+        tval = pl.concat_str([pl.lit("Doc Title "), ds])
+        oval = pl.concat_str([pl.lit("OG Title "), ds])
+        dval = pl.concat_str([pl.lit("Summary of doc "), ds])
+        gval = pl.concat_str([pl.lit("OG summary "), ds])
+        curl = pl.concat_str([pl.lit("https://ex.com/c/"), ds])
+        html = (
+            pl.when(k == 0).then(pl.concat_str([
+                pl.lit('<meta property="og:title" content="'), oval,
+                pl.lit('"><title>'), tval,
+                pl.lit('</title><meta name="description" content="'),
+                dval, pl.lit('">'), text]))
+            .when(k == 1).then(pl.concat_str([
+                pl.lit("<title> \t"), tval, pl.lit(" \r\n</title>"
+                '<meta property="og:description" content="'),
+                gval, pl.lit('">'), text]))
+            .when(k == 2).then(pl.concat_str([
+                pl.lit('<link href="'), curl,
+                pl.lit('" rel="canonical"><title>'), tval,
+                pl.lit("</title>"), text]))
+            .when(k == 3).then(pl.concat_str([
+                text, pl.lit(pad),
+                pl.lit('<meta property="og:title" content="decoy">')]))
+            .when(k == 4).then(pl.concat_str([
+                pl.lit('<meta content="'), oval,
+                pl.lit('" property="og:title">'
+                '<link rel="canonical" href="'), curl,
+                pl.lit('"><meta content="'), dval,
+                pl.lit('" name="description">'), text]))
+            .otherwise(pl.concat_str([
+                pl.lit('<meta content="'), gval,
+                pl.lit('" property="og:description">'), text])))
+        out = df.select(did, html.alias("html"))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("html", pa.string())]))
+
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    return extract_head_meta(pages)
+
+
+def q_charset_decode(sf_dir: str):
+    """Declared-charset decoding (functions/charset.decode_pages —
+    the CCNet/trafilatura encoding slot): content BYTES are planted IN
+    the query from doc_id arithmetic — one residue per evidence shape
+    (declared utf-8 / cp1252-via-ISO-8859-1 alias / Shift_JIS /
+    EUC-KR→cp949 / BOM-beats-lying-declaration / undeclared ascii fast
+    path / undeclared cp949 ladder rung).  Corpus text is stripped to
+    printable ASCII before encoding so every residue round-trips
+    losslessly through its codec; planted non-ASCII comes only from
+    the frozen CHARSET_SAMPLES, which the oracle replants as chr()
+    literals (the fix_mojibake transport).  The SQL oracle cannot
+    decode bytes, so it checks END-OUTPUT equality: expected
+    (codec, evidence, text) recomputed from the same constants."""
+    import codecs as _codecs
+    import re as _re
+
+    from docling_translate_ray.functions.charset import (
+        CHARSET_SAMPLES, decode_pages)
+
+    s1252, sjis, skr = (CHARSET_SAMPLES["cp1252"],
+                        CHARSET_SAMPLES["shift_jis"],
+                        CHARSET_SAMPLES["cp949"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        blobs = []
+        for i, t in zip(ids, texts):
+            a = _re.sub(r"[^ -~]", "", t or "")
+            k = i % 7
+            if k == 0:
+                blobs.append(('<meta charset="utf-8">' + a).encode())
+            elif k == 1:
+                blobs.append(('<meta charset="ISO-8859-1">' + s1252 + a)
+                             .encode("cp1252"))
+            elif k == 2:
+                blobs.append(('<meta charset="Shift_JIS">' + sjis + a)
+                             .encode("shift_jis"))
+            elif k == 3:
+                blobs.append(("<meta charset='EUC-KR'>" + skr + a)
+                             .encode("cp949"))
+            elif k == 4:
+                blobs.append(_codecs.BOM_UTF8
+                             + ('<meta charset="shift_jis">' + a).encode())
+            elif k == 5:
+                blobs.append(a.encode())
+            else:
+                blobs.append((skr + a).encode("cp949"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "content": pa.array(blobs, pa.binary())})
+
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    return decode_pages(pages)
+
+
+def q_resolve_redirects(sf_dir: str):
+    """Redirect-chain resolution (functions/crawl.resolve_redirects —
+    the crawl-side url-variant collapse that precedes dedup): the edge
+    table is planted IN the query from doc_id arithmetic — ids form
+    blocks of 8 where block-relative 0..6 each redirect one step
+    forward and every 5th block's last id closes the loop back to the
+    block head (a true cycle) — then resolved with ``max_hops=4`` so
+    all three outcomes occur in-corpus: terminal within the cap
+    (relative 3..6), true cycle (the closed blocks), and over-cap
+    chain flagged as cycle (relative 0..2, distance 5..7 > 4).  The
+    exchange path is FORCED so the driver exercises the
+    pointer-doubling plan (log-rounds co-partitioned composition),
+    not the small-side broadcast; nullable outputs are filled
+    (''/-1) on both engines so the value hash never crosses a
+    null-representation seam.  Oracle = hop-capped recursive CTE over
+    the identically-planted edges."""
+    import polars as pl
+
+    from docling_translate_ray.functions.crawl import resolve_redirects
+
+    def plant(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id"]))
+        did = pl.col("doc_id")
+        rel = did % 8
+        closer = (rel == 7) & (((did // 8) % 5) == 0)
+        ds = did.cast(pl.String)
+        out = (df.filter((rel != 7) | closer)
+               .select(
+                   pl.concat_str([pl.lit("u"), ds]).alias("src_url"),
+                   pl.when(rel != 7)
+                   .then(pl.concat_str([pl.lit("u"),
+                                        (did + 1).cast(pl.String)]))
+                   .otherwise(pl.concat_str([pl.lit("u"),
+                                             (did - 7).cast(pl.String)]))
+                   .alias("dst_url")))
+        return out.to_arrow().cast(pa.schema([
+            ("src_url", pa.string()), ("dst_url", pa.string())]))
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow")
+    res = resolve_redirects(edges, max_hops=4, strategy="exchange",
+                            num_partitions=8)
+
+    def tidy(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src_url": batch["src_url"],
+            "final_url": pc.fill_null(batch["final_url"], ""),
+            "hops": pc.fill_null(batch["hops"], -1),
+            "is_cycle": batch["is_cycle"],
+        })
+
+    return res.map_batches(tidy, batch_format="pyarrow")
+
+
+def q_wat_extract(sf_dir: str):
+    """The Common-Crawl METADATA mile end-to-end (sources/warc.py WAT
+    half, completing the WARC/WET/WAT interchange triple): plant a
+    title + ``doc_id%4`` anchor links (plus a mailto and a
+    pure-fragment decoy that link resolution must skip) into each
+    doc's page html, wrap as WARC response segments, run
+    ``warc_to_wat`` (headmeta ladder + link resolution → sorted-key
+    JSON metadata records → gzip WAT segment files), ``read_wat`` back
+    and parse the JSON into ``(url, title, n_links, links_concat)`` —
+    every planted value doc_id-derived so the oracle recomputes the
+    expected end output directly (the charset_decode recipe; SQL
+    cannot read WAT segments)."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import polars as pl
+
+    from docling_translate_ray.sources.warc import (
+        build_warc_bytes, read_wat, warc_to_wat)
+
+    tmp_in = tempfile.mkdtemp(prefix="dtr_watin_")
+    tmp_out = tempfile.mkdtemp(prefix="dtr_watout_")
+    try:
+        ts = _dt.datetime(2017, 3, 6, 4, 3, 53)
+
+        def write_segment(batch: pa.Table) -> pa.Table:
+            recs = []
+            for d, t in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+                html = (
+                    f"<title>Doc Title {d}</title>"
+                    + "".join(f'<a href="/l{j}">go {j}</a>'
+                              for j in range(d % 4))
+                    + '<a href="mailto:x@y.z">mail</a>'
+                    + '<a href="#top">top</a>'
+                    + (t or ""))
+                recs.append((f"doc://{d}", ts, html.encode("utf-8")))
+            blob = build_warc_bytes(recs, gzip_per_record=True)
+            with open(os.path.join(tmp_in,
+                                   f"seg-{uuid.uuid4().hex}.warc.gz"),
+                      "wb") as f:
+                f.write(blob)
+            return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            write_segment, batch_format="pyarrow").materialize()
+        warc_to_wat(tmp_in, tmp_out)
+
+        links_dtype = pl.Struct({"Envelope": pl.Struct({
+            "Payload-Metadata": pl.Struct({"HTML-Metadata": pl.Struct({
+                "Links": pl.List(pl.Struct({"url": pl.String,
+                                            "text": pl.String}))})})})})
+        title_path = ("$['Envelope']['Payload-Metadata']"
+                      "['HTML-Metadata']['Head']['Title']")
+
+        def parse(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select(["url", "meta_json"]))
+            links = (pl.col("meta_json").str.json_decode(links_dtype)
+                     .struct.field("Envelope")
+                     .struct.field("Payload-Metadata")
+                     .struct.field("HTML-Metadata").struct.field("Links"))
+            out = df.select(
+                pl.col("url"),
+                pl.col("meta_json").str.json_path_match(title_path)
+                .alias("title"),
+                links.list.len().cast(pl.Int64).alias("n_links"),
+                links.list.eval(pl.element().struct.field("url"))
+                .list.join(",").alias("links_concat"),
+            )
+            return out.to_arrow().cast(pa.schema([
+                ("url", pa.string()), ("title", pa.string()),
+                ("n_links", pa.int64()), ("links_concat", pa.string())]))
+
+        # pin before the segment files vanish
+        return _collect(read_wat(tmp_out).map_batches(
+            parse, batch_format="pyarrow")).sort_by("url")
+    finally:
+        shutil.rmtree(tmp_in, ignore_errors=True)
+        shutil.rmtree(tmp_out, ignore_errors=True)

@@ -351,3 +351,195 @@ def warc_to_wet(in_path: str, out_dir: str,
 
     write_wet(pages.map_batches(to_wet_rows, batch_format="pyarrow"),
               out_dir, gzip_per_record=gzip_per_record)
+
+
+# ----------------------------------------------------------------- WAT lane
+# Common Crawl's third interchange surface (WARC = raw capture, WET =
+# extracted text, WAT = per-page metadata).  A WAT file is itself a
+# WARC whose records are ``metadata`` type with an ``application/json``
+# payload describing the referenced page — head metadata + outlinks.
+# The envelope here is the CC-flavored subset the engine's own
+# downstream consumers need (headmeta fields + resolved links); it
+# composes the SAME kernels the query surface exposes
+# (functions/headmeta ladders, functions/graph link resolution), so a
+# WAT record and the page_meta / extract_links query outputs can never
+# disagree.
+
+
+def wat_meta_batch(batch: pa.Table, url_column: str = "url",
+                   html_column: str = "html") -> pa.Table:
+    """Per-page WAT metadata JSON: ``(url, meta_json)``.
+
+    Parser-family kernel (cf. graph.extract_links_batch): a per-row
+    compiled-regex scan over the page — NOT a relational op, no
+    shuffle; head fields ride the vectorized headmeta ladder first.
+    JSON keys are sorted and separators fixed, so records are
+    byte-deterministic for a given page.
+    """
+    import json
+
+    from docling_translate_ray.functions.graph import (
+        _LINK_RE, _TAG_RE, _WS_RE, resolve_href)
+    from docling_translate_ray.functions.headmeta import (
+        extract_head_meta_batch)
+
+    urls = batch[url_column].to_pylist()
+    htmls: list[str] = []
+    for h in batch[html_column].to_pylist():
+        if isinstance(h, (bytes, bytearray)):
+            h = bytes(h).decode("utf-8", errors="replace")
+        htmls.append(h or "")
+    head_tbl = extract_head_meta_batch(
+        pa.table({url_column: pa.array(urls, pa.string()),
+                  html_column: pa.array(htmls, pa.string())}),
+        id_column=url_column, html_column=html_column)
+    metas: list[str] = []
+    for url, html, title, desc, canon in zip(
+            urls, htmls, head_tbl["title"].to_pylist(),
+            head_tbl["description"].to_pylist(),
+            head_tbl["canonical_url"].to_pylist()):
+        links = []
+        for m in _LINK_RE.finditer(html):
+            href = m.group(1) if m.group(1) is not None else m.group(2)
+            link = resolve_href(url or "", href)
+            if link is None:
+                continue
+            links.append({
+                "url": link,
+                "text": _WS_RE.sub(" ", _TAG_RE.sub("", m.group(3))).strip(),
+            })
+        head: dict = {}
+        if title is not None:
+            head["Title"] = title
+        if desc is not None:
+            head["Description"] = desc
+        if canon is not None:
+            head["Canonical"] = canon
+        env = {"Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": url or ""},
+            "Payload-Metadata": {"HTML-Metadata": {
+                "Head": head, "Links": links}}}}
+        metas.append(json.dumps(env, separators=(",", ":"),
+                                ensure_ascii=False, sort_keys=True))
+    return pa.table({
+        "url": pa.array([u or "" for u in urls], pa.string()),
+        "meta_json": pa.array(metas, pa.string()),
+    })
+
+
+def build_wat_bytes(records, gzip_whole: bool = False,
+                    gzip_per_record: bool = False) -> bytes:
+    """WAT bytes for ``records`` = iterable of ``(url, ts, meta_json)``:
+    WARC/1.0 ``metadata`` records with ``application/json`` payloads.
+    Record IDs are content-derived (md5 of url + date) so output is
+    byte-deterministic; gzip flags as in :func:`build_warc_bytes`."""
+    out = bytearray()
+    for url, ts, meta_json in records:
+        body = (meta_json or "{}").encode("utf-8")
+        rid = hashlib.md5(
+            (url + "|" + _warc_date(ts)).encode("utf-8")).hexdigest()
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: metadata\r\n"
+               b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
+               b"WARC-Date: " + _warc_date(ts).encode() + _CRLF +
+               b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
+               b"Content-Type: application/json\r\n"
+               b"Content-Length: " + str(len(body)).encode() + _HDR_END
+               + body + _HDR_END)
+        out += gzip.compress(rec, mtime=0) if gzip_per_record else rec
+    blob = bytes(out)
+    return gzip.compress(blob, mtime=0) if gzip_whole else blob
+
+
+def parse_wat_records(blob: bytes):
+    """Yield ``(url, ts, meta_json)`` for every ``metadata`` record in a
+    WAT blob; other record types are skipped (a WAT reader pointed at a
+    raw WARC or WET yields nothing rather than garbage).  Payload is
+    byte-exact; decoding utf-8 with replacement."""
+    for headers, payload in _iter_records(blob):
+        if headers.get("warc-type") != "metadata":
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        yield url, _record_ts(headers), payload.decode("utf-8",
+                                                       errors="replace")
+
+
+def read_wat(path: str):
+    """Dataset of ``(url, warc_ts, meta_json)`` from ``.wat`` /
+    ``.wat.gz`` — one segment file per task, same physical shape as
+    :func:`read_warc`."""
+    import ray.data
+
+    raw = ray.data.read_binary_files(path, include_paths=True)
+
+    def parse_files(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        ts: list[_dt.datetime] = []
+        metas: list[str] = []
+        for blob in batch["bytes"].to_pylist():
+            for url, t, meta in parse_wat_records(blob):
+                urls.append(url)
+                ts.append(t)
+                metas.append(meta)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "meta_json": pa.array(metas, pa.string()),
+        })
+
+    return raw.map_batches(parse_files, batch_format="pyarrow",
+                           batch_size=1)
+
+
+def write_wat(ds, out_dir: str, url_column: str = "url",
+              ts_column: str = "warc_ts", meta_column: str = "meta_json",
+              gzip_per_record: bool = True) -> None:
+    """Dataset sink: write ``(url, ts, meta_json)`` rows as WAT segment
+    files (one ``.wat.gz`` per batch/task, uuid-named, tmp-rename so a
+    crash never leaves a partial segment visible) — :func:`read_wat`
+    round-trips it exactly."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_segment(batch: pa.Table) -> pa.Table:
+        recs = []
+        for url, ts, meta in zip(batch[url_column].to_pylist(),
+                                 batch[ts_column].to_pylist(),
+                                 batch[meta_column].to_pylist()):
+            if isinstance(ts, (int, float)):
+                ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=int(ts))
+            recs.append((url, ts or _dt.datetime(1970, 1, 1), meta or "{}"))
+        blob = build_wat_bytes(recs, gzip_per_record=gzip_per_record)
+        ext = ".wat.gz" if gzip_per_record else ".wat"
+        name = f"seg-{uuid.uuid4().hex}{ext}"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.rename(tmp, os.path.join(out_dir, name))  # whole files only
+        return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+    ds.map_batches(write_segment, batch_format="pyarrow").materialize()
+
+
+def warc_to_wat(in_path: str, out_dir: str,
+                gzip_per_record: bool = True) -> None:
+    """The Common-Crawl metadata job: WARC segments in → head-metadata
+    + link envelope per page → WAT segments out.  Streaming end to end,
+    one task per input segment, one output file per batch — the same
+    resumable-sink contract as :func:`warc_to_wet`."""
+    pages = read_warc(in_path).select_columns(["url", "warc_ts", "html"])
+
+    def to_wat_rows(batch: pa.Table) -> pa.Table:
+        meta = wat_meta_batch(batch)
+        return pa.table({
+            "url": meta["url"],
+            "warc_ts": batch["warc_ts"],
+            "meta_json": meta["meta_json"],
+        })
+
+    write_wat(pages.map_batches(to_wat_rows, batch_format="pyarrow"),
+              out_dir, gzip_per_record=gzip_per_record)

@@ -110,7 +110,8 @@ def test_driver_query_matches_oracle(sf_dir):
 
     import __ray_entry__ as entrymod
 
-    got = sorted(entrymod.queries()["host_components"](sf_dir).take_all(),
+    qs = {**entrymod.queries(), **entrymod.queries_legacy()}
+    got = sorted(qs["host_components"](sf_dir).take_all(),
                  key=lambda r: r["host"])
     con = duckdb.connect()
     con.execute(

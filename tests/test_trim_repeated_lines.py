@@ -92,8 +92,9 @@ def test_driver_query_matches_oracle(sf_dir):
 
     import __ray_entry__ as entrymod
 
+    qs = {**entrymod.queries(), **entrymod.queries_legacy()}
     got = sorted(
-        entrymod.queries()["trim_repeated_lines"](sf_dir).take_all(),
+        qs["trim_repeated_lines"](sf_dir).take_all(),
         key=lambda r: r["doc_id"])
     con = duckdb.connect()
     con.execute(
