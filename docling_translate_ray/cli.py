@@ -6,7 +6,7 @@ re-expressed as a Ray job driver::
         [--miss-policy empty|identity] [--strategy auto|broadcast|join]
         [--speed-mode fast|balanced|accurate] [--fast]
         [--n-buckets 64] [--no-resume] [--source-kind pages|docs_text|files]
-        [--num-cpus N] [--pipeline extract|curate|mixture|webcurate|wet]
+        [--num-cpus N] [--pipeline extract|curate|mixture|webcurate|wet|wat|jsonl]
         [--retention ...]
 
 This is the ONE library entry point that may own a Ray session (guarded —
@@ -53,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
                         "(offsets + extracted_text remain)")
     p.add_argument("--pipeline",
                    choices=["extract", "curate", "mixture", "webcurate",
-                            "wet", "jsonl"],
+                            "wet", "wat", "jsonl"],
                    default="extract",
                    help="extract = the flagship job over pages parquet; "
                         "webcurate = raw pages → boilerplate strip → the "
@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
                         "wet = the Common-Crawl conversion job — INPUT is a "
                         "dir of .warc[.gz] segments, OUT_DIR gets .wet.gz "
                         "segments (extraction in between, streaming); "
+                        "wat = the Common-Crawl metadata job — same INPUT, "
+                        "OUT_DIR gets .wat.gz segments (headmeta + resolved "
+                        "links as JSON metadata records); "
                         "jsonl = the same WARC→extract job emitting gzipped "
                         "JSONL corpus shards (url, lang, text, n_chars); "
                         "OUT_DIR is the composite work_dir — stage resume is "
@@ -109,6 +112,19 @@ def main(argv: list[str] | None = None) -> int:
                           if f.endswith((".wet", ".wet.gz"))])
         print(json.dumps({"out": args.out, "segments": n_segments,
                           "records": read_wet(args.out).count()}))
+        ray.shutdown()
+        return 0
+
+    if args.pipeline == "wat":
+        import os
+
+        from docling_translate_ray.sources.warc import read_wat, warc_to_wat
+
+        warc_to_wat(args.input, args.out)
+        n_segments = len([f for f in os.listdir(args.out)
+                          if f.endswith((".wat", ".wat.gz"))])
+        print(json.dumps({"out": args.out, "segments": n_segments,
+                          "records": read_wat(args.out).count()}))
         ray.shutdown()
         return 0
 

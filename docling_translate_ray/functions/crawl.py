@@ -1003,8 +1003,18 @@ def resolve_redirects(edges_ds, src_column: str = "src_url",
             ("src", pa.string()), ("cur", pa.string()),
             ("hops", pa.int64()), ("done", pa.bool_())]))
 
+    # Per-round block discipline: ``map_groups`` emits as many blocks as it
+    # was fed and ``union`` concatenates block lists, so without the
+    # ``repartition`` below the state would grow 3× blocks per round
+    # (probed ≈ 2×state + done ≈ 1×state) — measured 192→576→1728 blocks and
+    # ~4× wall per round at 500k urls (per-block task overhead, not data).
+    # Repartitioning the narrow state back to ``num_partitions`` blocks each
+    # round keeps every round the same shape and cost.
     rounds = max(1, math.ceil(math.log2(max(2, max_hops)))) + 1
+    state = state.repartition(num_partitions).materialize()
     for _ in range(rounds):
+        if state.filter(expr="done == False").count() == 0:
+            break  # every chain resolved — skip the remaining rounds
         done_rows = state.filter(expr="done == True")
         todo = state.filter(expr="done == False")
         tagged = (todo.map_batches(tag(0, "cur"), batch_format="pyarrow")
@@ -1013,7 +1023,8 @@ def resolve_redirects(edges_ds, src_column: str = "src_url",
         probed = hash_partition_apply(
             tagged, ["key"], compose, num_partitions=num_partitions,
             label="redirects:compose")
-        state = probed.union(done_rows).materialize()
+        state = (probed.union(done_rows).repartition(num_partitions)
+                 .materialize())
 
     def finish(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)

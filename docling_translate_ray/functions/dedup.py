@@ -241,10 +241,15 @@ def connected_components(pairs_ds, id_column: str = "doc_id",
         return pl.concat([own, props]).to_arrow()
 
     for _ in range(max_iters):
+        # union grows the block list by blocks(edge_rows) every round and
+        # map_groups emits as many blocks as it is fed, so without the
+        # repartition the label table would accrete blocks linearly and
+        # per-block task overhead would dominate late rounds (the same
+        # failure measured at 3×/round in resolve_redirects — crawl.py).
         labels = hash_partition_apply(
             edge_rows.union(labels), ["node"], step_block,
             num_partitions=num_partitions,
-        ).materialize()
+        ).repartition(num_partitions).materialize()
         cur = own_label_sum(labels)
         if cur == prev:
             break
