@@ -40,6 +40,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        # round-4 latest addition — never driver-checked, first in the
+        # window: table-structure recovery (functions/tables.py — the
+        # Docling TableFormer slot the north-star names: WHATWG
+        # rowspan/colspan grid placement over planted span layouts,
+        # algebraic-replay oracle)
+        "table_extract": q.q_table_extract,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -140,7 +146,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_index_probe": q.q_minhash_index_probe,
         "snapshot_diff": q.q_snapshot_diff,
         "recrawl_priority": q.q_recrawl_priority,
-        "robots_filter": q.q_robots_filter,
         "sitemap_seeds": q.q_sitemap_seeds,
         "host_reputation": q.q_host_reputation,
         "crawl_cycle": q.q_crawl_cycle,
@@ -392,10 +397,17 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       main-content CTE); the documents-table variant stays
       oracle-checked here — driver-hash-verified r01 AND r02, demoted
       round 3 to make window room for webcurate
+    * robots_filter → crawl_cycle (runs functions/crawl.robots_filter
+      VERBATIM as its stage 1, and the composite's single end-to-end
+      oracle replays the robots gate inside the plan hash) —
+      driver-hash-verified r03, demoted round 4 to make window room
+      for table_extract; the standalone rules-table entry stays
+      oracle-checked here
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "robots_filter": q.q_robots_filter,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1219,6 +1231,36 @@ def oracle_sql() -> dict[str, str]:
         # PDF lane: the query writes a REAL Flate PDF per doc (title line
         # + 8-word-wrapped lines, content stream emitted in reverse) and
         # pdf_core must recover the reading order byte-identically
+        # Table-structure recovery: replay the WHATWG grid placement
+        # algebraically from the planted layout (rowspan at (rr, cr)
+        # shadows row rr+1 at col cr; colspan at row-4 source pos cc
+        # shifts the cells after it) — the parser's resolved
+        # coordinates must match this closed form cell for cell
+        "table_extract": """
+            WITH d AS (
+              SELECT doc_id, 1 + doc_id % 2 AS rr, doc_id % 4 AS cr,
+                     doc_id % 3 AS cc
+              FROM documents),
+            cells AS (
+              SELECT doc_id, rr, cr, cc, r, k
+              FROM d, range(0, 5) t(r), range(0, 4) u(k)
+              WHERE k < CASE WHEN r = rr + 1 OR r = 4 THEN 3 ELSE 4 END)
+            SELECT 'table://' || doc_id AS url,
+                   0::BIGINT AS table_idx,
+                   r::BIGINT AS "row",
+                   (CASE WHEN r = rr + 1 THEN
+                           CASE WHEN k < cr THEN k ELSE k + 1 END
+                         WHEN r = 4 THEN
+                           CASE WHEN k <= cc THEN k ELSE k + 1 END
+                         ELSE k END)::BIGINT AS col,
+                   (CASE WHEN r = rr AND k = cr THEN 2 ELSE 1 END)::BIGINT
+                       AS rowspan,
+                   (CASE WHEN r = 4 AND k = cc THEN 2 ELSE 1 END)::BIGINT
+                       AS colspan,
+                   (r = 0) AS is_header,
+                   'd' || doc_id || '.' || r || '.' || k AS text
+            FROM cells
+        """,
         "pdf_extract": """
             WITH w AS (
               SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws

@@ -313,6 +313,56 @@ def q_pptx_extract(sf_dir: str):
         .select_columns(["url", "status", "extracted_text", "n_chars"])
 
 
+def table_pages_batch(batch: pa.Table) -> pa.Table:
+    """Pages carrying a planted 5-row × 4-col HTML table whose span
+    layout is a pure function of doc_id, so the SQL oracle can replay
+    the WHATWG grid placement algebraically: a header row of <th>,
+    one rowspan=2 cell at (rr = 1 + doc_id%2, cr = doc_id%4) — whose
+    shadow displaces row rr+1 — and one colspan=2 cell in row 4 at
+    source position cc = doc_id%3.  Cell text is ``d<id>.<row>.<k>``
+    (k = source ordinal), so resolved coordinates are the ONLY thing
+    the parser can get wrong."""
+    urls, blobs = [], []
+    for i in batch["doc_id"].to_pylist():
+        rr, cr, cc = 1 + i % 2, i % 4, i % 3
+        rows = ["".join(f"<th>d{i}.0.{k}</th>" for k in range(4))]
+        for r in range(1, 4):
+            if r == rr:
+                rows.append("".join(
+                    f"<td{' rowspan=2' if k == cr else ''}>d{i}.{r}.{k}</td>"
+                    for k in range(4)))
+            elif r == rr + 1:
+                rows.append("".join(
+                    f"<td>d{i}.{r}.{k}</td>" for k in range(3)))
+            else:
+                rows.append("".join(
+                    f"<td>d{i}.{r}.{k}</td>" for k in range(4)))
+        rows.append("".join(
+            f"<td{' colspan=2' if k == cc else ''}>d{i}.4.{k}</td>"
+            for k in range(3)))
+        body = "".join(f"<tr>{r}</tr>" for r in rows)
+        urls.append(f"table://{i}")
+        blobs.append(f"<html><body><table>{body}</table></body></html>"
+                     .encode())
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(blobs, pa.binary()),
+    })
+
+
+def q_table_extract(sf_dir: str):
+    """Table-structure recovery (functions/tables.py — the Docling
+    TableFormer slot, reference core.py:93-117): planted span layouts
+    through the grid parser; every resolved (row, col, rowspan,
+    colspan) must match the oracle's algebraic replay."""
+    from docling_translate_ray.functions import tables as ftab
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        table_pages_batch, batch_format="pyarrow"
+    )
+    return ftab.extract_tables(pages)
+
+
 def q_sentences(sf_dir: str):
     """Sentence explosion of the extracted docs (M9 analog)."""
     from docling_translate_ray.stages.extract import explode_sentences_batch
