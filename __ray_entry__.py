@@ -46,6 +46,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rowspan/colspan grid placement over planted span layouts,
         # algebraic-replay oracle)
         "table_extract": q.q_table_extract,
+        # CCNet paragraph dedup (functions/dedup.paragraph_dedup —
+        # first-global-occurrence winner per paragraph fingerprint,
+        # narrow exchange, exchange-collapsed reassembly; DISTINCT
+        # from line_dedup's C4 drop-from-all rule)
+        "paragraph_dedup": q.q_paragraph_dedup,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -144,7 +149,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new operators this round: persistent-index incremental crawl
         # dedup + cross-snapshot diff + latest-version select
         "minhash_index_probe": q.q_minhash_index_probe,
-        "snapshot_diff": q.q_snapshot_diff,
         "recrawl_priority": q.q_recrawl_priority,
         "sitemap_seeds": q.q_sitemap_seeds,
         "host_reputation": q.q_host_reputation,
@@ -403,11 +407,19 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       driver-hash-verified r03, demoted round 4 to make window room
       for table_extract; the standalone rules-table entry stays
       oracle-checked here
+    * snapshot_diff → incremental_extract (runs the same
+      functions/crawl fingerprint + diff_fingerprints classify
+      partition as its change-detection stage; the re-extraction-
+      invariant oracle fails if any added/changed/removed
+      classification is wrong) — driver-hash-verified r03, demoted
+      round 4 to make window room for paragraph_dedup; the standalone
+      (url, change, old_md5, new_md5) entry stays oracle-checked here
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
         "robots_filter": q.q_robots_filter,
+        "snapshot_diff": q.q_snapshot_diff,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1662,6 +1674,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4-style line dedup over a deterministic 8-word line wrapping:
         # drop lines present in >= 2 distinct docs, reassemble in order
+        # CCNet paragraph dedup: rebuild the planted paragraph
+        # structure (boilerplate para + 16-word chunks) from the
+        # tokens, then the winner rule = first global occurrence per
+        # md5(para) — the engine's narrow-fingerprint exchange must
+        # reproduce it row for row
+        "paragraph_dedup": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            p AS (
+              SELECT doc_id, 1 AS para_no,
+                     'boilerplate notice ' || (doc_id % 7) AS para
+              FROM w
+              UNION ALL
+              SELECT doc_id, i + 1 AS para_no,
+                     array_to_string(ws[(i-1)*16+1 : i*16], ' ') AS para
+              FROM w, unnest(range(1, CAST(ceil(len(ws) / 16.0) AS BIGINT)
+                                      + 1)) AS t(i)),
+            r AS (
+              SELECT doc_id, para_no, para,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, para_no) AS rn
+              FROM p)
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10)
+                              ORDER BY para_no) AS text_deduped,
+                   count(*)::BIGINT AS n_paras_kept
+            FROM r WHERE rn = 1 GROUP BY doc_id
+        """,
         "line_dedup": """
             WITH w AS (
               SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws

@@ -518,6 +518,38 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def para_docs_batch(batch: pa.Table) -> pa.Table:
+    """Paragraph-structured docs for the CCNet dedup rule: a shared
+    boilerplate paragraph (7 distinct strings across the corpus — the
+    cross-doc duplicates the dedup must collapse to their first global
+    occurrence) followed by the doc's tokens wrapped into 16-word
+    paragraphs, joined by blank lines.  The oracle rebuilds the SAME
+    structure from the tokens."""
+    urls, texts = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = (t or "").split()
+        paras = [f"boilerplate notice {i % 7}"] + [
+            " ".join(toks[j:j + 16]) for j in range(0, len(toks), 16)]
+        urls.append(i)
+        texts.append("\n\n".join(paras))
+    return pa.table({
+        "doc_id": pa.array(urls, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph dedup (functions/dedup.paragraph_dedup):
+    keep only the globally first (min doc_id, para_no) occurrence of
+    every distinct paragraph; md5 fingerprint mode so the oracle's
+    ``row_number() OVER (PARTITION BY md5(para))`` replays the winner
+    rule exactly."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        para_docs_batch, batch_format="pyarrow"
+    )
+    return fdedup.paragraph_dedup(docs, hash_mode="md5")
+
+
 def q_line_dedup(sf_dir: str):
     """C4-style line-level dedup: docs wrapped into deterministic 8-word
     lines, lines occurring in ≥2 distinct docs dropped, survivors
