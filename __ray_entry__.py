@@ -51,6 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # narrow exchange, exchange-collapsed reassembly; DISTINCT
         # from line_dedup's C4 drop-from-all rule)
         "paragraph_dedup": q.q_paragraph_dedup,
+        # feature-hash embedder (functions/embed.py — the
+        # deterministic text→vector bridge: md5-bucket signed counts,
+        # actor-pool cache + one narrow (id, dim) merge exchange)
+        "hash_embed": q.q_hash_embed,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -149,7 +153,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new operators this round: persistent-index incremental crawl
         # dedup + cross-snapshot diff + latest-version select
         "minhash_index_probe": q.q_minhash_index_probe,
-        "recrawl_priority": q.q_recrawl_priority,
         "sitemap_seeds": q.q_sitemap_seeds,
         "host_reputation": q.q_host_reputation,
         "crawl_cycle": q.q_crawl_cycle,
@@ -414,12 +417,19 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       classification is wrong) — driver-hash-verified r03, demoted
       round 4 to make window room for paragraph_dedup; the standalone
       (url, change, old_md5, new_md5) entry stays oracle-checked here
+    * recrawl_priority → crawl_cycle (imports and runs the same
+      functions/crawl._change_rates kernel inside its url-keyed
+      exchange; the composite's plan oracle replays the change-rate
+      priorities) — driver-hash-verified r03, demoted round 4 to make
+      window room for hash_embed; the standalone change-rate entry
+      stays oracle-checked here
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
+        "recrawl_priority": q.q_recrawl_priority,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1674,6 +1684,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4-style line dedup over a deterministic 8-word line wrapping:
         # drop lines present in >= 2 distinct docs, reassemble in order
+        # Feature-hash embedding: dim = md5(tok)[:2], sign from the
+        # third hex digit — signed counts per (doc, dim), zeros dropped
+        "hash_embed": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '@NONWS@')) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id, substr(md5(tok), 1, 2) AS dim,
+                     CASE WHEN substr(md5(tok), 3, 1) BETWEEN '0' AND '7'
+                          THEN 1 ELSE -1 END AS s
+              FROM w)
+            SELECT doc_id, dim, sum(s)::BIGINT AS val
+            FROM h GROUP BY doc_id, dim HAVING sum(s) <> 0
+        """,
         # CCNet paragraph dedup: rebuild the planted paragraph
         # structure (boilerplate para + 16-word chunks) from the
         # tokens, then the winner rule = first global occurrence per

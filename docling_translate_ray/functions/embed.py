@@ -1,0 +1,148 @@
+"""Feature-hash text embedder — the deterministic text→vector bridge.
+
+Every vector operator in this engine (knn/IVF/PQ in functions/knn.py /
+pq.py, SemDeDup, embedding near-dup) consumes an ``embedding`` column;
+real pipelines produce it with a learned model (fasttext / sentence
+encoders) that cannot live in this sandbox.  This module fills the slot
+with the hashing trick (Weinberger 2009 "Feature Hashing for Large
+Scale Multitask Learning"): token → md5 bucket (dim) + md5-bit sign,
+signed counts accumulated per (doc, dim).  Deterministic, integer-exact
+and SQL-replayable — exactly the engine-lockstep discipline the other
+oracles use — while behaving like a real bag-of-words embedding
+(duplicate docs collide at cosine 1.0, token-overlapping docs land
+near; pinned in tests/test_embed.py).
+
+Output is SPARSE long form ``(id, dim, val)`` with ``val != 0`` — the
+honest shape at corpus scale (256 dims × mostly-zero rows would be
+read amplification) and the hash-comparable one (a list column
+stringifies differently in pandas vs DuckDB).  :func:`densify_batch`
+converts to the dense ``list<float>`` the ANN family eats.
+
+Scale shape: ONE actor-pool map stage (the classifier's
+``_ExplodeLabeled`` pattern — per-actor token→(dim, sign) cache so the
+Zipf head hashes once per actor, vectorized explode/join/group inside
+the batch) followed by one narrow ``grouped_sum`` exchange keyed by
+(id, dim) to merge partial sums across a document's batches.  Text
+never crosses an exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_SPARSE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("dim", pa.string()),      # 2-hex-char md5 bucket: 256 dims
+    ("val", pa.int64()),
+])
+
+
+class HashEmbedder:
+    """Actor-pool kernel: docs → PARTIAL sparse signed counts
+    ``(doc_id, dim, val)`` (per batch; merge across batches is the
+    caller's grouped_sum).  dim = ``md5(tok)[:2]``; sign = +1 when
+    ``md5(tok)[2]`` ∈ 0-7 else −1 (DuckDB replays both from the same
+    hex digest)."""
+
+    _CACHE_CAP = 2_000_000
+
+    def __init__(self, id_column: str = "doc_id", column: str = "text"):
+        self._id, self._col = id_column, column
+        self._of: dict[str, tuple[str, int]] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (
+            pl.from_arrow(batch.select([self._id, self._col]))
+            .rename({self._id: "_id", self._col: "_t"})
+            .with_columns(pl.col("_id").cast(pl.Int64),
+                          pl.col("_t").fill_null(""))
+            .select("_id", pl.col("_t").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+        )
+        if toks.height == 0:
+            return _SPARSE_SCHEMA.empty_table()
+        cache = self._of
+        if len(cache) > self._CACHE_CAP:
+            cache = self._of = {}
+        uniq = toks["w"].unique()
+        for w in uniq:
+            if w not in cache:
+                h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                cache[w] = (h[:2], 1 if int(h[2], 16) < 8 else -1)
+        hmap = pl.DataFrame({
+            "w": uniq,
+            "dim": [cache[w][0] for w in uniq],
+            "s": pl.Series([cache[w][1] for w in uniq], dtype=pl.Int64),
+        })
+        out = (
+            toks.join(hmap, on="w", how="left")
+            .group_by(["_id", "dim"])
+            .agg(pl.col("s").sum().alias("val"))
+            .rename({"_id": "doc_id"})
+            .select(["doc_id", "dim", "val"])
+        )
+        return out.to_arrow().cast(_SPARSE_SCHEMA)
+
+
+def hash_embed(ds, id_column: str = "doc_id", column: str = "text",
+               concurrency: int | tuple | None = None,
+               num_partitions: int = 32):
+    """Dataset op: documents → sparse hashed embedding rows
+    ``(id, dim, val)``, zero rows dropped.  One actor-pool stage +
+    one narrow (id, dim)-keyed merge exchange."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import grouped_sum
+    from docling_translate_ray.util import auto_pool_size
+
+    if concurrency is None:
+        concurrency = auto_pool_size()
+    partial = ds.select_columns([id_column, column]).map_batches(
+        HashEmbedder, fn_constructor_kwargs={
+            "id_column": id_column, "column": column},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    merged = grouped_sum(
+        partial.map_batches(
+            lambda b: b.rename_columns([id_column, "dim", "val"]),
+            batch_format="pyarrow"),
+        [id_column, "dim"],
+        [pl.col("val").sum().alias("_v")],
+        {"val": "_v"},
+        num_partitions=num_partitions,
+    )
+    import pyarrow.compute as pc
+
+    return merged.map_batches(
+        lambda b: b.filter(pc.not_equal(b["val"], 0)),
+        batch_format="pyarrow")
+
+
+def densify_batch(batch: pa.Table, id_column: str = "doc_id",
+                  dims: int = 256) -> pa.Table:
+    """Sparse (id, dim, val) rows — ALL rows of each doc co-present in
+    the batch (i.e. after the merge exchange, grouped or re-keyed by
+    id) — → dense ``(id, embedding: list<float>)`` for the ANN family.
+    ``dim`` hex decodes to the vector index."""
+    ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+    if len(ids) == 0:
+        return pa.table({
+            id_column: pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        })
+    dim_idx = np.array([int(d, 16) for d in batch["dim"].to_pylist()],
+                       dtype=np.int64)
+    vals = np.asarray(batch["val"].to_pylist(), dtype=np.float64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    dense = np.zeros((len(uniq), dims), dtype=np.float64)
+    dense[inv, dim_idx] = vals
+    return pa.table({
+        id_column: pa.array(uniq, pa.int64()),
+        "embedding": pa.array(list(dense), pa.list_(pa.float64())),
+    })

@@ -518,6 +518,16 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_hash_embed(sf_dir: str):
+    """Feature-hash embedder (functions/embed.hash_embed — the
+    deterministic text→vector bridge into the ANN/SemDeDup family):
+    sparse signed md5-bucket counts per document, integer-exact so the
+    oracle replays dim and sign from the same hex digest."""
+    from docling_translate_ray.functions.embed import hash_embed
+
+    return hash_embed(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def para_docs_batch(batch: pa.Table) -> pa.Table:
     """Paragraph-structured docs for the CCNet dedup rule: a shared
     boilerplate paragraph (7 distinct strings across the corpus — the
