@@ -55,6 +55,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic text→vector bridge: md5-bucket signed counts,
         # actor-pool cache + one narrow (id, dim) merge exchange)
         "hash_embed": q.q_hash_embed,
+        # JSON-LD structured-data extraction (functions/structured.py
+        # — the extruct/schema.org slot: vectorized block discovery,
+        # tolerant parse, frozen field ladders; DuckDB JSON-kernel
+        # oracle over the same planted blocks)
+        "jsonld_meta": q.q_jsonld_meta,
+        # content-based mirror detection (functions/mirrors.py —
+        # shared-fingerprint host pairs, boilerplate host-cap skew
+        # fence, containment pct gate; text never crosses an exchange)
+        "mirror_hosts": q.q_mirror_hosts,
+        # URL-pattern crawl-trap detection (functions/mirrors.py —
+        # digit-run-collapsed path patterns, one narrow keyed exchange)
+        "url_traps": q.q_url_traps,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -131,11 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
-        "url_pair_mine": q.q_url_pair_mine,
         "train_shards": q.q_train_shards,
         "quality_tiers": q.q_quality_tiers,
         "bpe_encode": q.q_bpe_encode,
-        "dedup_keep_best": q.q_dedup_keep_best,
         "frontier_schedule": q.q_frontier_schedule,
         # round-3 additions: SemDeDup, DSIR importance scoring,
         # temperature language rebalancing (all oracle-backed)
@@ -164,7 +174,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the retired extract_pages window entry)
         "warc_extract": q.q_warc_extract,
         # dedup family
-        "exact_dedup": q.q_exact_dedup,
         "minhash_near_dup": q.q_minhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
         # text analysis
@@ -423,6 +432,18 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       priorities) — driver-hash-verified r03, demoted round 4 to make
       window room for hash_embed; the standalone change-rate entry
       stays oracle-checked here
+    * exact_dedup → webcurate (runs functions/dedup.exact_dedup
+      VERBATIM as curate's exact-dedup stage; the composed counts
+      oracle replays the md5-group winner arithmetic) — driver-hash-
+      verified r01–r03, demoted round 4 for jsonld_meta
+    * dedup_keep_best → webcurate (runs functions/dedup
+      .dedup_keep_best VERBATIM as curate's near-dedup stage inside
+      the same composed oracle) — driver-hash-verified r03, demoted
+      round 4 for mirror_hosts
+    * url_pair_mine → bitext_pipeline (runs urltools.url_pair_mine
+      VERBATIM as its mining stage; the tiling oracle asserts pair
+      membership equals this entry's oracle) — driver-hash-verified
+      r03, demoted round 4 for url_traps
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -430,6 +451,9 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
         "recrawl_priority": q.q_recrawl_priority,
+        "exact_dedup": q.q_exact_dedup,
+        "dedup_keep_best": q.q_dedup_keep_best,
+        "url_pair_mine": q.q_url_pair_mine,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1684,6 +1708,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4-style line dedup over a deterministic 8-word line wrapping:
         # drop lines present in >= 2 distinct docs, reassemble in order
+        # JSON-LD extraction: rebuild the SAME planted block and let
+        # DuckDB's JSON kernel extract the ladder fields (the invalid
+        # leading block odd docs carry is skipped by the engine and
+        # simply never built here — ordinals are over VALID blocks)
+        "jsonld_meta": """
+            WITH j AS (
+              SELECT doc_id,
+                     '{"@type": "NewsArticle", "headline": "doc ' ||
+                     doc_id || ' headline", "datePublished": "201' ||
+                     (doc_id % 10) || '-0' || (1 + doc_id % 9) ||
+                     '-15", "author": {"name": "author ' ||
+                     (doc_id % 13) || '"}}' AS blk
+              FROM documents)
+            SELECT 'ld://' || doc_id AS url, 0::BIGINT AS block_idx,
+                   json_extract_string(blk, '$."@type"') AS jtype,
+                   json_extract_string(blk, '$.headline') AS headline,
+                   json_extract_string(blk, '$.datePublished')
+                       AS date_published,
+                   json_extract_string(blk, '$.author.name') AS author
+            FROM j
+        """,
+        # Mirror detection: distinct (fp, host) pairs, the 2..16
+        # host-cap fence, pair counts, containment pct over the
+        # smaller host's distinct-fp total
+        "mirror_hosts": """
+            WITH pg AS (
+              SELECT doc_id, 'h' || (doc_id % 40) || '.example' AS host,
+                     md5('mirror content ' || (doc_id // 2)) AS fp
+              FROM documents),
+            hf AS (SELECT DISTINCT fp, host FROM pg),
+            ok_fp AS (
+              SELECT fp FROM hf GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 16),
+            tot AS (SELECT host, count(*) AS n FROM hf GROUP BY host),
+            p AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*)::BIGINT AS shared
+              FROM hf a JOIN hf b ON a.fp = b.fp AND a.host < b.host
+              JOIN ok_fp ON ok_fp.fp = a.fp
+              GROUP BY a.host, b.host)
+            SELECT host_a, host_b, shared,
+                   (100 * shared // least(ta.n, tb.n))::BIGINT AS pct
+            FROM p JOIN tot ta ON ta.host = p.host_a
+                   JOIN tot tb ON tb.host = p.host_b
+            WHERE shared >= 3
+              AND 100 * shared // least(ta.n, tb.n) >= 50
+        """,
+        # Crawl-trap detection: the planted url shapes collapse to
+        # closed-form (host, pattern) labels; threshold = 100 pages
+        "url_traps": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'cal.example'
+                     WHEN doc_id % 10 = 1
+                       THEN 's' || (doc_id % 3) || '.example'
+                     ELSE 'long.example' END AS host,
+                CASE WHEN doc_id % 2 = 0 THEN '/day/N/view'
+                     WHEN doc_id % 10 = 1 THEN '/item'
+                     ELSE '/pN-N' END AS pattern
+              FROM documents)
+            SELECT host, pattern, count(*)::BIGINT AS n_pages
+            FROM u GROUP BY host, pattern HAVING count(*) >= 100
+        """,
         # Feature-hash embedding: dim = md5(tok)[:2], sign from the
         # third hex digit — signed counts per (doc, dim), zeros dropped
         "hash_embed": """

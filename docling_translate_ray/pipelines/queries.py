@@ -518,6 +518,99 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def jsonld_pages_batch(batch: pa.Table) -> pa.Table:
+    """Pages carrying planted JSON-LD: odd docs get an INVALID block
+    first (trailing comma — the parse must skip it without shifting
+    the valid block's ordinal), then every doc gets one well-formed
+    NewsArticle block whose field values are closed-form in doc_id so
+    the oracle rebuilds the same JSON and extracts with DuckDB's JSON
+    kernel."""
+    urls, blobs = [], []
+    for i in batch["doc_id"].to_pylist():
+        blk = ('{"@type": "NewsArticle", "headline": "doc %d headline", '
+               '"datePublished": "201%d-0%d-15", '
+               '"author": {"name": "author %d"}}'
+               % (i, i % 10, 1 + i % 9, i % 13))
+        bad = ('<script type="application/ld+json">'
+               '{"@type": "Broken",}</script>' if i % 2 else "")
+        urls.append(f"ld://{i}")
+        blobs.append(
+            f'<html><head>{bad}<script type="application/ld+json">'
+            f"{blk}</script></head><body>doc {i}</body></html>")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(blobs, pa.string()),
+    })
+
+
+def q_jsonld_meta(sf_dir: str):
+    """Structured-data extraction (functions/structured.extract_jsonld
+    — the extruct/schema.org slot): planted Article blocks, invalid
+    JSON skipped, field ladders replayed by the oracle through
+    DuckDB's json_extract_string over the SAME constructed blocks."""
+    from docling_translate_ray.functions.structured import extract_jsonld
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        jsonld_pages_batch, batch_format="pyarrow"
+    )
+    return extract_jsonld(pages)
+
+
+def mirror_pages_batch(batch: pa.Table) -> pa.Table:
+    """Mirror-corpus plant: doc pairs (2k, 2k+1) serve IDENTICAL
+    content from two different hosts (h<2k%40> / h<2k+1%40>), so every
+    even/odd host pair is a full mirror; content is closed-form in
+    doc_id for the oracle."""
+    urls, texts = [], []
+    for i in batch["doc_id"].to_pylist():
+        urls.append(f"https://h{i % 40}.example/p/{i}")
+        texts.append(f"mirror content {i // 2}")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def q_mirror_hosts(sf_dir: str):
+    """Content-based mirror detection (functions/mirrors.mirror_hosts):
+    shared-fingerprint host pairs with the boilerplate host-cap fence
+    and the containment pct gate; md5 mode so the oracle replays the
+    fingerprints."""
+    from docling_translate_ray.functions.mirrors import mirror_hosts
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        mirror_pages_batch, batch_format="pyarrow"
+    )
+    return mirror_hosts(pages, min_shared=3, min_pct=50, algo="md5")
+
+
+def trap_pages_batch(batch: pa.Table) -> pa.Table:
+    """Crawl-trap plant: even docs form one exploding calendar pattern,
+    docs ≡1 (mod 10) spread thinly over 3 hosts (below threshold), the
+    rest form a second exploding pattern with two digit runs."""
+    urls = []
+    for i in batch["doc_id"].to_pylist():
+        if i % 2 == 0:
+            urls.append(f"https://cal.example/day/{i}/view")
+        elif i % 10 == 1:
+            urls.append(f"https://s{i % 3}.example/item?id={i}")
+        else:
+            urls.append(f"https://long.example/p{i}-{i * 7}")
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def q_url_traps(sf_dir: str):
+    """URL-pattern crawl-trap detection
+    (functions/mirrors.url_pattern_traps): digit runs collapse to N,
+    (host, pattern) counts above the trap threshold."""
+    from docling_translate_ray.functions.mirrors import url_pattern_traps
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        trap_pages_batch, batch_format="pyarrow"
+    )
+    return url_pattern_traps(pages, min_pages=100)
+
+
 def q_hash_embed(sf_dir: str):
     """Feature-hash embedder (functions/embed.hash_embed — the
     deterministic text→vector bridge into the ANN/SemDeDup family):
