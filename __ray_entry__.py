@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # URL-pattern crawl-trap detection (functions/mirrors.py —
         # digit-run-collapsed path patterns, one narrow keyed exchange)
         "url_traps": q.q_url_traps,
+        # RSS/Atom feed discovery (functions/crawl.feed_seeds — the
+        # fourth frontier surface; two-dialect frozen regex subset)
+        "feed_seeds": q.q_feed_seeds,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -140,7 +143,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (coarse chain → residual view → subspace chains → per-cluster
         # LUTs); never driver-checked
         "ivfpq_residual": q.q_ivfpq_residual,
-        "boilerplate_strip": q.q_boilerplate_strip,
         "bitext_pipeline": q.q_bitext_pipeline,
         "lm_score": q.q_lm_score,
         "train_shards": q.q_train_shards,
@@ -444,6 +446,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       VERBATIM as its mining stage; the tiling oracle asserts pair
       membership equals this entry's oracle) — driver-hash-verified
       r03, demoted round 4 for url_traps
+    * boilerplate_strip → webcurate (runs the SAME blocked-HTML view
+      and strip stage as its first mile; the composed oracle embeds
+      this entry's whole kept-chunk CTE) — driver-hash-verified r03,
+      demoted round 4 for feed_seeds
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -454,6 +460,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "dedup_keep_best": q.q_dedup_keep_best,
         "url_pair_mine": q.q_url_pair_mine,
+        "boilerplate_strip": q.q_boilerplate_strip,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1708,6 +1715,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4-style line dedup over a deterministic 8-word line wrapping:
         # drop lines present in >= 2 distinct docs, reassemble in order
+        # Feed discovery: replay the planted RSS (3 items, even docs)
+        # / Atom (2 entries, odd docs) structure closed-form; the
+        # linkless teaser item never emits on either side
+        "feed_seeds": """
+            WITH d AS (
+              SELECT doc_id,
+                     'feed' || (doc_id % 31) || '.example' AS host
+              FROM documents),
+            r AS (
+              SELECT doc_id, host, j
+              FROM d, unnest(range(0, 3)) t(j) WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, host, j
+              FROM d, unnest(range(0, 2)) t(j) WHERE doc_id % 2 = 1)
+            SELECT host,
+                   'https://' || host || '/post/' || doc_id || '/' || j
+                       AS url,
+                   'post ' || doc_id || ' ' || j AS title,
+                   '2024-0' || (1 + j % 9) || '-0' || (1 + doc_id % 9)
+                       AS published
+            FROM r
+        """,
         # JSON-LD extraction: rebuild the SAME planted block and let
         # DuckDB's JSON kernel extract the ladder fields (the invalid
         # leading block odd docs carry is skipped by the engine and

@@ -182,6 +182,15 @@ def extra_queries(sf_dir: str) -> dict:
         # round-4 late: WAT metadata lane (WARC in → headmeta+links
         # JSON envelope → WAT segments → parse back)
         "wat_extract": lambda: q.q_wat_extract(sf_dir).num_rows,
+        # round-4 final: table-structure recovery, CCNet paragraph
+        # dedup, feature-hash embedding, JSON-LD metadata, mirror
+        # detection, crawl-trap patterns
+        "table_extract": lambda: _consume(q.q_table_extract(sf_dir)),
+        "paragraph_dedup": lambda: _consume(q.q_paragraph_dedup(sf_dir)),
+        "hash_embed": lambda: _consume(q.q_hash_embed(sf_dir)),
+        "jsonld_meta": lambda: _consume(q.q_jsonld_meta(sf_dir)),
+        "mirror_hosts": lambda: _consume(q.q_mirror_hosts(sf_dir)),
+        "url_traps": lambda: _consume(q.q_url_traps(sf_dir)),
     }
 
 

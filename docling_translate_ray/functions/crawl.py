@@ -855,6 +855,79 @@ def sitemap_seeds(ds, host_column: str = "host",
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+_RSS_ITEM_RE = _re2.compile(r"<item\b[^>]*>(.*?)</item>",
+                            _re2.IGNORECASE | _re2.DOTALL)
+_ATOM_ENTRY_RE = _re2.compile(r"<entry\b[^>]*>(.*?)</entry>",
+                              _re2.IGNORECASE | _re2.DOTALL)
+_FEED_TITLE_RE = _re2.compile(r"<title[^>]*>\s*(.*?)\s*</title>",
+                              _re2.IGNORECASE | _re2.DOTALL)
+_RSS_LINK_RE = _re2.compile(r"<link\s*>\s*(.*?)\s*</link>",
+                            _re2.IGNORECASE | _re2.DOTALL)
+_ATOM_LINK_RE = _re2.compile(r'<link\b[^>]*href="([^"]+)"',
+                             _re2.IGNORECASE)
+_RSS_DATE_RE = _re2.compile(r"<pubDate\s*>\s*(.*?)\s*</pubDate>",
+                            _re2.IGNORECASE | _re2.DOTALL)
+_ATOM_DATE_RE = _re2.compile(r"<updated\s*>\s*(.*?)\s*</updated>",
+                             _re2.IGNORECASE | _re2.DOTALL)
+
+
+def parse_feed(xml: str) -> list[tuple[str, str, str]]:
+    """``(link, title, published)`` tuples from one RSS 2.0 / Atom feed
+    body — the fourth crawl-discovery surface (news/blog update
+    streams) next to sitemaps, in-page links and the snapshot history.
+    Frozen regex subset, both dialects in one pass: RSS ``<item>``
+    blocks (``<link>text</link>``, ``<pubDate>``) and Atom ``<entry>``
+    blocks (``<link href="…">``, ``<updated>``); an item without a
+    link contributes nothing; title/published are "" when absent.
+    Entries emit in document order, RSS items before Atom entries
+    (real feeds contain only one dialect)."""
+    out: list[tuple[str, str, str]] = []
+    for m in _RSS_ITEM_RE.finditer(xml or ""):
+        block = m.group(1)
+        link = _RSS_LINK_RE.search(block)
+        if not link or not link.group(1):
+            continue
+        t = _FEED_TITLE_RE.search(block)
+        d = _RSS_DATE_RE.search(block)
+        out.append((link.group(1), t.group(1) if t else "",
+                    d.group(1) if d else ""))
+    for m in _ATOM_ENTRY_RE.finditer(xml or ""):
+        block = m.group(1)
+        link = _ATOM_LINK_RE.search(block)
+        if not link or not link.group(1):
+            continue
+        t = _FEED_TITLE_RE.search(block)
+        d = _ATOM_DATE_RE.search(block)
+        out.append((link.group(1), t.group(1) if t else "",
+                    d.group(1) if d else ""))
+    return out
+
+
+def feed_seeds(ds, host_column: str = "host", xml_column: str = "feed_xml"):
+    """Explode per-host RSS/Atom feed documents into frontier seed rows
+    ``(host, url, title, published)`` — same contract as
+    :func:`sitemap_seeds` (pure per-batch parser map, no shuffle; gate
+    with :func:`robots_filter`, plan with :func:`frontier_schedule`)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hosts, urls, titles, dates = [], [], [], []
+        for h, xml in zip(batch[host_column].to_pylist(),
+                          batch[xml_column].to_pylist()):
+            for link, title, pub in parse_feed(xml or ""):
+                hosts.append(h or "")
+                urls.append(link)
+                titles.append(title)
+                dates.append(pub)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "published": pa.array(dates, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Redirect-chain resolution
 # ---------------------------------------------------------------------------

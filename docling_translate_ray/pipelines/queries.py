@@ -518,6 +518,51 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def feed_docs_batch(batch: pa.Table) -> pa.Table:
+    """Per-host feed documents: even docs are RSS 2.0 (3 linked items
+    + one linkless item the parser must skip), odd docs are Atom (2
+    entries with href links); every field is closed-form in (doc_id,
+    item ordinal) for the oracle."""
+    hosts, xmls = [], []
+    for i in batch["doc_id"].to_pylist():
+        host = f"feed{i % 31}.example"
+        if i % 2 == 0:
+            items = "".join(
+                f"<item><title>post {i} {j}</title>"
+                f"<link>https://{host}/post/{i}/{j}</link>"
+                f"<pubDate>2024-0{1 + j % 9}-0{1 + i % 9}</pubDate></item>"
+                for j in range(3))
+            items += "<item><title>teaser without link</title></item>"
+            xml = (f'<?xml version="1.0"?><rss version="2.0"><channel>'
+                   f"<title>chan {i}</title>{items}</channel></rss>")
+        else:
+            xml = ('<feed xmlns="http://www.w3.org/2005/Atom">'
+                   f"<title>feed {i}</title>" + "".join(
+                       f"<entry><title>post {i} {j}</title>"
+                       f'<link href="https://{host}/post/{i}/{j}"/>'
+                       f"<updated>2024-0{1 + j % 9}-0{1 + i % 9}</updated>"
+                       f"</entry>" for j in range(2)) + "</feed>")
+        hosts.append(host)
+        xmls.append(xml)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "feed_xml": pa.array(xmls, pa.string()),
+    })
+
+
+def q_feed_seeds(sf_dir: str):
+    """RSS/Atom feed discovery lane (functions/crawl.feed_seeds — the
+    fourth frontier surface next to sitemaps/links/history): planted
+    two-dialect feeds, linkless items skipped, fields replayed
+    closed-form by the oracle."""
+    from docling_translate_ray.functions.crawl import feed_seeds
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        feed_docs_batch, batch_format="pyarrow"
+    )
+    return feed_seeds(docs)
+
+
 def jsonld_pages_batch(batch: pa.Table) -> pa.Table:
     """Pages carrying planted JSON-LD: odd docs get an INVALID block
     first (trailing comma — the parse must skip it without shifting
