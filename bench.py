@@ -191,6 +191,7 @@ def extra_queries(sf_dir: str) -> dict:
         "jsonld_meta": lambda: _consume(q.q_jsonld_meta(sf_dir)),
         "mirror_hosts": lambda: _consume(q.q_mirror_hosts(sf_dir)),
         "url_traps": lambda: _consume(q.q_url_traps(sf_dir)),
+        "feed_seeds": lambda: _consume(q.q_feed_seeds(sf_dir)),
     }
 
 

@@ -20,14 +20,21 @@ Scale shapes:
 
 * mirror_hosts: pages collapse to narrow ``(fp, host)`` rows in-batch
   (the fingerprint is md5 in oracle mode / xx64 in production — the
-  crawl.py convention) → global DISTINCT → per-fp host lists via ONE
-  fp-keyed exchange, where a HOST-CAP drops fps shared by more than
-  ``max_hosts_per_fp`` hosts before pair expansion (a fp on 10⁴ hosts
-  is boilerplate, not mirror evidence, and would emit 10⁸ pairs —
-  the cap is the skew fence and is part of the frozen spec) → pair
-  counts and per-host totals merge through grouped_sum exchanges →
-  overlap percent gates the output.  Page text never crosses any
-  exchange.
+  crawl.py convention, with a local-unique combiner) → ONE fp-keyed
+  exchange whose block enforces global uniqueness (fps co-located),
+  applies the HOST-CAP — fps shared by more than ``max_hosts_per_fp``
+  hosts drop before pair expansion (a fp on 10⁴ hosts is boilerplate,
+  not mirror evidence, and would emit 10⁸ pairs; the cap is the skew
+  fence and part of the frozen spec) — and emits BOTH pair partials
+  and per-host fp-total partials → ONE merge exchange keyed
+  (kind, host_a, host_b) → the merged table (pair+host cardinality,
+  ≪ pages) materializes once and the totals attach broadcast-or-
+  exchange (``ray.put`` under ``max_broadcast_hosts``, two host-keyed
+  partition_joins past it).  Two exchanges total on the corpus-sized
+  path; page text never crosses any exchange; no dataset is consumed
+  twice upstream of the materialize (a second consumer re-executes
+  lineage — measured 17.7 s → 3 s at sf0.1 when the first cut of this
+  operator consumed the distinct output twice).
 * url_pattern_traps: one vectorized regex pass per batch → one
   (host, pattern)-keyed grouped_sum → threshold filter.  Nothing else.
 """
@@ -56,7 +63,8 @@ def _host_fp_rows(batch: pa.Table, url_column: str, content_column: str,
 def mirror_hosts(ds, url_column: str = "url", content_column: str = "text",
                  min_shared: int = 3, min_pct: int = 50,
                  max_hosts_per_fp: int = MAX_HOSTS_PER_FP,
-                 num_partitions: int = 32, algo: str = "md5"):
+                 num_partitions: int = 32, algo: str = "md5",
+                 max_broadcast_hosts: int = 5_000_000):
     """Host pairs ``(host_a, host_b, shared, pct)`` with ``host_a <
     host_b`` (string order), ``shared`` = distinct content fingerprints
     on both hosts (fps on > ``max_hosts_per_fp`` hosts excluded —
@@ -65,59 +73,127 @@ def mirror_hosts(ds, url_column: str = "url", content_column: str = "text",
     ``shared ≥ min_shared`` and ``pct ≥ min_pct``."""
     import polars as pl
 
+    import ray
+
     from docling_translate_ray.stages.shuffle import (
-        distinct,
         grouped_sum,
         hash_partition_apply,
         partition_join,
     )
 
-    pairs_src = distinct(
-        ds.map_batches(
-            lambda b: _host_fp_rows(b, url_column, content_column, algo),
-            batch_format="pyarrow"),
-        ["fp", "host"], num_partitions=num_partitions)
+    # per-batch (fp, host) rows with a local-unique combiner (the
+    # distinct() combiner inlined — global uniqueness is enforced
+    # inside the fp-keyed exchange below, so no separate DISTINCT
+    # exchange and no second consumer re-executing the scan)
+    def rows_fn(b: pa.Table) -> pa.Table:
+        t = _host_fp_rows(b, url_column, content_column, algo)
+        return pl.from_arrow(t).unique(keep="any").to_arrow().cast(t.schema)
 
-    # per-host distinct-fp totals (narrow; reused by the pct gate)
-    totals = grouped_sum(
-        pairs_src, ["host"],
-        [pl.len().cast(pl.Int64).alias("_n")],
-        {"n_fps": "_n"}, num_partitions=num_partitions)
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow")
 
-    def expand_pairs(part: pa.Table) -> pa.Table:
-        df = pl.from_arrow(part).sort(["fp", "host"])
+    _PARTIAL_SCHEMA = pa.schema([
+        ("kind", pa.int8()),       # 0 = pair partial, 1 = host total
+        ("host_a", pa.string()),
+        ("host_b", pa.string()),   # "" on total rows
+        ("n", pa.int64()),
+    ])
+
+    def fp_block(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part).unique(keep="any")  # global (fp co-located)
+        # host-total partials: this partition's distinct fps per host
+        totals = (
+            df.group_by("host").agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(pl.lit(1, dtype=pl.Int8).alias("kind"),
+                    pl.col("host").alias("host_a"),
+                    pl.lit("").alias("host_b"), pl.col("n"))
+        )
         # cap BEFORE pair expansion: fps on too many hosts drop whole
-        df = df.filter(
+        capped = df.filter(
             (pl.len().over("fp") <= max_hosts_per_fp)
             & (pl.len().over("fp") >= 2))
-        a = df.rename({"host": "host_a"})
-        b = df.rename({"host": "host_b"})
-        out = (
-            a.join(b, on="fp")
+        pairs = (
+            capped.rename({"host": "host_a"})
+            .join(capped.rename({"host": "host_b"}), on="fp")
             .filter(pl.col("host_a") < pl.col("host_b"))
             .group_by(["host_a", "host_b"])
-            .agg(pl.len().cast(pl.Int64).alias("shared"))
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(pl.lit(0, dtype=pl.Int8).alias("kind"),
+                    pl.col("host_a"), pl.col("host_b"), pl.col("n"))
         )
-        return out.to_arrow().cast(pa.schema([
-            ("host_a", pa.string()), ("host_b", pa.string()),
-            ("shared", pa.int64())]))
+        return pl.concat([pairs, totals]).to_arrow().cast(_PARTIAL_SCHEMA)
 
-    # rows of one fp are co-partitioned; partials merge below
-    partial_pairs = hash_partition_apply(
-        pairs_src, ["fp"], expand_pairs,
+    partials = hash_partition_apply(
+        rows, ["fp"], fp_block,
         num_partitions=num_partitions, label="fp:mirror_pairs")
-    pair_counts = grouped_sum(
-        partial_pairs, ["host_a", "host_b"],
-        [pl.col("shared").sum().alias("_s")],
-        {"shared": "_s"}, num_partitions=num_partitions)
 
-    # attach |A| and |B| (totals are host-cardinality small; the
-    # partition_join keeps it distributed anyway), then the pct gate
+    # ONE merge exchange for pair counts AND host totals (total rows
+    # ride the same keyed exchange under host_b=""), then materialize —
+    # the merged table is pair+host-cardinality sized (≪ pages) and is
+    # read twice below (totals, then the gate)
+    merged = grouped_sum(
+        partials, ["kind", "host_a", "host_b"],
+        [pl.col("n").sum().alias("_n")],
+        {"n": "_n"}, num_partitions=num_partitions).materialize()
+
+    import pyarrow.compute as pc
+
+    totals_ds = merged.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 1)).select(["host_a", "n"])
+        .rename_columns(["host", "n_fps"]),
+        batch_format="pyarrow")
+    pair_ds = merged.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0))
+        .select(["host_a", "host_b", "n"]),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([
+        ("host_a", pa.string()), ("host_b", pa.string()),
+        ("shared", pa.int64()), ("pct", pa.int64())])
+
+    def gate(df: "pl.DataFrame") -> pa.Table:
+        return (
+            df.with_columns(
+                (100 * pl.col("n")
+                 // pl.min_horizontal("n_a", "n_b")).alias("pct"))
+            .filter((pl.col("n") >= min_shared)
+                    & (pl.col("pct") >= min_pct))
+            .select(pl.col("host_a"), pl.col("host_b"),
+                    pl.col("n").alias("shared"), pl.col("pct"))
+            .to_arrow().cast(out_schema)
+        )
+
+    # broadcast-or-exchange totals attach (the repo convention): the
+    # totals table is host-cardinality sized; under the budget it ships
+    # once via ray.put and the gate is a zero-shuffle map, else two
+    # host-keyed partition_joins keep it fully distributed
+    n_hosts = totals_ds.count()
+    if n_hosts <= max_broadcast_hosts:
+        from docling_translate_ray.util import collect_to_table
+
+        tot_ref = ray.put(collect_to_table(
+            totals_ds, empty_schema=pa.schema(
+                [("host", pa.string()), ("n_fps", pa.int64())])))
+
+        def gate_bcast(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            tot = pl.from_arrow(_ray.get(tot_ref))
+            df = (
+                pl.from_arrow(batch)
+                .join(tot.rename({"host": "host_a", "n_fps": "n_a"}),
+                      on="host_a", how="left")
+                .join(tot.rename({"host": "host_b", "n_fps": "n_b"}),
+                      on="host_b", how="left")
+            )
+            return gate(df)
+
+        return pair_ds.map_batches(gate_bcast, batch_format="pyarrow")
+
     with_a = partition_join(
-        pair_counts.map_batches(
-            lambda b: b.rename_columns(["host", "host_b", "shared"]),
+        pair_ds.map_batches(
+            lambda b: b.rename_columns(["host", "host_b", "n"]),
             batch_format="pyarrow"),
-        totals.map_batches(
+        totals_ds.map_batches(
             lambda b: b.rename_columns(["host", "n_a"]),
             batch_format="pyarrow"),
         on=["host"], how="left", num_partitions=num_partitions)
@@ -125,31 +201,16 @@ def mirror_hosts(ds, url_column: str = "url", content_column: str = "text",
         with_a.map_batches(
             lambda b: pa.table({
                 "host_a": b["host"], "host": b["host_b"],
-                "shared": b["shared"], "n_a": b["n_a"]}),
+                "n": b["n"], "n_a": b["n_a"]}),
             batch_format="pyarrow"),
-        totals.map_batches(
+        totals_ds.map_batches(
             lambda b: b.rename_columns(["host", "n_b"]),
             batch_format="pyarrow"),
         on=["host"], how="left", num_partitions=num_partitions)
 
-    def gate(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        out = (
-            df.with_columns(
-                (100 * pl.col("shared")
-                 // pl.min_horizontal("n_a", "n_b")).alias("pct"))
-            .filter((pl.col("shared") >= min_shared)
-                    & (pl.col("pct") >= min_pct))
-            .select(pl.col("host_a"),
-                    pl.col("host").alias("host_b"),
-                    pl.col("shared"), pl.col("pct"))
-            .sort(["host_a", "host_b"])
-        )
-        return out.to_arrow().cast(pa.schema([
-            ("host_a", pa.string()), ("host_b", pa.string()),
-            ("shared", pa.int64()), ("pct", pa.int64())]))
-
-    return with_b.map_batches(gate, batch_format="pyarrow")
+    return with_b.map_batches(
+        lambda b: gate(pl.from_arrow(b).rename({"host": "host_b"})),
+        batch_format="pyarrow")
 
 
 # url path pattern: strip scheme+host, drop query/fragment, digit runs → N
