@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RSS/Atom feed discovery (functions/crawl.feed_seeds — the
         # fourth frontier surface; two-dialect frozen regex subset)
         "feed_seeds": q.q_feed_seeds,
+        # mixed-language detection (functions/text_stats.lang_mix —
+        # per-line LangId vote, zero exchanges; planted-truth oracle,
+        # the chain itself stays checked by the legacy langid entry)
+        "lang_mix": q.q_lang_mix,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -152,7 +156,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions: SemDeDup, DSIR importance scoring,
         # temperature language rebalancing (all oracle-backed)
         "semdedup": q.q_semdedup,
-        "lang_rebalance": q.q_lang_rebalance,
         "bitext_mine": q.q_bitext_mine,
         "bpe_pair_counts": q.q_bpe_pair_counts,
         "mixture": q.q_mixture,
@@ -450,6 +453,10 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       and strip stage as its first mile; the composed oracle embeds
       this entry's whole kept-chunk CTE) — driver-hash-verified r03,
       demoted round 4 for feed_seeds
+    * lang_rebalance → mixture (runs functions/sampling.lang_rebalance
+      VERBATIM as its final temperature-rebalance stage inside the
+      end-to-end composite oracle) — driver-hash-verified r03, demoted
+      round 4 for lang_mix
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -461,6 +468,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q.q_dedup_keep_best,
         "url_pair_mine": q.q_url_pair_mine,
         "boilerplate_strip": q.q_boilerplate_strip,
+        "lang_rebalance": q.q_lang_rebalance,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1715,6 +1723,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4-style line dedup over a deterministic 8-word line wrapping:
         # drop lines present in >= 2 distinct docs, reassemble in order
+        # Mixed-language detection: the planted line language is
+        # closed-form in (doc_id, j); replay the plurality vote,
+        # smallest-lang tie-break, integer pct and the mixed flag
+        "lang_mix": """
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 5 AS nl FROM documents),
+            l AS (
+              SELECT doc_id, j,
+                     CASE WHEN (doc_id + j) % 7 >= 4 THEN 'und'
+                          ELSE ['en','de','fr','es'][(doc_id + j) % 4 + 1]
+                     END AS lang
+              FROM d, unnest(range(0, nl)) t(j)),
+            c AS (
+              SELECT doc_id, lang, count(*)::BIGINT AS cnt
+              FROM l GROUP BY doc_id, lang),
+            m AS (
+              SELECT doc_id, lang, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, lang) AS rn,
+                     sum(cnt) OVER (PARTITION BY doc_id) AS n_lines
+              FROM c)
+            SELECT doc_id, lang AS main_lang,
+                   n_lines::BIGINT AS n_lines,
+                   (100 * cnt // n_lines)::BIGINT AS main_pct,
+                   (100 * cnt // n_lines < 70) AS is_mixed
+            FROM m WHERE rn = 1
+        """,
         # Feed discovery: replay the planted RSS (3 items, even docs)
         # / Atom (2 entries, odd docs) structure closed-form; the
         # linkless teaser item never emits on either side

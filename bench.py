@@ -192,6 +192,7 @@ def extra_queries(sf_dir: str) -> dict:
         "mirror_hosts": lambda: _consume(q.q_mirror_hosts(sf_dir)),
         "url_traps": lambda: _consume(q.q_url_traps(sf_dir)),
         "feed_seeds": lambda: _consume(q.q_feed_seeds(sf_dir)),
+        "lang_mix": lambda: _consume(q.q_lang_mix(sf_dir)),
     }
 
 

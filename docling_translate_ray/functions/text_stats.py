@@ -992,6 +992,95 @@ class LangId:
         )
 
 
+class LangMix:
+    """Mixed-language document detection — the per-LINE langid vote.
+
+    CCNet keeps per-document language labels, but web pages are often
+    bilingual (navigation in one language, body in another; comment
+    sections; boilerplate-translated shops) and a single doc-level
+    label silently mislabels half the tokens.  This stage runs the
+    SAME frozen :class:`LangId` decision chain per line, then votes:
+
+        main_lang  — the plurality line language (ties → smallest
+                     lang string, deterministic)
+        n_lines    — non-empty lines
+        main_pct   — ``100 * plurality_count // n_lines``
+        is_mixed   — ``main_pct < min_main_pct`` (default 70)
+
+    Zero exchanges: each document row arrives whole in one batch, so
+    the explode → per-line LangId → per-doc vote all happen inside one
+    ``map_batches`` call (actor pool — LangId's stopword tables build
+    once per actor).  Documents with no non-empty lines are omitted.
+    """
+
+    def __init__(self, id_column: str = "doc_id", column: str = "text",
+                 min_main_pct: int = 70) -> None:
+        self._id, self._col = id_column, column
+        self._pct = min_main_pct
+        self._lid = LangId(column="_line")
+
+    _OUT = pa.schema([
+        ("doc_id", pa.int64()), ("main_lang", pa.string()),
+        ("n_lines", pa.int64()), ("main_pct", pa.int64()),
+        ("is_mixed", pa.bool_()),
+    ])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lines = (
+            pl.from_arrow(batch.select([self._id, self._col]))
+            .rename({self._id: "_id", self._col: "_t"})
+            .with_columns(pl.col("_id").cast(pl.Int64),
+                          pl.col("_t").fill_null(""))
+            .with_columns(pl.col("_t").str.split("\n").alias("_line"))
+            .explode("_line")
+            .with_columns(pl.col("_line").str.strip_chars(" \t\r"))
+            .filter(pl.col("_line") != "")
+            .select("_id", "_line")
+        )
+        if lines.height == 0:
+            return self._OUT.empty_table()
+        tagged = self._lid(lines.to_arrow())
+        out = (
+            pl.from_arrow(tagged)
+            .group_by(["_id", "lang_pred"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .sort(["_id", "cnt", "lang_pred"],
+                  descending=[False, True, False])
+            .with_columns(
+                pl.col("cnt").sum().over("_id").alias("n_lines"))
+            .group_by("_id", maintain_order=True)
+            .agg(pl.first("lang_pred").alias("main_lang"),
+                 pl.first("n_lines").alias("n_lines"),
+                 pl.first("cnt").alias("_top"))
+            .with_columns(
+                (100 * pl.col("_top") // pl.col("n_lines"))
+                .alias("main_pct"))
+            .with_columns((pl.col("main_pct") < self._pct)
+                          .alias("is_mixed"))
+            .rename({"_id": "doc_id"})
+            .select(["doc_id", "main_lang", "n_lines", "main_pct",
+                     "is_mixed"])
+        )
+        return out.to_arrow().cast(self._OUT)
+
+
+def lang_mix(ds, id_column: str = "doc_id", column: str = "text",
+             min_main_pct: int = 70, concurrency=None):
+    """Dataset op: per-document line-language vote (see
+    :class:`LangMix`).  Map-only — no shuffle anywhere."""
+    from docling_translate_ray.util import auto_pool_size
+
+    return ds.select_columns([id_column, column]).map_batches(
+        LangMix, fn_constructor_kwargs={
+            "id_column": id_column, "column": column,
+            "min_main_pct": min_main_pct},
+        batch_format="pyarrow",
+        concurrency=concurrency or auto_pool_size(),
+    )
+
+
 def heavy_hitters(ds, column: str = "text", theta_bp: int = 300,
                   num_partitions: int = 32) -> pa.Table:
     """EXACT frequent-token mining (heavy hitters) without counting the

@@ -518,6 +518,50 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+_LANGMIX_LINES = {
+    "en": "the and of to a in is that it for",
+    "de": "der die das und ist nicht ein zu mit von",
+    "fr": "le la les et est un une de que pour",
+    "es": "el la los y es un una de que para",
+}
+
+
+def langmix_docs_batch(batch: pa.Table) -> pa.Table:
+    """Docs with PLANTED per-line languages: doc i has 4 + i%5 lines;
+    line j is the full stopword line of ['en','de','fr','es'][(i+j)%4]
+    (decisively that language under the frozen LangId chain) unless
+    (i+j)%7 ≥ 4, which plants an 'und' line.  The oracle replays the
+    planted truth closed-form; the langid CHAIN itself stays
+    oracle-checked by the legacy langid entry."""
+    order = ["en", "de", "fr", "es"]
+    ids, texts = [], []
+    for i in batch["doc_id"].to_pylist():
+        lines = []
+        for j in range(4 + i % 5):
+            if (i + j) % 7 >= 4:
+                lines.append("qqq zzz xxx")
+            else:
+                lines.append(_LANGMIX_LINES[order[(i + j) % 4]])
+        ids.append(i)
+        texts.append("\n".join(lines))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def q_lang_mix(sf_dir: str):
+    """Mixed-language detection (functions/text_stats.lang_mix): the
+    per-line LangId vote over planted multilingual docs; plurality,
+    tie-break, pct and the mixed flag replayed closed-form."""
+    from docling_translate_ray.functions.text_stats import lang_mix
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        langmix_docs_batch, batch_format="pyarrow"
+    )
+    return lang_mix(docs)
+
+
 def feed_docs_batch(batch: pa.Table) -> pa.Table:
     """Per-host feed documents: even docs are RSS 2.0 (3 linked items
     + one linkless item the parser must skip), odd docs are Atom (2
