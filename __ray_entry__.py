@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-line LangId vote, zero exchanges; planted-truth oracle,
         # the chain itself stays checked by the legacy langid entry)
         "lang_mix": q.q_lang_mix,
+        # link-reciprocity spam signal (functions/graph
+        # .link_reciprocity — canonical-pair exchange + host merge,
+        # two narrow exchanges, single consumption chain)
+        "link_reciprocity": q.q_link_reciprocity,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -168,7 +172,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new operators this round: persistent-index incremental crawl
         # dedup + cross-snapshot diff + latest-version select
         "minhash_index_probe": q.q_minhash_index_probe,
-        "sitemap_seeds": q.q_sitemap_seeds,
         "host_reputation": q.q_host_reputation,
         "crawl_cycle": q.q_crawl_cycle,
         "incremental_extract": q.q_incremental_extract,
@@ -457,6 +460,11 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       VERBATIM as its final temperature-rebalance stage inside the
       end-to-end composite oracle) — driver-hash-verified r03, demoted
       round 4 for lang_mix
+    * sitemap_seeds → feed_seeds (same pure per-batch frontier-
+      discovery parser-map shape over per-host XML — the pii_scrub
+      precedent; the urlset regex subset stays oracle-checked here and
+      pinned in pytest) — driver-hash-verified r03, demoted round 4
+      for link_reciprocity
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -469,6 +477,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "url_pair_mine": q.q_url_pair_mine,
         "boilerplate_strip": q.q_boilerplate_strip,
         "lang_rebalance": q.q_lang_rebalance,
+        "sitemap_seeds": q.q_sitemap_seeds,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1723,6 +1732,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4-style line dedup over a deterministic 8-word line wrapping:
         # drop lines present in >= 2 distinct docs, reassemble in order
+        # Link reciprocity: rebuild the planted edge set, dedup, count
+        # distinct out-neighbours and the reciprocated subset per host
+        "link_reciprocity": """
+            WITH e0 AS (
+              SELECT CASE doc_id % 3
+                       WHEN 0 THEN 'h' || (doc_id % 40)
+                       WHEN 1 THEN 'h' || ((doc_id + 1) % 40)
+                       ELSE 'h' || (doc_id % 40) END AS s,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'h' || ((doc_id + 1) % 40)
+                       WHEN 1 THEN 'h' || (doc_id % 40)
+                       ELSE 'h' || ((doc_id + 7) % 40) END AS d
+              FROM documents),
+            e AS (SELECT DISTINCT s, d FROM e0 WHERE s <> d),
+            o AS (
+              SELECT e.s AS host, e.d AS nbr,
+                     CASE WHEN r.s IS NULL THEN 0 ELSE 1 END AS recip
+              FROM e LEFT JOIN e r ON r.s = e.d AND r.d = e.s)
+            SELECT host, count(*)::BIGINT AS n_out,
+                   sum(recip)::BIGINT AS n_recip,
+                   (100 * sum(recip) // count(*))::BIGINT AS recip_pct
+            FROM o GROUP BY host
+        """,
         # Mixed-language detection: the planted line language is
         # closed-form in (doc_id, j); replay the plurality vote,
         # smallest-lang tie-break, integer pct and the mixed flag

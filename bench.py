@@ -193,6 +193,7 @@ def extra_queries(sf_dir: str) -> dict:
         "url_traps": lambda: _consume(q.q_url_traps(sf_dir)),
         "feed_seeds": lambda: _consume(q.q_feed_seeds(sf_dir)),
         "lang_mix": lambda: _consume(q.q_lang_mix(sf_dir)),
+        "link_reciprocity": lambda: _consume(q.q_link_reciprocity(sf_dir)),
     }
 
 

@@ -176,6 +176,96 @@ _SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _ORIGIN_RE = _re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)")
 
 
+def link_reciprocity(edges_ds, src_column: str = "src_host",
+                     dst_column: str = "dst_host",
+                     num_partitions: int = 32):
+    """Per-host link-reciprocity — the classic link-farm / link-exchange
+    spam signal (TrustRank-family heuristics: organic sites link out far
+    more than they are linked back by the same peers; a host whose
+    out-links are mostly reciprocated is trading links).
+
+    Input: host-level edge rows ``(src_host, dst_host)`` (duplicates
+    fine — uniqueness is enforced inside the exchange).  Output per
+    host: ``(host, n_out, n_recip, recip_pct)`` where ``n_out`` counts
+    DISTINCT out-neighbours (self-loops dropped), ``n_recip`` counts
+    those that link back, ``recip_pct = 100 * n_recip // n_out``.
+
+    Scale shape (single consumption chain — the mirror_hosts lesson):
+    per-batch map canonicalizes each edge to ``(lo, hi, dir)`` with a
+    local-unique combiner → ONE pair-keyed exchange whose block
+    dedups globally (pairs co-located) and emits per-endpoint partial
+    rows ``(host, out=1, recip=both_directions)`` per present
+    direction → ONE host-keyed grouped_sum merge.  Two narrow
+    exchanges total; no dataset consumed twice.
+    """
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import (
+        grouped_sum,
+        hash_partition_apply,
+    )
+
+    _EDGE = pa.schema([("lo", pa.string()), ("hi", pa.string()),
+                       ("fwd", pa.int8())])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch.select([src_column, dst_column]))
+            .rename({src_column: "s", dst_column: "d"})
+            .drop_nulls()
+            .filter(pl.col("s") != pl.col("d"))
+            .select(
+                pl.min_horizontal("s", "d").alias("lo"),
+                pl.max_horizontal("s", "d").alias("hi"),
+                (pl.col("s") < pl.col("d")).cast(pl.Int8).alias("fwd"),
+            )
+            .unique(keep="any")
+        )
+        return df.to_arrow().cast(_EDGE)
+
+    _PARTIAL = pa.schema([("host", pa.string()), ("n_out", pa.int64()),
+                          ("n_recip", pa.int64())])
+
+    def pair_block(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part).unique(keep="any")  # global (co-located)
+        per_pair = (
+            df.group_by(["lo", "hi"])
+            .agg(pl.col("fwd").max().alias("has_fwd"),
+                 (1 - pl.col("fwd").min()).alias("has_bwd"))
+            .with_columns(
+                (pl.col("has_fwd") * pl.col("has_bwd"))
+                .cast(pl.Int64).alias("recip"))
+        )
+        fwd = per_pair.filter(pl.col("has_fwd") == 1).select(
+            pl.col("lo").alias("host"), pl.lit(1, dtype=pl.Int64)
+            .alias("n_out"), pl.col("recip").alias("n_recip"))
+        bwd = per_pair.filter(pl.col("has_bwd") == 1).select(
+            pl.col("hi").alias("host"), pl.lit(1, dtype=pl.Int64)
+            .alias("n_out"), pl.col("recip").alias("n_recip"))
+        return pl.concat([fwd, bwd]).to_arrow().cast(_PARTIAL)
+
+    partials = hash_partition_apply(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], pair_block,
+        num_partitions=num_partitions, label="pair:reciprocity")
+
+    merged = grouped_sum(
+        partials, ["host"],
+        [pl.col("n_out").sum().alias("_o"),
+         pl.col("n_recip").sum().alias("_r")],
+        {"n_out": "_o", "n_recip": "_r"},
+        num_partitions=num_partitions)
+
+    def pct(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            (100 * pl.col("n_recip") // pl.col("n_out")).alias("recip_pct"))
+        return df.rename({"host": "host"}).to_arrow().cast(pa.schema([
+            ("host", pa.string()), ("n_out", pa.int64()),
+            ("n_recip", pa.int64()), ("recip_pct", pa.int64())]))
+
+    return merged.map_batches(pct, batch_format="pyarrow")
+
+
 def resolve_href(base_url: str, href: str) -> str | None:
     """Fetchable absolute URL for ``href`` found on ``base_url``, or
     ``None`` when the link is not a crawl edge.  The documented subset

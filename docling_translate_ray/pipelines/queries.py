@@ -518,6 +518,38 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def recip_edges_batch(batch: pa.Table) -> pa.Table:
+    """Host-graph edges with planted reciprocity: docs ≡0 (mod 3) link
+    h<i%40>→h<(i+1)%40>, docs ≡1 link the REVERSE of the same pair
+    (making {k, k+1} pairs reciprocal), docs ≡2 link h<i%40>→h<(i+7)%40>
+    (one-directional)."""
+    src, dst = [], []
+    for i in batch["doc_id"].to_pylist():
+        a, b, c = f"h{i % 40}", f"h{(i + 1) % 40}", f"h{(i + 7) % 40}"
+        if i % 3 == 0:
+            src.append(a), dst.append(b)
+        elif i % 3 == 1:
+            src.append(b), dst.append(a)
+        else:
+            src.append(a), dst.append(c)
+    return pa.table({
+        "src_host": pa.array(src, pa.string()),
+        "dst_host": pa.array(dst, pa.string()),
+    })
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Link-farm signal (functions/graph.link_reciprocity): per-host
+    distinct out-neighbours, reciprocated count and integer percent
+    over a planted host graph with known reciprocal pairs."""
+    from docling_translate_ray.functions.graph import link_reciprocity
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        recip_edges_batch, batch_format="pyarrow"
+    )
+    return link_reciprocity(edges)
+
+
 _LANGMIX_LINES = {
     "en": "the and of to a in is that it for",
     "de": "der die das und ist nicht ein zu mit von",
