@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # .link_reciprocity — canonical-pair exchange + host merge,
         # two narrow exchanges, single consumption chain)
         "link_reciprocity": q.q_link_reciprocity,
+        # C4 line-quality rules (functions/dedup.line_quality_trim —
+        # terminal punct / min-words / not-shouty per line, zero
+        # exchanges; rule-replay oracle)
+        "line_quality_trim": q.q_line_quality_trim,
         # round-4 late additions — never driver-checked, first in the
         # window: declared-charset decoding (BOM → meta declaration →
         # reference ladder, vectorized router + arrow cast fast path;
@@ -186,7 +190,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_mask": q.q_dup_span_mask,
         # text analysis
         "gopher_quality": q.q_gopher_quality,
-        "pack_sequences": q.q_pack_sequences,
     }
 
 
@@ -465,6 +468,12 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       precedent; the urlset regex subset stays oracle-checked here and
       pinned in pytest) — driver-hash-verified r03, demoted round 4
       for link_reciprocity
+    * pack_sequences → mixture / token_budget (functions/packing
+      siblings with the same narrow-counts-projection → bounded-
+      driver-state → broadcast-offsets shape; token_budget_select runs
+      VERBATIM inside mixture's oracle and the prefix-sum kernel stays
+      oracle-checked here) — driver-hash-verified r01–r03, demoted
+      round 4 for line_quality_trim
     """
     from docling_translate_ray.pipelines import queries as q
 
@@ -478,6 +487,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": q.q_boilerplate_strip,
         "lang_rebalance": q.q_lang_rebalance,
         "sitemap_seeds": q.q_sitemap_seeds,
+        "pack_sequences": q.q_pack_sequences,
         "lang_token_quantiles": q.q_lang_token_quantiles,
         "media_features": q.q_media_features,
         "token_count_bpe": q.q_token_count_bpe,
@@ -1732,6 +1742,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4-style line dedup over a deterministic 8-word line wrapping:
         # drop lines present in >= 2 distinct docs, reassemble in order
+        # Line-quality trim: rebuild the SAME constructed lines, then
+        # replay the three predicates (words / terminal char / caps)
+        # and the ordered reassembly
+        "line_quality_trim": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            l AS (
+              SELECT doc_id, j + 1 AS line_no,
+                     (CASE WHEN (doc_id + j) % 5 = 0
+                           THEN 'LOUD NOISE ' ELSE '' END)
+                     || array_to_string(
+                          ws[j*8+1 : CASE WHEN (doc_id + j) % 7 = 0
+                                          THEN j*8+1 ELSE (j+1)*8 END],
+                          ' ')
+                     || (CASE (doc_id + j) % 3 WHEN 0 THEN ' fin.'
+                         WHEN 1 THEN ' fin!' ELSE ' fin' END) AS line
+              FROM w, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)))
+                       AS t(j)),
+            k AS (
+              SELECT doc_id, line_no, line
+              FROM l
+              WHERE len(regexp_extract_all(line, '@NONWS@')) >= 3
+                AND right(line, 1) IN ('.', '!', '?', '"', '''')
+                AND 2 * length(regexp_replace(line, '[^A-Z]', '', 'g'))
+                    <= length(regexp_replace(line, '[^A-Za-z]', '', 'g'))),
+            tot AS (
+              SELECT doc_id,
+                     CAST(ceil(len(ws) / 8.0) AS BIGINT) AS n_lines
+              FROM w)
+            SELECT k.doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no)
+                       AS text_trimmed,
+                   any_value(tot.n_lines) AS n_lines,
+                   count(*)::BIGINT AS n_kept
+            FROM k JOIN tot ON tot.doc_id = k.doc_id
+            GROUP BY k.doc_id
+        """,
         # Link reciprocity: rebuild the planted edge set, dedup, count
         # distinct out-neighbours and the reciprocated subset per host
         "link_reciprocity": """

@@ -194,6 +194,7 @@ def extra_queries(sf_dir: str) -> dict:
         "feed_seeds": lambda: _consume(q.q_feed_seeds(sf_dir)),
         "lang_mix": lambda: _consume(q.q_lang_mix(sf_dir)),
         "link_reciprocity": lambda: _consume(q.q_link_reciprocity(sf_dir)),
+        "line_quality_trim": lambda: _consume(q.q_line_quality_trim(sf_dir)),
     }
 
 

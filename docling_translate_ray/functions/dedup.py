@@ -1170,6 +1170,69 @@ def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id",
                                 label="doc:para_reassemble")
 
 
+def line_quality_trim(ds, column: str = "text", id_column: str = "doc_id",
+                      min_words: int = 3):
+    """C4-style LINE-quality trim (Raffel 2020 §2.2: "we only retained
+    lines that ended in a terminal punctuation mark … discarded any
+    page with fewer than 3 sentences and only retained lines that
+    contained at least 3 words") — the per-line RULE filter, distinct
+    from every dedup in this module (no cross-doc state at all):
+
+        keep a line iff  n_words ≥ min_words
+                    AND  its last char ∈ { . ! ? " ' }
+                    AND  NOT shouty: 2 × [A-Z] count ≤ [A-Za-z] count
+
+    Returns ``(id, text_trimmed, n_lines, n_kept)``; documents with no
+    surviving line are omitted.  Zero exchanges — each document's
+    lines explode, filter and reassemble inside the batch that holds
+    the whole document.  ASCII char classes only (engine-lockstep: the
+    DuckDB oracle replays the same three predicates)."""
+    import polars as pl
+
+    TERMINAL = (".", "!", "?", '"', "'")
+
+    def trim(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            id_column: pl.Series(batch[id_column].to_pylist(),
+                                 dtype=pl.Int64),
+            column: pl.Series(batch[column].to_pylist(),
+                              dtype=pl.String).fill_null(""),
+        })
+        lines = (
+            df.with_columns(pl.col(column).str.split("\n").alias("_l"))
+            .explode("_l")
+            .with_columns(
+                pl.int_range(1, pl.len() + 1).over(id_column)
+                .alias("_no"),
+                pl.col("_l").str.count_matches(r"\S+").alias("_nw"),
+                pl.col("_l").str.count_matches("[A-Z]").alias("_up"),
+                pl.col("_l").str.count_matches("[A-Za-z]").alias("_al"),
+                pl.col("_l").str.slice(-1).alias("_last"),
+            )
+            .filter((pl.col("_nw") >= min_words)
+                    & pl.col("_last").is_in(list(TERMINAL))
+                    & (2 * pl.col("_up") <= pl.col("_al")))
+        )
+        out = (
+            lines.sort([id_column, "_no"])
+            .group_by(id_column, maintain_order=True)
+            .agg(pl.col("_l").str.join("\n").alias("text_trimmed"),
+                 pl.len().cast(pl.Int64).alias("n_kept"))
+        )
+        totals = df.select(
+            pl.col(id_column),
+            pl.col(column).str.split("\n").list.len()
+            .cast(pl.Int64).alias("n_lines"))
+        out = out.join(totals, on=id_column, how="left").select(
+            [id_column, "text_trimmed", "n_lines", "n_kept"])
+        return out.to_arrow().cast(pa.schema([
+            (id_column, pa.int64()), ("text_trimmed", pa.string()),
+            ("n_lines", pa.int64()), ("n_kept", pa.int64())]))
+
+    return ds.select_columns([id_column, column]).map_batches(
+        trim, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:

@@ -518,6 +518,46 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def lineq_docs_batch(batch: pa.Table) -> pa.Table:
+    """Docs whose lines exercise every line-quality rule: 8-token
+    wraps where line (i+j) ≡0 (mod 7) is truncated to ONE token
+    (min-words rule), ≡0 (mod 5) gets a shouty 'LOUD NOISE ' prefix
+    (caps rule), and the suffix cycles ' fin.' / ' fin!' / ' fin'
+    (terminal-punctuation rule).  The oracle rebuilds the SAME lines
+    and replays the three predicates — rule replay, not planted
+    truth."""
+    ids, texts = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        toks = (t or "").split()
+        lines = []
+        for j in range((len(toks) + 7) // 8):
+            seg = toks[j * 8:(j + 1) * 8]
+            if (i + j) % 7 == 0:
+                seg = seg[:1]
+            line = (("LOUD NOISE " if (i + j) % 5 == 0 else "")
+                    + " ".join(seg)
+                    + [" fin.", " fin!", " fin"][(i + j) % 3])
+            lines.append(line)
+        ids.append(i)
+        texts.append("\n".join(lines))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def q_line_quality_trim(sf_dir: str):
+    """C4 line-quality rules (functions/dedup.line_quality_trim):
+    terminal punctuation + min-words + not-shouty per line, document
+    reassembly, zero exchanges; the oracle replays the predicates over
+    identically constructed lines."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lineq_docs_batch, batch_format="pyarrow"
+    )
+    return fdedup.line_quality_trim(docs)
+
+
 def recip_edges_batch(batch: pa.Table) -> pa.Table:
     """Host-graph edges with planted reciprocity: docs ≡0 (mod 3) link
     h<i%40>→h<(i+1)%40>, docs ≡1 link the REVERSE of the same pair
