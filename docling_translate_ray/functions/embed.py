@@ -43,14 +43,23 @@ _SPARSE_SCHEMA = pa.schema([
 class HashEmbedder:
     """Actor-pool kernel: docs → PARTIAL sparse signed counts
     ``(doc_id, dim, val)`` (per batch; merge across batches is the
-    caller's grouped_sum).  dim = ``md5(tok)[:2]``; sign = +1 when
-    ``md5(tok)[2]`` ∈ 0-7 else −1 (DuckDB replays both from the same
-    hex digest)."""
+    caller's grouped_sum).
+
+    ``hash_mode="md5"`` is DuckDB-oracle lockstep: dim =
+    ``md5(tok)[:2]``, sign = +1 when ``md5(tok)[2]`` ∈ 0-7 else −1
+    (the oracle replays both from the same hex digest) — a per-UNIQUE-
+    token Python loop behind a Zipf cache.  ``hash_mode="xx64"``
+    (production default of :func:`hash_embed`) derives dim = low byte
+    and sign = bit 8 of the vectorized polars token hash — no Python
+    loop at all; feature-hashing only needs hash-distribution quality,
+    not a specific digest (the r03 md5-loop lesson)."""
 
     _CACHE_CAP = 2_000_000
 
-    def __init__(self, id_column: str = "doc_id", column: str = "text"):
+    def __init__(self, id_column: str = "doc_id", column: str = "text",
+                 hash_mode: str = "md5"):
         self._id, self._col = id_column, column
+        self._mode = hash_mode
         self._of: dict[str, tuple[str, int]] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -67,22 +76,36 @@ class HashEmbedder:
         )
         if toks.height == 0:
             return _SPARSE_SCHEMA.empty_table()
-        cache = self._of
-        if len(cache) > self._CACHE_CAP:
-            cache = self._of = {}
-        uniq = toks["w"].unique()
-        for w in uniq:
-            if w not in cache:
-                h = hashlib.md5(w.encode("utf-8")).hexdigest()
-                cache[w] = (h[:2], 1 if int(h[2], 16) < 8 else -1)
-        hmap = pl.DataFrame({
-            "w": uniq,
-            "dim": [cache[w][0] for w in uniq],
-            "s": pl.Series([cache[w][1] for w in uniq], dtype=pl.Int64),
-        })
+        if self._mode == "xx64":
+            hexes = [f"{b:02x}" for b in range(256)]
+            tagged = toks.with_columns(
+                pl.col("w").hash(seed=11).alias("_h")
+            ).with_columns(
+                (pl.col("_h") % 256).cast(pl.UInt8).alias("_d"),
+                (1 - 2 * ((pl.col("_h") // 256) % 2).cast(pl.Int64))
+                .alias("s"),
+            ).with_columns(
+                pl.col("_d").cast(pl.UInt32)
+                .replace_strict(list(range(256)), hexes,
+                                return_dtype=pl.String).alias("dim"))
+        else:  # md5: oracle lockstep, per-unique-token loop + cache
+            cache = self._of
+            if len(cache) > self._CACHE_CAP:
+                cache = self._of = {}
+            uniq = toks["w"].unique()
+            for w in uniq:
+                if w not in cache:
+                    h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                    cache[w] = (h[:2], 1 if int(h[2], 16) < 8 else -1)
+            hmap = pl.DataFrame({
+                "w": uniq,
+                "dim": [cache[w][0] for w in uniq],
+                "s": pl.Series([cache[w][1] for w in uniq],
+                               dtype=pl.Int64),
+            })
+            tagged = toks.join(hmap, on="w", how="left")
         out = (
-            toks.join(hmap, on="w", how="left")
-            .group_by(["_id", "dim"])
+            tagged.group_by(["_id", "dim"])
             .agg(pl.col("s").sum().alias("val"))
             .rename({"_id": "doc_id"})
             .select(["doc_id", "dim", "val"])
@@ -92,10 +115,12 @@ class HashEmbedder:
 
 def hash_embed(ds, id_column: str = "doc_id", column: str = "text",
                concurrency: int | tuple | None = None,
-               num_partitions: int = 32):
+               num_partitions: int = 32, hash_mode: str = "md5"):
     """Dataset op: documents → sparse hashed embedding rows
     ``(id, dim, val)``, zero rows dropped.  One actor-pool stage +
-    one narrow (id, dim)-keyed merge exchange."""
+    one narrow (id, dim)-keyed merge exchange.  ``hash_mode``:
+    ``"md5"`` (oracle lockstep) or ``"xx64"`` (fully vectorized —
+    use at corpus scale)."""
     import polars as pl
 
     from docling_translate_ray.stages.shuffle import grouped_sum
@@ -105,7 +130,8 @@ def hash_embed(ds, id_column: str = "doc_id", column: str = "text",
         concurrency = auto_pool_size()
     partial = ds.select_columns([id_column, column]).map_batches(
         HashEmbedder, fn_constructor_kwargs={
-            "id_column": id_column, "column": column},
+            "id_column": id_column, "column": column,
+            "hash_mode": hash_mode},
         batch_format="pyarrow", concurrency=concurrency,
     )
     merged = grouped_sum(

@@ -148,7 +148,8 @@ def test_driver_query_matches_oracle(sf_dir):
 
     import __ray_entry__ as entrymod
 
-    got = entrymod.queries()["boilerplate_strip"](sf_dir).take_all()
+    qs = {**entrymod.queries(), **entrymod.queries_legacy()}
+    got = qs["boilerplate_strip"](sf_dir).take_all()
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "

@@ -54,6 +54,22 @@ def test_duplicate_docs_identical_vectors(ray_session):
     assert v1 == v2 and len(v1) >= 1
 
 
+def test_xx64_mode_valid_dims_and_deterministic(ray_session):
+    rows = [(i, f"tok{i} shared words here") for i in range(8)]
+    a = _sparse(rows, hash_mode="xx64")
+    b = _sparse(rows, hash_mode="xx64")
+    assert a == b and len(a) > 0
+    for (_i, dim), v in a.items():
+        assert len(dim) == 2 and int(dim, 16) in range(256)
+        assert v != 0
+    # identical docs still collide exactly in xx64 mode
+    dup = _sparse([(1, "alpha beta"), (2, "alpha beta")],
+                  hash_mode="xx64")
+    v1 = {d: v for (i, d), v in dup.items() if i == 1}
+    v2 = {d: v for (i, d), v in dup.items() if i == 2}
+    assert v1 == v2
+
+
 def test_densify_cosine_orders_similarity(ray_session):
     rows = [(1, "the quick brown fox jumps"),
             (2, "the quick brown fox sleeps"),

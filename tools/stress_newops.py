@@ -109,7 +109,8 @@ def main() -> None:
         lambda: consume(paragraph_dedup(docs(), hash_mode="xx64",
                                         num_partitions=2 * cpus)))
     run("hash_embed",
-        lambda: consume(hash_embed(docs(), num_partitions=2 * cpus)))
+        lambda: consume(hash_embed(docs(), num_partitions=2 * cpus,
+                                   hash_mode="xx64")))
     run("mirror_hosts",
         lambda: consume(mirror_hosts(pages(), algo="xx64",
                                      num_partitions=2 * cpus)))
