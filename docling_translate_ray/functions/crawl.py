@@ -861,7 +861,9 @@ _ATOM_ENTRY_RE = _re2.compile(r"<entry\b[^>]*>(.*?)</entry>",
                               _re2.IGNORECASE | _re2.DOTALL)
 _FEED_TITLE_RE = _re2.compile(r"<title[^>]*>\s*(.*?)\s*</title>",
                               _re2.IGNORECASE | _re2.DOTALL)
-_RSS_LINK_RE = _re2.compile(r"<link\s*>\s*(.*?)\s*</link>",
+# attributes allowed in the open tag (real feeds ship <link> with xmlns
+# junk); an Atom-style self-closing <link …/> still yields no text match
+_RSS_LINK_RE = _re2.compile(r"<link\b[^>]*>\s*(.*?)\s*</link>",
                             _re2.IGNORECASE | _re2.DOTALL)
 _ATOM_LINK_RE = _re2.compile(r'<link\b[^>]*href="([^"]+)"',
                              _re2.IGNORECASE)

@@ -215,7 +215,9 @@ def mirror_hosts(ds, url_column: str = "url", content_column: str = "text",
 
 # url path pattern: strip scheme+host, drop query/fragment, digit runs → N
 _PAT_STRIP_QF = r"[?#].*$"
-_PAT_HOSTLESS = r"^[a-z][a-z0-9+.-]*://[^/]*"
+_PAT_HOSTLESS = r"(?i)^[a-z][a-z0-9+.-]*://[^/]*"  # (?i): 'HTTPS://Host/…'
+# must strip like 'https://host/…' or (host, pattern) groups fragment
+# against the lowercased extract_hosts output
 _PAT_DIGITS = r"[0-9]+"
 
 

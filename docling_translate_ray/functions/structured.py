@@ -39,9 +39,12 @@ import json
 import pyarrow as pa
 
 # attribute order tolerant enough for the planted corpus + common pages:
-# type attr anywhere in the script tag, body up to the closing tag
+# type attr anywhere in the script tag, body lazily up to the closing tag
+# ((?s:…) so JSON containing '<' — legal inside JSON strings, e.g. markup
+# in headline/articleBody — is not silently dropped; scoped-flag form is
+# valid in both Python re and polars' rust regex)
 JSONLD_RE = (r'<script[^>]*type="application/ld\+json"[^>]*>'
-             r'([^<]+)</script>')
+             r'((?s:.*?))</script>')
 
 
 def _field(obj: dict, *path):

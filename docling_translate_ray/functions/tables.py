@@ -51,6 +51,9 @@ _STRIP_BLOCK_RE = re.compile(
     r"<(script|style)[^>]*>.*?</\1\s*>|<!--.*?-->", re.I | re.S)
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
+# fast-path sniff before the full tag scan — case-insensitive to match
+# _TABLE_TAG_RE (a '<tAbLe>' page must not be silently skipped)
+_TABLE_SNIFF_RE = re.compile(r"<table", re.I)
 
 
 class _TableState:
@@ -104,8 +107,7 @@ def parse_tables(html_text: str) -> list[tuple[int, int, int, int, int, bool, st
     """All tables in one document → list of
     ``(table_idx, row, col, rowspan, colspan, is_header, text)`` cells,
     grid-resolved per the module contract."""
-    if "<table" not in html_text and "<TABLE" not in html_text \
-            and "<Table" not in html_text:
+    if _TABLE_SNIFF_RE.search(html_text) is None:
         return []
     html_text = _STRIP_BLOCK_RE.sub(" ", html_text)
     stack: list[_TableState] = []

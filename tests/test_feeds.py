@@ -51,3 +51,12 @@ def test_feed_seeds_dataset(ray_session):
     out = fc.feed_seeds(ds).to_pandas()
     assert [(r.host, r.url, r.title) for r in out.itertuples()] == [
         ("h1", "https://h1/p", "t")]
+
+
+def test_rss_link_with_attributes_and_selfclosing():
+    # attribute-laden <link rel=…> open tags must still match; a
+    # self-closing Atom-style <link/> inside an RSS item yields nothing
+    assert fc.parse_feed(
+        "<item><link rel=\"self\">http://a/x</link>"
+        "<title>T</title></item>") == [("http://a/x", "T", "")]
+    assert fc.parse_feed("<item><link /><title>T</title></item>") == []

@@ -74,3 +74,15 @@ def test_trap_query_fragment_stripped(ray_session):
             for i in range(100)]
     out = fm.url_pattern_traps(_pages(rows), min_pages=100).to_pandas()
     assert len(out) == 1 and out.iloc[0].pattern == "/s"
+
+
+def test_trap_uppercase_scheme_host_normalized(ray_session):
+    # 'HTTPS://Host/…' must group with 'https://host/…' — the hostless
+    # strip is (?i) so scheme+authority never leaks into the pattern
+    rows = [(f"{'HTTPS' if i % 2 else 'https'}://{'Cal' if i % 2 else 'cal'}"
+             f".example/day/{i}/view", f"t{i}") for i in range(120)]
+    out = fm.url_pattern_traps(_pages(rows), min_pages=100).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.host, r.pattern, int(r.n_pages)) == \
+        ("cal.example", "/day/N/view", 120)

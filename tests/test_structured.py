@@ -72,3 +72,10 @@ def test_extract_jsonld_dataset(ray_session):
     }))
     out = fs.extract_jsonld(ds).to_pandas()
     assert list(out.headline) == ["hh"]
+
+
+def test_json_containing_angle_bracket_not_dropped():
+    # '<' is legal inside JSON strings; the lazy body match keeps it
+    out = _rows('<script type="application/ld+json">'
+                '{"@type": "Article", "headline": "a <b> c"}</script>')
+    assert out == [(0, "Article", "a <b> c", "", "")]

@@ -144,3 +144,9 @@ def test_extract_tables_dataset(ray_session):
     out = ft.extract_tables(ds).to_pandas()
     assert sorted(zip(out["url"], out["col"], out["text"])) == [
         ("a", 0, "1"), ("a", 1, "2")]
+
+
+def test_mixed_case_table_tag_not_skipped():
+    # the fast-path sniff must be as case-insensitive as the tag scanner
+    assert cells("<tAbLe><tr><td>A</td></tr></tAbLe>") == \
+        [(0, 0, 0, 1, 1, False, "A")]
