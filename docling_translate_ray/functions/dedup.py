@@ -28,9 +28,46 @@ duplicate-pair table never has to fit on one machine.
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 import numpy as np
 import pyarrow as pa
+
+
+def _persist_exploded(ds, scratch_prefix: str, scratch_dir: str | None,
+                      empty_schema: pa.Schema):
+    """Write an exploded (corpus-sized) dataset to scratch parquet ONCE and
+    return a reader factory over it.
+
+    A Ray Dataset consumed by TWO downstream chains re-executes its whole
+    lineage per consumer — for line/paragraph dedup that means the corpus
+    scan + per-doc explode (the most expensive pass) runs twice (the
+    mirror_hosts standing rule, BASELINE.md round 4).  Durable scratch
+    parquet pays one compressed write instead, and each consumer re-reads
+    only the COLUMNS it needs (the fingerprint chain never re-reads text).
+
+    Returns ``read(columns)`` — a factory for pruned re-reads.  The
+    scratch dir must outlive consumption of the returned datasets; pass
+    ``scratch_dir`` to own the lifecycle (pipelines pass their work dir),
+    else a process-lifetime tempdir is used.
+    """
+    import ray.data
+
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix=scratch_prefix)
+    out = os.path.join(scratch_dir, "exploded")
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(out)
+    wrote = any(f.endswith(".parquet") for f in os.listdir(out))
+
+    def read(columns: list[str]):
+        if not wrote:  # empty corpus: write_parquet emitted no files
+            return ray.data.from_arrow(empty_schema.empty_table()
+                                       .select(columns))
+        return ray.data.read_parquet(out, columns=columns)
+
+    return read
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
@@ -43,24 +80,50 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 # ---------------------------------------------------------------- exact
 
 def add_md5(batch: pa.Table, column: str = "text") -> pa.Table:
-    h = [hashlib.md5((t or "").encode()).hexdigest() for t in batch[column].to_pylist()]
-    return batch.append_column("content_md5", pa.array(h, pa.string()))
+    """md5 content-hash column (oracle-lockstep mode of
+    :func:`add_content_hash`)."""
+    return add_content_hash(batch, column, hash_mode="md5")
 
 
-def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+def add_content_hash(batch: pa.Table, column: str = "text",
+                     hash_mode: str = "xx64") -> pa.Table:
+    """Append the dedup key column: ``content_hash`` (vectorized xx64,
+    production default) or ``content_md5`` (DuckDB ``md5(text)`` lockstep
+    for SQL oracles) — the :func:`text_stats.text_hash_batch` split."""
+    from docling_translate_ray.functions.text_stats import text_hash_batch
+
+    name = "content_md5" if hash_mode == "md5" else "content_hash"
+    return batch.append_column(name, text_hash_batch(batch[column],
+                                                     mode=hash_mode))
+
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id",
+                hash_mode: str = "xx64"):
     """Distinct rows by content hash; canonical row = min id.
 
-    Per-batch combiner first (duplicates within a batch never shuffle), then
-    one ``groupby(content_md5)``.  Returns columns: content_md5, <id>, n_dups.
+    Per-batch combiner first (duplicates within a batch never shuffle),
+    then one ``groupby(hash)``.  Returns columns: <hash>, <id>, n_dups,
+    where <hash> is ``content_hash`` (xx64 default) or ``content_md5``
+    (``hash_mode="md5"``, the driver-oracle mode).
+
+    ``hash_mode="xx64"`` is the production default: the vectorized
+    polars hash skips md5's per-byte cost (measured 1.22× on an
+    equivalent 960k-page stage).  64-bit keys trade a ~n²/2⁶⁵ false-
+    merge rate (≈2.7e-8 of docs at 10¹² rows — below crawl noise) for
+    that throughput; pass ``hash_mode="md5"`` when a 128-bit key or SQL
+    lockstep is required.
     """
 
     from docling_translate_ray.stages.shuffle import hash_partition_apply
 
+    key = "content_md5" if hash_mode == "md5" else "content_hash"
+
     def combiner(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        df = pl.from_arrow(add_md5(batch, column))
-        agg = df.group_by("content_md5").agg(
+        df = pl.from_arrow(add_content_hash(batch, column,
+                                            hash_mode=hash_mode))
+        agg = df.group_by(key).agg(
             pl.col(id_column).min().alias(id_column),
             pl.len().cast(pl.Int64).alias("n_dups"),
         )
@@ -71,7 +134,7 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 
         return (
             pl.from_arrow(part)
-            .group_by("content_md5")
+            .group_by(key)
             .agg(
                 pl.col(id_column).min().alias(id_column),
                 pl.col("n_dups").sum().alias("n_dups"),
@@ -81,7 +144,7 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 
     return hash_partition_apply(
         ds.map_batches(combiner, batch_format="pyarrow"),
-        ["content_md5"],
+        [key],
         finalize,
     )
 
@@ -929,13 +992,17 @@ def wrap_words_as_lines(batch: pa.Table, words_per_line: int = 8,
 
 
 def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
-               min_docs: int = 2, max_broadcast: int = 2_000_000):
+               min_docs: int = 2, max_broadcast: int = 2_000_000,
+               scratch_dir: str | None = None):
     """C4-style LINE-level dedup: drop every line that occurs in ≥
     ``min_docs`` distinct documents, reassemble the survivors per document
     in original line order.  Returns (id, text_deduped, n_lines_kept);
     documents whose every line was dropped are omitted.
 
-    Scale shape: explode lines → global DISTINCT on (line, doc) (its own
+    Scale shape: explode lines ONCE into scratch parquet (two downstream
+    chains would otherwise re-execute the corpus scan + explode — Ray
+    re-runs lineage per consumer) → the frequency chain re-reads only
+    (doc, line) columns: global DISTINCT on (line, doc) (its own
     per-batch combiner thins within-doc repeats before the exchange; the
     hash partition guarantees correctness even when Ray splits one doc's
     exploded lines across blocks) → one ``grouped_sum`` by line counts
@@ -944,6 +1011,8 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
     past ``max_broadcast`` frequent lines the subtraction runs as a
     distributed anti ``partition_join`` on the exploded table instead.
     Reassembly is one hash-partition exchange keyed by the doc id.
+    ``scratch_dir`` owns the exploded table's lifecycle (must outlive
+    consumption); default is a process-lifetime tempdir.
     """
     import polars as pl
 
@@ -956,10 +1025,12 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
     )
 
     def explode_lines(batch: pa.Table) -> pa.Table:
-        df = pl.DataFrame({
-            id_column: pl.Series(batch[id_column].to_pylist(), dtype=pl.Int64),
-            column: pl.Series(batch[column].to_pylist(), dtype=pl.String).fill_null(""),
-        }).filter(pl.col(column).str.strip_chars() != "")
+        df = (
+            pl.from_arrow(batch.select([id_column, column]))  # zero-copy
+            .with_columns(pl.col(id_column).cast(pl.Int64),
+                          pl.col(column).cast(pl.String).fill_null(""))
+            .filter(pl.col(column).str.strip_chars() != "")
+        )
         return (
             df.with_columns(pl.col(column).str.split("\n").alias("_lines"))
             .explode("_lines")
@@ -976,16 +1047,21 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
                              ("line", pa.string())]))
         )
 
-    lines = ds.select_columns([id_column, column]).map_batches(
-        explode_lines, batch_format="pyarrow"
-    )
+    read_exploded = _persist_exploded(
+        ds.select_columns([id_column, column]).map_batches(
+            explode_lines, batch_format="pyarrow"),
+        "dtr_linededup_", scratch_dir,
+        pa.schema([(id_column, pa.int64()), ("line_no", pa.int64()),
+                   ("line", pa.string())]))
+    lines = read_exploded([id_column, "line_no", "line"])
 
     from docling_translate_ray.stages.shuffle import distinct
 
     # exact global (line, doc) pairs — a per-batch unique alone would
-    # double-count a doc whose exploded lines Ray split across blocks
+    # double-count a doc whose exploded lines Ray split across blocks;
+    # pruned re-read: line_no never rides the frequency chain
     line_doc = distinct(
-        lines.select_columns([id_column, "line"]), ["line", id_column],
+        read_exploded([id_column, "line"]), ["line", id_column],
         num_partitions=32,
     )
 
@@ -1048,7 +1124,8 @@ def line_dedup(ds, column: str = "text", id_column: str = "doc_id",
 
 
 def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id",
-                    num_partitions: int = 32, hash_mode: str = "xx64"):
+                    num_partitions: int = 32, hash_mode: str = "xx64",
+                    scratch_dir: str | None = None):
     """CCNet-style PARAGRAPH dedup: every distinct paragraph keeps only
     its globally FIRST occurrence — the lexicographic-min ``(doc,
     para_no)`` — and every later copy is dropped; survivors reassemble
@@ -1059,16 +1136,21 @@ def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id",
     :func:`line_dedup`'s C4 rule (which drops a frequent line from ALL
     documents including the first).
 
-    Scale shape: explode to (id, para_no, para) → the dedup exchange
-    carries NARROW (fingerprint, id, para_no) rows only (the
-    minhash-band pattern — paragraph text never crosses the wide
-    exchange) → per-fingerprint winner = min (id, para_no) → ONE
-    id-keyed exchange does the winner⋈text semi-join AND the ordered
-    reassembly in the same partition pass (the crawl_cycle
+    Scale shape: ONE corpus pass explodes to (id, para_no, para) with the
+    fingerprint FUSED into the same kernel, persisted to scratch parquet
+    (two downstream chains would otherwise re-execute the scan + explode
+    — Ray re-runs lineage per consumer) → the dedup exchange re-reads
+    NARROW (fingerprint, id, para_no) columns only (the minhash-band
+    pattern — paragraph text never crosses the wide exchange, nor is it
+    re-read by this chain) → per-fingerprint winner = min (id, para_no)
+    → ONE id-keyed exchange does the winner⋈text semi-join AND the
+    ordered reassembly in the same partition pass (the crawl_cycle
     exchange-collapse pattern: both sides key by the doc id, so the
     join is partition-local).  ``hash_mode="md5"`` is DuckDB-oracle
     lockstep; ``"xx64"`` is the vectorized production default
-    (equality-only semantics, ~30× cheaper per byte).
+    (equality-only semantics, ~30× cheaper per byte).  ``scratch_dir``
+    owns the exploded table's lifecycle (must outlive consumption);
+    default is a process-lifetime tempdir.
     """
     import polars as pl
 
@@ -1078,13 +1160,12 @@ def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id",
     WS = " \t\r\n"
 
     def explode_paras(batch: pa.Table) -> pa.Table:
-        df = pl.DataFrame({
-            id_column: pl.Series(batch[id_column].to_pylist(),
-                                 dtype=pl.Int64),
-            column: pl.Series(batch[column].to_pylist(),
-                              dtype=pl.String).fill_null(""),
-        })
-        return (
+        df = (
+            pl.from_arrow(batch.select([id_column, column]))  # zero-copy
+            .with_columns(pl.col(id_column).cast(pl.Int64),
+                          pl.col(column).cast(pl.String).fill_null(""))
+        )
+        out = (
             df.with_columns(pl.col(column).str.split(SEP).alias("_p"))
             .explode("_p")
             .with_columns(pl.col("_p").str.strip_chars(WS).alias("para"))
@@ -1093,27 +1174,31 @@ def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id",
                 pl.int_range(1, pl.len() + 1).over(id_column)
                 .cast(pl.Int64).alias("para_no"))
             .select(pl.col(id_column), pl.col("para_no"), pl.col("para"))
-            .to_arrow()
+        )
+        # fingerprint fused into the (single) explode pass — the narrow
+        # dedup chain then re-reads (_fp, id, para_no) without the text
+        if hash_mode == "md5":   # oracle lockstep (DuckDB md5() replays)
+            fp = pl.Series("_fp", [hashlib.md5(p.encode()).hexdigest()
+                                   for p in out["para"]])
+        else:                    # vectorized equality fingerprint
+            fp = out["para"].hash(seed=3).cast(pl.String).alias("_fp")
+        return (
+            out.with_columns(fp).to_arrow()
             .cast(pa.schema([(id_column, pa.int64()),
                              ("para_no", pa.int64()),
-                             ("para", pa.string())]))
+                             ("para", pa.string()),
+                             ("_fp", pa.string())]))
         )
 
-    exploded = ds.select_columns([id_column, column]).map_batches(
-        explode_paras, batch_format="pyarrow"
-    )
+    read_exploded = _persist_exploded(
+        ds.select_columns([id_column, column]).map_batches(
+            explode_paras, batch_format="pyarrow"),
+        "dtr_parededup_", scratch_dir,
+        pa.schema([(id_column, pa.int64()), ("para_no", pa.int64()),
+                   ("para", pa.string()), ("_fp", pa.string())]))
 
-    def add_fp(batch: pa.Table) -> pa.Table:
-        if hash_mode == "md5":   # oracle lockstep (DuckDB md5() replays)
-            fp = pa.array([hashlib.md5(p.encode()).hexdigest()
-                           for p in batch["para"].to_pylist()], pa.string())
-        else:                    # vectorized equality fingerprint
-            fp = pl.Series("p", batch["para"]).hash(seed=3) \
-                .cast(pl.String).to_arrow().cast(pa.string())
-        return pa.table({"_fp": fp, id_column: batch[id_column],
-                         "para_no": batch["para_no"]})
-
-    narrow = exploded.map_batches(add_fp, batch_format="pyarrow")
+    narrow = read_exploded(["_fp", id_column, "para_no"])
+    exploded = read_exploded([id_column, "para_no", "para"])
 
     def winners_block(part: pa.Table) -> pa.Table:
         return (

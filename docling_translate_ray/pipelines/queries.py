@@ -447,7 +447,10 @@ def q_extract_lineage(sf_dir: str):
 
 
 def q_exact_dedup(sf_dir: str):
-    return fdedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    # hash_mode="md5": the oracle replays md5(text) in DuckDB; production
+    # callers (curate/webcurate) take the xx64 default
+    return fdedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              hash_mode="md5")
 
 
 def q_minhash_near_dup(sf_dir: str):

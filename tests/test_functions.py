@@ -42,7 +42,8 @@ def _to_table(ds) -> pa.Table:
 
 
 def test_exact_dedup_matches_duckdb():
-    got = _to_table(dd.exact_dedup(_docs_ds())).sort_by("content_md5")
+    got = _to_table(dd.exact_dedup(_docs_ds(),
+                                   hash_mode="md5")).sort_by("content_md5")
     want = duckdb.sql(
         f"""
         SELECT md5(text) AS content_md5, min(doc_id) AS doc_id,
@@ -342,9 +343,21 @@ def test_exact_dedup_repartition_invariant():
     import ray.data
 
     base = ray.data.read_parquet(f"{SF}/documents.parquet")
-    a = _to_table(dd.exact_dedup(base.repartition(2))).sort_by("content_md5")
-    b = _to_table(dd.exact_dedup(base.repartition(7))).sort_by("content_md5")
+    a = _to_table(dd.exact_dedup(base.repartition(2))).sort_by("content_hash")
+    b = _to_table(dd.exact_dedup(base.repartition(7))).sort_by("content_hash")
     assert a.equals(b)
+
+
+def test_exact_dedup_hash_modes_agree_on_groups():
+    # xx64 (production) and md5 (oracle) must produce the same winner
+    # set — same ids, same n_dups — differing only in the key encoding
+    ds = _docs_ds()
+    xx = _to_table(dd.exact_dedup(ds)).sort_by("doc_id")
+    md = _to_table(dd.exact_dedup(ds, hash_mode="md5")).sort_by("doc_id")
+    assert xx.column_names == ["content_hash", "doc_id", "n_dups"]
+    assert md.column_names == ["content_md5", "doc_id", "n_dups"]
+    assert xx["doc_id"].to_pylist() == md["doc_id"].to_pylist()
+    assert xx["n_dups"].to_pylist() == md["n_dups"].to_pylist()
 
 
 def test_knn_repartition_invariant():
