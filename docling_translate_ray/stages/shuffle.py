@@ -103,6 +103,74 @@ def hash_partition_apply(
     )
 
 
+def hash_partition_apply_spill(
+    ds,
+    keys: list[str],
+    block_fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int = 64,
+    scratch_dir: str | None = None,
+    label: str | None = None,
+):
+    """:func:`hash_partition_apply`, but the exchange SPILLS through
+    scratch parquet instead of riding the object store.
+
+    The plasma variant holds the whole shuffled table in object-store
+    memory at the exchange barrier (hash_embed's 39M sparse rows peaked
+    2.6 GiB at 960k pages).  Here the map side writes hive-partitioned
+    parquet (``_pkey=<p>/``) — compressed, streamed block by block —
+    and the reduce side is one task per partition reading ONLY its own
+    directory, so peak object-store memory is bounded by in-flight
+    read/write blocks, not the table.  Same contract as
+    :func:`hash_partition_apply`: ``block_fn`` runs once per partition
+    with equal keys co-partitioned, ``_pkey`` never reaches it.
+
+    Trade-off: one durable write + one read of the (compressed)
+    exchange table vs zero disk in the plasma path — use for
+    corpus-sized exchanges; the scratch dir must outlive consumption
+    of the returned (lazy) dataset.
+    """
+    import os
+    import tempfile
+
+    import ray.data
+
+    wall_label = label or (",".join(keys) + ":" +
+                           getattr(block_fn, "__name__", "block") + ":spill")
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="dtr_spill_")
+    out = os.path.join(scratch_dir, "exchange")
+    os.makedirs(out, exist_ok=True)
+    ds.map_batches(
+        lambda b: add_pkey(b, keys, num_partitions), batch_format="pyarrow"
+    ).write_parquet(out, partition_cols=[PKEY])
+
+    parts = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(out)
+        if d.startswith(f"{PKEY}="))
+    if not parts:  # empty input: replay block_fn on the empty schema
+        empty = ds.schema().base_schema.empty_table()
+        return ray.data.from_arrow(block_fn(empty))
+
+    def apply_part(batch: pa.Table) -> pa.Table:
+        import time
+
+        import pyarrow.parquet as pq
+
+        outs = []
+        for p in batch["part"].to_pylist():
+            part = pq.read_table(os.path.join(out, f"{PKEY}={p}"))
+            t0 = time.perf_counter()
+            res = block_fn(part)
+            _record_partition_wall(wall_label, part.num_rows, res.num_rows,
+                                   time.perf_counter() - t0)
+            outs.append(res)
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.from_items(
+        [{"part": p} for p in parts]
+    ).map_batches(apply_part, batch_format="pyarrow", batch_size=1)
+
+
 def distinct(ds, cols: list[str], num_partitions: int = 64):
     """Exact DISTINCT over ``cols`` (``ds.unique`` analog, scale path):
     per-batch combiner (local unique) → hash-partitioned global unique —

@@ -92,3 +92,14 @@ def test_densify_cosine_orders_similarity(ray_session):
 
     assert cos(vecs[1], vecs[2]) > cos(vecs[1], vecs[3])
     assert len(vecs[1]) == 256
+
+
+def test_spill_and_plasma_exchanges_identical(ray_session):
+    # both physical merge paths (scratch-parquet spill vs object-store)
+    # must produce identical sparse rows, in both hash modes
+    rows = [(i, f"tok{i % 7} shared word{i % 3} {'x ' * (i % 5)}")
+            for i in range(50)] + [(99, ""), (100, None)]
+    for mode in ("md5", "xx64"):
+        a = _sparse(rows, hash_mode=mode, exchange="spill")
+        b = _sparse(rows, hash_mode=mode, exchange="plasma")
+        assert a == b and len(a) > 0
