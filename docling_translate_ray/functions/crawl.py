@@ -174,11 +174,21 @@ def latest_page_version(ds, url_column: str = "url", ts_column: str = "warc_ts",
     return hash_partition_apply(combined, [url_column], local_winner)
 
 
+def _pick_template_strategy(n_line_rows: int, salt_threshold: int) -> str:
+    """Auto plan choice for :func:`host_template_lines`: below the
+    crossover the two-exchange partition plan wins (salting's extra
+    tiny exchange + broadcast is pure overhead); above it the salted
+    plan's skew immunity dominates (measured, tools/stress_skew.py)."""
+    return "salted" if n_line_rows >= salt_threshold else "partition"
+
+
 def host_template_lines(ds, url_column: str = "url", column: str = "text",
                         id_column: str = "doc_id", min_docs: int = 3,
-                        num_partitions: int = 32, strategy: str = "partition",
+                        num_partitions: int = 32, strategy: str = "auto",
                         salt_buckets: int = 16,
-                        max_broadcast: int = 2_000_000):
+                        max_broadcast: int = 2_000_000,
+                        salt_threshold: int = 300_000,
+                        scratch_dir: str | None = None):
     """Site-template boilerplate removal — the host-scoped line dedup
     (trafilatura's global-context pass / CC-Net's per-site filters): a
     line occurring in ≥ ``min_docs`` distinct documents of the SAME host
@@ -210,7 +220,17 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
     full occurrence set (measured under 1%-hosts-hold-50%-pages skew in
     ``tools/stress_skew.py`` / BASELINE.md).
 
-    Output (both strategies, row-identical — parity-pinned in pytest):
+    ``strategy="auto"`` (default): pick from data, so the 100 TB path
+    never relies on the caller knowing the crossover.  The exploded
+    line table persists to scratch parquet ONCE (the salted plan's two
+    consumers would otherwise re-execute the corpus scan + explode —
+    the round-5 dedup fix), its exact row count comes free from the
+    parquet footers, and ≥ ``salt_threshold`` line rows (default 300k
+    ≈ the measured ~100k-doc crossover of tools/stress_skew.py at ~3
+    lines/doc) selects "salted", else "partition".  Explicit
+    ``strategy="partition"`` skips the persist (single consumer).
+
+    Output (all strategies, row-identical — parity-pinned in pytest):
     ``(id, host, text_cleaned, n_lines_kept)``; documents whose every
     line was template are omitted.
     """
@@ -218,9 +238,10 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
 
     from docling_translate_ray.functions.urltools import extract_hosts
     from docling_translate_ray.stages.shuffle import (hash_partition_apply,
-                                                      id_filter_join)
+                                                      id_filter_join,
+                                                      persist_dataset)
 
-    if strategy not in ("partition", "salted"):
+    if strategy not in ("auto", "partition", "salted"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
     def explode_lines(batch: pa.Table) -> pa.Table:
@@ -250,6 +271,19 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
 
     exploded = ds.select_columns([id_column, url_column, column]).map_batches(
         explode_lines, batch_format="pyarrow")
+
+    if strategy != "partition":
+        # salted consumes the explode twice (triples + the filtered
+        # occurrence rows) and auto needs a row count: persist once,
+        # count from the footers, re-read pruned
+        persisted = persist_dataset(
+            exploded, "dtr_hosttmpl_", scratch_dir,
+            pa.schema([(id_column, pa.int64()), ("host", pa.string()),
+                       ("line_no", pa.int64()), ("line", pa.string())]))
+        if strategy == "auto":
+            strategy = _pick_template_strategy(persisted.num_rows,
+                                               salt_threshold)
+        exploded = persisted([id_column, "host", "line_no", "line"])
 
     if strategy == "partition":
         def drop_template(part: pa.Table) -> pa.Table:
@@ -349,11 +383,23 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
                                 num_partitions=num_partitions)
 
 
+def _pick_hot_threshold(total_rows: int, num_partitions: int,
+                        split_target: int) -> int | None:
+    """Auto hot-host rule for :func:`frontier_schedule`: a host whose
+    frontier exceeds one partition's fair share (``total / P``, floored
+    at ``split_target``) straggles the host-keyed exchange and gets
+    range-split.  ``None`` (skip the sampling pass entirely) when the
+    whole frontier fits under ``split_target`` — no host can qualify."""
+    if total_rows <= split_target:
+        return None
+    return max(split_target, total_rows // num_partitions)
+
+
 def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
                       priority_column: str = "priority",
                       num_partitions: int = 32,
                       k_column: str | None = None,
-                      hot_host_threshold: int | None = None,
+                      hot_host_threshold: int | None | str = "auto",
                       split_target: int = 100_000):
     """Politeness-aware crawl-frontier scheduling — the fetch-planner
     step of a web crawler (Heritrix/Nutch "queue per host, k fetches per
@@ -390,6 +436,15 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
     pass.  Boundary quality affects only balance, never correctness.
     Measured under megadomain skew in ``tools/stress_skew.py`` /
     BASELINE.md.
+
+    ``hot_host_threshold="auto"`` (default): the narrow frontier rows
+    materialize once (they feed two passes on the hot path anyway),
+    the exact count comes free from the materialized blocks, and
+    :func:`_pick_hot_threshold` derives the threshold — one
+    partition's fair share, floored at ``split_target``; a frontier
+    under ``split_target`` rows skips the sampling pass entirely
+    (identical plan to ``None``).  Pass an int to pin the threshold,
+    ``None`` to force the default single-exchange plan.
     """
     import polars as pl
 
@@ -434,9 +489,17 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
             .to_arrow().cast(out_schema)
         )
 
+    narrow_ds = None
+    if hot_host_threshold == "auto":
+        narrow_ds = ds.map_batches(narrow, batch_format="pyarrow") \
+            .materialize()
+        hot_host_threshold = _pick_hot_threshold(
+            narrow_ds.count(), num_partitions, split_target)
+
     if hot_host_threshold is None:
         return hash_partition_apply(
-            ds.map_batches(narrow, batch_format="pyarrow"),
+            narrow_ds if narrow_ds is not None
+            else ds.map_batches(narrow, batch_format="pyarrow"),
             ["host"], schedule, num_partitions=num_partitions,
         )
 
@@ -460,7 +523,9 @@ def frontier_schedule(ds, k_per_cycle: int = 4, url_column: str = "url",
                            .str.zfill(20), pl.col("url")], separator="\x00")
             .alias("_sk"))
 
-    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+    if narrow_ds is None:
+        narrow_ds = ds.map_batches(narrow, batch_format="pyarrow") \
+            .materialize()
 
     # pass 1 (combiner-reduced): per-(block, host) count + spaced samples
     samp_schema = pa.schema([("host", pa.string()), ("_cnt", pa.int64()),

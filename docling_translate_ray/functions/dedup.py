@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -37,37 +36,13 @@ import pyarrow as pa
 
 def _persist_exploded(ds, scratch_prefix: str, scratch_dir: str | None,
                       empty_schema: pa.Schema):
-    """Write an exploded (corpus-sized) dataset to scratch parquet ONCE and
-    return a reader factory over it.
+    """Scratch-parquet persist of an exploded dataset (the two-consumer
+    re-execution fix) — see :func:`..stages.shuffle.persist_dataset`.
+    Kept as a module-level indirection so the persisted-vs-reexec A/B
+    (tools/ab_dedup_persist.py) can patch it."""
+    from docling_translate_ray.stages.shuffle import persist_dataset
 
-    A Ray Dataset consumed by TWO downstream chains re-executes its whole
-    lineage per consumer — for line/paragraph dedup that means the corpus
-    scan + per-doc explode (the most expensive pass) runs twice (the
-    mirror_hosts standing rule, BASELINE.md round 4).  Durable scratch
-    parquet pays one compressed write instead, and each consumer re-reads
-    only the COLUMNS it needs (the fingerprint chain never re-reads text).
-
-    Returns ``read(columns)`` — a factory for pruned re-reads.  The
-    scratch dir must outlive consumption of the returned datasets; pass
-    ``scratch_dir`` to own the lifecycle (pipelines pass their work dir),
-    else a process-lifetime tempdir is used.
-    """
-    import ray.data
-
-    if scratch_dir is None:
-        scratch_dir = tempfile.mkdtemp(prefix=scratch_prefix)
-    out = os.path.join(scratch_dir, "exploded")
-    os.makedirs(out, exist_ok=True)
-    ds.write_parquet(out)
-    wrote = any(f.endswith(".parquet") for f in os.listdir(out))
-
-    def read(columns: list[str]):
-        if not wrote:  # empty corpus: write_parquet emitted no files
-            return ray.data.from_arrow(empty_schema.empty_table()
-                                       .select(columns))
-        return ray.data.read_parquet(out, columns=columns)
-
-    return read
+    return persist_dataset(ds, scratch_prefix, scratch_dir, empty_schema)
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:

@@ -32,7 +32,7 @@ import pyarrow as pa
 def crawl_cycle(old_ds, new_ds, robots_ds, k_per_cycle: int = 4,
                 url_column: str = "url", content_column: str = "text",
                 num_partitions: int = 32, agent: str = "*",
-                algo: str = "md5", hot_host_threshold: int | None = None,
+                algo: str = "md5", hot_host_threshold: int | None | str = "auto",
                 split_target: int = 100_000):
     """Next-cycle fetch plan ``(url, host, priority, cycle)`` from the
     two most recent snapshots (``(url, text)`` each) and the per-host
@@ -42,7 +42,8 @@ def crawl_cycle(old_ds, new_ds, robots_ds, k_per_cycle: int = 4,
     ``"xx64"`` (vectorized) at corpus scale — equality is all change
     counting needs.  ``hot_host_threshold`` / ``split_target`` pass
     through to :func:`..functions.crawl.frontier_schedule`'s range-split
-    skew path (megadomain frontiers)."""
+    skew path (megadomain frontiers; default "auto" derives the
+    threshold from the frontier's own row count)."""
     from docling_translate_ray.functions.crawl import (
         _change_rates,
         frontier_schedule,

@@ -103,6 +103,59 @@ def hash_partition_apply(
     )
 
 
+class PersistedDataset:
+    """Handle over a dataset spilled to scratch parquet by
+    :func:`persist_dataset`: call with a column list for a PRUNED
+    re-read; ``num_rows`` is the exact row count (parquet footers —
+    no Ray job)."""
+
+    def __init__(self, out_dir: str, files: list[str],
+                 empty_schema: pa.Schema):
+        import pyarrow.parquet as pq
+
+        self._dir, self._files = out_dir, files
+        self._empty = empty_schema
+        self.num_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    def __call__(self, columns: list[str]):
+        import ray.data
+
+        if not self._files:
+            return ray.data.from_arrow(
+                self._empty.empty_table().select(columns))
+        return ray.data.read_parquet(self._dir, columns=columns)
+
+
+def persist_dataset(ds, scratch_prefix: str, scratch_dir: str | None,
+                    empty_schema: pa.Schema) -> PersistedDataset:
+    """Write a (corpus-sized) dataset to scratch parquet ONCE and return
+    a pruned-re-read handle.
+
+    A Ray Dataset consumed by TWO downstream chains re-executes its
+    whole lineage per consumer — for the explode-heavy dedup/template
+    operators that means the corpus scan + per-doc explode (the most
+    expensive pass) runs twice (the mirror_hosts standing rule,
+    BASELINE.md round 4).  Durable scratch parquet pays one compressed
+    write instead, and each consumer re-reads only the COLUMNS it needs.
+
+    The scratch dir must outlive consumption of the returned datasets;
+    pass ``scratch_dir`` to own the lifecycle (pipelines pass their work
+    dir), else a process-lifetime tempdir is used.
+    """
+    import os
+    import tempfile
+
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix=scratch_prefix)
+    out = os.path.join(scratch_dir, "exploded")
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(out)
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(".parquet")]
+    return PersistedDataset(out, files, empty_schema)
+
+
 def hash_partition_apply_spill(
     ds,
     keys: list[str],

@@ -152,3 +152,47 @@ def test_frontier_range_split_tie_break_by_url():
         _ds(tbl), k_per_cycle=7, num_partitions=4,
         hot_host_threshold=50, split_target=30))
     assert split == plain
+
+
+def test_auto_strategy_pickers():
+    from docling_translate_ray.functions.crawl import (
+        _pick_hot_threshold,
+        _pick_template_strategy,
+    )
+
+    # template crossover: 24k docs (~72k lines) stays partition; 960k
+    # docs (~2.9M lines) goes salted (the stress_skew crossover)
+    assert _pick_template_strategy(72_000, 300_000) == "partition"
+    assert _pick_template_strategy(2_880_000, 300_000) == "salted"
+    # frontier: small frontier skips the sampling pass; large one splits
+    # hosts above a partition's fair share, floored at split_target
+    assert _pick_hot_threshold(24_000, 32, 100_000) is None
+    assert _pick_hot_threshold(3_200_000, 32, 100_000) == 100_000
+    assert _pick_hot_threshold(64_000_000, 32, 100_000) == 2_000_000
+
+
+def test_host_template_auto_parity(ray_session):
+    tbl = _skewed_docs()
+    explicit = _sorted_rows(host_template_lines(_ds(tbl), min_docs=3,
+                                                strategy="partition"))
+    # auto with a tiny threshold forces the salted plan; rows identical
+    auto_salted = _sorted_rows(host_template_lines(
+        _ds(tbl), min_docs=3, strategy="auto", salt_threshold=1))
+    auto_part = _sorted_rows(host_template_lines(
+        _ds(tbl), min_docs=3, strategy="auto", salt_threshold=10**9))
+    assert auto_salted == explicit
+    assert auto_part == explicit
+
+
+def test_frontier_auto_parity(ray_session):
+    tbl = _frontier_tbl(n_mega=60, n_cold=8)
+    pinned = _sorted_rows(frontier_schedule(_ds(tbl), k_per_cycle=3,
+                                            hot_host_threshold=None))
+    # auto with a tiny split_target forces the range-split machinery
+    auto_split = _sorted_rows(frontier_schedule(
+        _ds(tbl), k_per_cycle=3, hot_host_threshold="auto",
+        split_target=5))
+    auto_plain = _sorted_rows(frontier_schedule(
+        _ds(tbl), k_per_cycle=3, hot_host_threshold="auto"))
+    assert auto_split == pinned
+    assert auto_plain == pinned

@@ -249,14 +249,22 @@ def main() -> None:
 
     profiled("host_template_plain",
              lambda: ht_checksum(host_template_lines(
-                 docs(), num_partitions=2 * cpus)))
+                 docs(), num_partitions=2 * cpus, strategy="partition")))
     profiled("host_template_salted",
              lambda: ht_checksum(host_template_lines(
                  docs(), num_partitions=2 * cpus, strategy="salted")))
+    # round-5 auto arm: default strategy="auto" must pick the right
+    # plan from the exploded row count (salted at 960k, partition at
+    # 24k) and stay row-identical either way
+    profiled("host_template_auto",
+             lambda: ht_checksum(host_template_lines(
+                 docs(), num_partitions=2 * cpus)))
     assert (results["host_template_plain"]["checksum"]
-            == results["host_template_salted"]["checksum"]), (
+            == results["host_template_salted"]["checksum"]
+            == results["host_template_auto"]["checksum"]), (
         results["host_template_plain"]["checksum"],
-        results["host_template_salted"]["checksum"])
+        results["host_template_salted"]["checksum"],
+        results["host_template_auto"]["checksum"])
 
     # --- frontier over the skewed url set, priority from url hash ---
     def frontier_view(batch: pa.Table) -> pa.Table:
@@ -280,15 +288,25 @@ def main() -> None:
 
     profiled("frontier_plain",
              lambda: fr_checksum(frontier_schedule(
-                 frontier_in(), k_per_cycle=8, num_partitions=2 * cpus)))
+                 frontier_in(), k_per_cycle=8, num_partitions=2 * cpus,
+                 hot_host_threshold=None)))
     profiled("frontier_split",
              lambda: fr_checksum(frontier_schedule(
                  frontier_in(), k_per_cycle=8, num_partitions=2 * cpus,
                  hot_host_threshold=100_000, split_target=25_000)))
+    # round-5 auto arm: hot_host_threshold="auto" derives the
+    # threshold from the frontier count (range-split on at 960k,
+    # plain single-exchange plan at 24k), rows identical either way
+    profiled("frontier_auto",
+             lambda: fr_checksum(frontier_schedule(
+                 frontier_in(), k_per_cycle=8, num_partitions=2 * cpus,
+                 split_target=25_000)))
     assert (results["frontier_plain"]["checksum"]
-            == results["frontier_split"]["checksum"]), (
+            == results["frontier_split"]["checksum"]
+            == results["frontier_auto"]["checksum"]), (
         results["frontier_plain"]["checksum"],
-        results["frontier_split"]["checksum"])
+        results["frontier_split"]["checksum"],
+        results["frontier_auto"]["checksum"])
 
     # --- crawl_cycle composite (snapshot2 = text splice on changed rows) ---
     from stress_incremental import _mutate_shard  # noqa: E402  (reuse spec)
