@@ -6,9 +6,13 @@ S10 in SURVEY.md §2); at corpus scale media are opaque ``binary`` columns
 with typed metadata, processed by actor-pool stages.  No PIL/ffmpeg exists
 in this container, so the codec story is:
 
-* **images are real BMPs** — 24-bit uncompressed BMP is decodable and
-  encodable in pure numpy (:func:`decode_bmp` / :func:`encode_bmp`), so
-  decode, featurize and nearest-neighbor resize are REAL pixel work;
+* **images are real BMPs and PNGs** — 24-bit uncompressed BMP in pure
+  numpy (:func:`decode_bmp` / :func:`encode_bmp`) and 8-bit
+  gray/RGB/RGBA PNG via stdlib zlib + per-scanline unfiltering
+  (:func:`decode_png` / :func:`encode_png`, all five spec filters), so
+  decode, featurize and nearest-neighbor resize are REAL pixel work
+  over the web's dominant lossless format (JPEG/DCT stays honestly out
+  of scope);
 * **audio is real WAV** — PCM16 WAV via the stdlib ``wave`` module
   (:func:`decode_wav` / :func:`encode_wav`): RMS / zero-crossing features
   are computed from actual samples;
@@ -92,6 +96,178 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bottom_up:
         img = img[::-1]
     return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------- PNG codec
+# PNG is zlib (stdlib) + per-scanline unfiltering — a real codec with no
+# image library, the same "fixed public layout, pure python" move the
+# FlateDecode lane made in pdf_core.py.  Covers the web's dominant
+# lossless format next to the BMP lane (reference handles PNG via PIL,
+# utils.py:64-71 / core.py:119-134).  8-bit depth, color types 0 (gray),
+# 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlace, no palette (those
+# raise ValueError — JPEG/DCT stays honestly out of scope).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) or (h, w, {1,2,3,4}) uint8 array → PNG bytes.
+
+    ``filter_type`` applies one filter (0-4) to EVERY scanline — 0
+    (None) is the production default; the other four exist so the
+    decoder's unfilter paths are round-trip-pinned in pytest (filtering
+    forward is closed-form once the reference scanline is known)."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png expects (h, w[, 1|2|3|4]) uint8")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter type {filter_type}")
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    arr = arr.astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:   # Sub
+            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+            filt = line - left
+        elif filter_type == 2:   # Up
+            filt = line - prev
+        elif filter_type == 3:   # Average
+            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+            filt = line - ((left.astype(np.uint16)
+                            + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        else:                    # Paeth
+            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+            pred = np.array([_paeth(int(a), int(b), int(c))
+                             for a, b, c in zip(left, prev, upleft)],
+                            dtype=np.uint8)
+            filt = line - pred
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8.  8-bit depth, color types
+    0/2/4/6, no interlace/palette; all five scanline filters (None,
+    Sub, Up, Average, Paeth) per the PNG spec §9; chunk CRCs verified.
+    Anything else raises ValueError."""
+    import zlib
+
+    if len(data) < len(_PNG_SIG) + 25 or not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(data):
+        (length,), tag = struct.unpack_from(">I", data, pos), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth {depth}, color type {color}): only "
+            "8-bit gray/RGB/gray+alpha/RGBA is in the frozen codec subset")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG IDAT stream: {exc}") from exc
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(lines[y, 0]), lines[y, 1:]
+        if ftype == 0:
+            recon = line.copy()
+        elif ftype == 1:   # Sub: per-lane prefix sum mod 256
+            recon = np.cumsum(
+                line.reshape(-1, ch).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 2:   # Up
+            recon = line + prev
+        elif ftype == 3:   # Average (sequential left-dependency)
+            recon = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                recon[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:   # Paeth (sequential left-dependency)
+            recon = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                upleft = int(prev[i - ch]) if i >= ch else 0
+                recon[i] = (int(line[i])
+                            + _paeth(left, int(prev[i]), upleft)) & 0xFF
+            recon = np.asarray(recon, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG scanline filter {ftype}")
+        out[y] = recon
+        prev = recon
+    return out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff-and-decode an image payload → (h, w, 3) uint8 RGB.
+
+    BMP (``BM``) and PNG (signature) lanes; PNG gray replicates to 3
+    channels and alpha is dropped (the featurize/hash consumers are
+    RGB-shaped).  Unknown magic raises ValueError."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        ch = img.shape[2]
+        if ch == 1:
+            return np.repeat(img, 3, axis=2)
+        if ch == 2:  # gray+alpha: replicate luma, drop alpha
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(img[:, :, :3])
+    raise ValueError("unknown image payload (not BMP or PNG)")
 
 
 # ---------------------------------------------------------------- WAV codec
@@ -192,7 +368,7 @@ class MediaFeaturizer:
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if kind == "image":
-            img = decode_bmp(payload).astype(np.float64)
+            img = decode_image(payload).astype(np.float64)
             h, w, _ = img.shape
             return self._pad([
                 w, h, img.mean(), img.std(),
@@ -260,10 +436,14 @@ class MediaResizer:
         return max(1, int(w * scale)), max(1, int(h * scale))
 
     def _resize(self, payload: bytes, w: int, h: int) -> bytes:
-        img = decode_bmp(payload)
+        img = decode_image(payload)
         if (img.shape[1], img.shape[0]) == (w, h):
             return payload
-        return encode_bmp(_resize_nearest(img, w, h))
+        resized = _resize_nearest(img, w, h)
+        # re-encode in the payload's own container
+        if payload[:8] == _PNG_SIG:
+            return encode_png(resized)
+        return encode_bmp(resized)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -368,7 +548,7 @@ class AHasher:
             if kind != "image":
                 continue
             ids.append(mid)
-            sigs.append(ahash64(decode_bmp(payload or b"")))
+            sigs.append(ahash64(decode_image(payload or b"")))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -407,7 +587,10 @@ def gen_image_corpus(n_base: int, n_dup: int, seed: int = 42) -> pa.Table:
     reuses an earlier base pattern with 0–3 blocks flipped, a different
     scale and fresh noise: Hamming(base, dup) = #flipped ≤ 3, while two
     independent random patterns differ in ~32 bits.  All rows are
-    MEDIA_SCHEMA images; dup ids continue after the base ids."""
+    MEDIA_SCHEMA images; dup ids continue after the base ids.  Every
+    third row (base and dup alike) is a PNG — including RGBA every
+    ninth — the rest BMP: near-dup relations must hold ACROSS container
+    formats (the hash sees pixels, not encodings)."""
     rng = np.random.RandomState(seed % (1 << 31))
     patterns = []
     rows_id, rows_url, rows_payload, rows_meta = [], [], [], []
@@ -417,9 +600,18 @@ def gen_image_corpus(n_base: int, n_dup: int, seed: int = 42) -> pa.Table:
         img = np.repeat(np.repeat(pattern, k, axis=0), k, axis=1)
         img = img[:, :, None].repeat(3, axis=2).astype(np.int16)
         img = np.clip(img + rng.randint(-8, 9, size=img.shape), 0, 255)
+        img = img.astype(np.uint8)
+        if i % 3 == 0:
+            if i % 9 == 0:  # RGBA lane: opaque alpha, dropped on decode
+                img = np.concatenate(
+                    [img, np.full(img.shape[:2] + (1,), 255, np.uint8)],
+                    axis=2)
+            payload = encode_png(img, filter_type=i % 5)
+        else:
+            payload = encode_bmp(img)
         rows_id.append(i)
         rows_url.append(f"https://media.example/image/{i}")
-        rows_payload.append(encode_bmp(img.astype(np.uint8)))
+        rows_payload.append(payload)
         rows_meta.append({"width": 8 * k, "height": 8 * k, "duration_ms": 0})
 
     for i in range(n_base):

@@ -1185,7 +1185,7 @@ def test_image_near_dup_matches_bruteforce():
     labels = {r["media_id"]: r["canonical_id"] for r in got.to_pylist()}
 
     sigs = np.array(
-        [mm.ahash64(mm.decode_bmp(p.as_py())) for p in tbl["payload"]],
+        [mm.ahash64(mm.decode_image(p.as_py())) for p in tbl["payload"]],
         dtype=np.uint64,
     )
     expect = _bruteforce_clusters(tbl["media_id"].to_pylist(), sigs, 3)
@@ -1778,3 +1778,86 @@ def test_quality_tiers_empty_and_degenerate():
     got = quality_tiers(ray.data.from_arrow(same)).take_all()
     assert {r["tier"] for r in got} == {"tail"}
     assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
+
+
+# ------------------------------------------------------------------ PNG codec
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for ftype in range(5):
+            data = mm.encode_png(img, filter_type=ftype)
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+            back = mm.decode_png(data)
+            assert back.shape == img.shape and (back == img).all(), \
+                (ch, ftype)
+
+
+def test_png_decode_rejects_garbage_and_corruption():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_png(b"not a png at all")
+    good = bytearray(mm.encode_png(
+        np.zeros((4, 4, 3), np.uint8), filter_type=1))
+    good[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(good))
+
+
+def test_decode_image_sniffs_bmp_and_png_and_drops_alpha():
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert (mm.decode_image(mm.encode_bmp(rgb)) == rgb).all()
+    assert (mm.decode_image(mm.encode_png(rgb)) == rgb).all()
+    rgba = np.concatenate(
+        [rgb, np.full((6, 5, 1), 255, np.uint8)], axis=2)
+    assert (mm.decode_image(mm.encode_png(rgba)) == rgb).all()
+    gray = rgb[:, :, 0]
+    assert (mm.decode_image(mm.encode_png(gray))
+            == gray[:, :, None].repeat(3, 2)).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a...")
+
+
+def test_png_rows_cluster_with_bmp_duplicates(ray_session):
+    # gen_image_corpus mixes containers: a PNG dup of a BMP base must
+    # land in the same near-dup cluster (the hash sees pixels)
+    import ray.data
+
+    tbl = mm.gen_image_corpus(15, 6, seed=7)
+    payloads = [p.as_py() for p in tbl["payload"]]
+    assert any(p[:8] == b"\x89PNG\r\n\x1a\n" for p in payloads)
+    assert any(p[:2] == b"BM" for p in payloads)
+    got = _to_table(mm.image_near_dup(ray.data.from_arrow(tbl),
+                                      concurrency=2))
+    labels = {r["media_id"]: r["canonical_id"] for r in got.to_pylist()}
+    sigs = [mm.ahash64(mm.decode_image(p)) for p in payloads]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # brute-force closure over ALL pairs ≤ 3 bits, regardless of format
+    import itertools
+    parent = list(range(len(sigs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(range(len(sigs)), 2):
+        if ham(sigs[a], sigs[b]) <= 3:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    roots = Counter(find(i) for i in range(len(sigs)))
+    want = {i: find(i) for i in range(len(sigs)) if roots[find(i)] > 1}
+    assert labels == want
