@@ -40,6 +40,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        # round-5 addition — never driver-checked, FIRST in the window:
+        # the end-to-end corpus factory (pipelines/factory.py — WARC →
+        # extract → curate → mixture → shards → .jsonl.gz with
+        # read-back verify), ONE composed SQL oracle replaying counts
+        # AND value-pinning aggregates from the raw documents
+        "corpus_factory": q.q_corpus_factory,
         # round-4 latest addition — never driver-checked, first in the
         # window: table-structure recovery (functions/tables.py — the
         # Docling TableFormer slot the north-star names: WHATWG
@@ -186,7 +192,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the retired extract_pages window entry)
         "warc_extract": q.q_warc_extract,
         # dedup family
-        "minhash_near_dup": q.q_minhash_near_dup,
         "dup_span_mask": q.q_dup_span_mask,
         # text analysis
         "gopher_quality": q.q_gopher_quality,
@@ -474,10 +479,16 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       VERBATIM inside mixture's oracle and the prefix-sum kernel stays
       oracle-checked here) — driver-hash-verified r01–r03, demoted
       round 4 for line_quality_trim
+    * minhash_near_dup → webcurate + corpus_factory (minhash_lsh_dedup
+      runs VERBATIM inside both in-window composites' curate stage, and
+      its recursive-CTE closure oracle replays inside both composed
+      oracles) — driver-hash-verified r01–r04 (every round), demoted
+      round 5 to make window room for corpus_factory
     """
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "minhash_near_dup": q.q_minhash_near_dup,
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
         "recrawl_priority": q.q_recrawl_priority,
@@ -2937,6 +2948,172 @@ def oracle_sql() -> dict[str, str]:
         # exact-Jaccard near-dup closure).  The pipeline's internal ids
         # are polars url hashes, but every count is id-invariant
         # (groups key on md5(text) / gram sets, not on ids)
+        # the corpus factory: ONE composed replay of the whole artifact
+        # chain — the webcurate CTE ladder (synth page → boilerplate
+        # keep → quality → exact dedup → minhash closure) feeding the
+        # mixture ladder (DSIR → budget cumsum → sqrt-quota rank)
+        # feeding the shard ladder (salted-md5 shuffle key, rank-
+        # weighted order checksum).  Ids are SQL-replayable because the
+        # Ray side parses doc_id back out of the planted url
+        # (id_regex), so every tie-break (budget boundary, rebalance
+        # rank, shard order) replays exactly — value-level proof that
+        # the module contracts line up end to end.
+        "corpus_factory": r"""
+            WITH RECURSIVE w0 AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, i,
+                     array_to_string(ws[(i-1)*12+1 : i*12], ' ') AS ctext,
+                     len(ws[(i-1)*12+1 : i*12]) AS nw
+              FROM w0, unnest(range(1, CAST(ceil(len(ws) / 12.0) AS BIGINT)
+                                       + 1)) AS t(i)),
+            k AS (
+              SELECT doc_id, i, ctext FROM c
+              WHERE (i-1) % 5 <> 4 AND nw >= 5),
+            a AS (
+              SELECT doc_id,
+                     string_agg(ctext, chr(10) || chr(10) ORDER BY i)
+                       AS clean_text
+              FROM k GROUP BY doc_id),
+            docs2 AS MATERIALIZED (
+              SELECT w0.doc_id, coalesce(a.clean_text, '') AS text
+              FROM w0 LEFT JOIN a USING (doc_id)),
+            qual AS MATERIALIZED (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '@NONWS@')) AS n_tokens,
+                       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+                       length(text) - length(regexp_replace(text, '\S', '', 'g')) AS n_nonws,
+                       length(text) AS n_chars
+                FROM docs2)
+              WHERE n_tokens >= 5
+                AND np / greatest(n_chars, 1) <= 0.2
+                AND n_nonws / greatest(n_tokens, 1) BETWEEN 2 AND 14),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+            surv AS MATERIALIZED (
+              SELECT q.doc_id, q.text FROM qual q JOIN winners USING (doc_id)),
+            w AS (
+              SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws
+              FROM surv),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS g
+              FROM w),
+            p AS (
+              SELECT a2.doc_id AS id_a, b2.doc_id AS id_b
+              FROM d a2 JOIN d b2 ON a2.doc_id < b2.doc_id
+              WHERE 100 * len(list_intersect(a2.g, b2.g))
+                    >= 70 * len(list_distinct(a2.g || b2.g))),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            labels AS (
+              SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+              FROM reach GROUP BY a),
+            dropped AS (SELECT doc_id FROM labels WHERE doc_id <> canonical_id),
+            curated AS MATERIALIZED (
+              SELECT s.doc_id, s.text FROM surv s
+              WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)),
+            qd AS MATERIALIZED (
+              SELECT doc_id, text, lang, lang = 'en' AS tgt FROM (
+                SELECT c2.doc_id, c2.text, dd.lang,
+                       len(regexp_extract_all(c2.text, '@NONWS@')) AS n_tokens,
+                       length(c2.text) - length(regexp_replace(c2.text, '[.,;:!?]', '', 'g')) AS np,
+                       length(c2.text) - length(regexp_replace(c2.text, '\S', '', 'g')) AS n_nonws,
+                       length(c2.text) AS n_chars
+                FROM curated c2 JOIN documents dd USING (doc_id))
+              WHERE n_tokens >= 5
+                AND np / greatest(n_chars, 1) <= 0.2
+                AND n_nonws / greatest(n_tokens, 1) BETWEEN 2 AND 14),
+            tok AS (
+              SELECT doc_id, tgt,
+                     unnest(regexp_extract_all(text, '@NONWS@')) AS tw
+              FROM qd),
+            feat AS MATERIALIZED (
+              SELECT doc_id, tgt, substr(md5(tw), 1, 2) AS b,
+                     count(*)::BIGINT AS cnt
+              FROM tok GROUP BY 1, 2, 3),
+            g2 AS (
+              SELECT b, sum(cnt)::BIGINT AS n_r,
+                     sum(CASE WHEN tgt THEN cnt ELSE 0 END)::BIGINT AS n_t
+              FROM feat GROUP BY b),
+            tot AS (SELECT sum(n_r)::HUGEINT AS nr, sum(n_t)::HUGEINT AS nt
+                    FROM g2),
+            s2 AS (
+              SELECT b,
+                     (((n_t + 1)::HUGEINT * 1000000 * (nr + 256))
+                      // ((n_r + 1)::HUGEINT * (nt + 256)))::BIGINT AS s
+              FROM g2, tot),
+            sc AS MATERIALIZED (
+              SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_tokens,
+                     sum(f.cnt * s2.s)::BIGINT AS dsir_score
+              FROM feat f JOIN s2 ON f.b = s2.b GROUP BY f.doc_id),
+            r2 AS (
+              SELECT doc_id, n_tokens, dsir_score,
+                     sum(n_tokens) OVER (ORDER BY dsir_score DESC, doc_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS run
+              FROM sc),
+            sel AS (
+              SELECT doc_id, n_tokens, dsir_score FROM r2
+              WHERE run <= (SELECT sum(n_tokens) * 50 // 100 FROM sc)),
+            selq AS MATERIALIZED (
+              SELECT sel.doc_id, sel.n_tokens, sel.dsir_score,
+                     qd.lang, qd.text
+              FROM sel JOIN qd USING (doc_id)),
+            nl AS (SELECT lang, count(*)::BIGINT AS n_docs
+                   FROM selq GROUP BY lang),
+            qt AS (SELECT lang,
+                          CAST(floor(sqrt(n_docs)) AS BIGINT) * 8 AS quota
+                   FROM nl),
+            rk AS (
+              SELECT doc_id, lang, n_tokens, dsir_score, text,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(coalesce(text, '')), doc_id) AS rnk
+              FROM selq),
+            mix AS MATERIALIZED (
+              SELECT rk.doc_id, rk.lang, rk.n_tokens, rk.dsir_score, rk.text
+              FROM rk JOIN qt USING (lang) WHERE rk.rnk <= qt.quota),
+            kk AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     md5('shard:' || doc_id) AS key
+              FROM mix),
+            rr AS (
+              SELECT substring(key, 1, 1) AS shard, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY substring(key, 1, 1)
+                                        ORDER BY key) AS rk2
+              FROM kk),
+            shards AS MATERIALIZED (
+              SELECT shard, count(*)::BIGINT AS n_docs,
+                     sum(n_chars)::BIGINT AS total_chars,
+                     sum(rk2 * (doc_id % 9973))::BIGINT AS order_check
+              FROM rr GROUP BY shard)
+            SELECT
+              (SELECT count(*) FROM documents)::BIGINT AS n_pages,
+              (SELECT count(*) FROM docs2)::BIGINT AS n_input,
+              (SELECT count(*) FROM qual)::BIGINT AS n_quality_ok,
+              (SELECT count(*) FROM surv)::BIGINT AS n_exact_unique,
+              (SELECT count(*) FROM curated)::BIGINT AS n_curated,
+              (SELECT count(*) FROM curated)::BIGINT AS mix_n_input,
+              (SELECT count(*) FROM qd)::BIGINT AS mix_n_quality,
+              (SELECT count(*) FROM sel)::BIGINT AS mix_n_selected,
+              (SELECT count(*) FROM mix)::BIGINT AS n_mixture,
+              coalesce((SELECT sum(n_tokens) FROM mix), 0)::BIGINT AS mix_tokens,
+              coalesce((SELECT sum(dsir_score) FROM mix), 0)::BIGINT AS mix_dsir_sum,
+              (SELECT count(*) FROM shards)::BIGINT AS n_shards,
+              coalesce((SELECT sum(total_chars) FROM shards), 0)::BIGINT AS shards_chars,
+              coalesce((SELECT sum(order_check) FROM shards), 0)::BIGINT AS shards_order_check,
+              (SELECT count(*) FROM mix)::BIGINT AS n_exported
+        """,
         "webcurate": r"""
             WITH RECURSIVE w0 AS (
               SELECT doc_id, regexp_extract_all(text, '@NONWS@') AS ws

@@ -53,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
                         "(offsets + extracted_text remain)")
     p.add_argument("--pipeline",
                    choices=["extract", "curate", "mixture", "webcurate",
-                            "wet", "wat", "jsonl"],
+                            "factory", "wet", "wat", "jsonl"],
                    default="extract",
                    help="extract = the flagship job over pages parquet; "
                         "webcurate = raw pages → boilerplate strip → the "
@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
                         "links as JSON metadata records); "
                         "jsonl = the same WARC→extract job emitting gzipped "
                         "JSONL corpus shards (url, lang, text, n_chars); "
+                        "factory = the FULL corpus factory — INPUT is a dir "
+                        "of .warc[.gz] segments, OUT_DIR the composite "
+                        "work_dir: extract → curate → mixture → shards → "
+                        ".jsonl.gz export, stage-resumable; "
                         "OUT_DIR is the composite work_dir — stage resume is "
                         "on unless --no-resume")
     p.add_argument("--retention", choices=["min_id", "keep_best"],
@@ -141,6 +145,17 @@ def main(argv: list[str] | None = None) -> int:
             "out": args.out, "shards": n_shards,
             "records": read_jsonl(args.out,
                                   schema=JSONL_CORPUS_SCHEMA).count()}))
+        ray.shutdown()
+        return 0
+
+    if args.pipeline == "factory":
+        from docling_translate_ray.pipelines.factory import corpus_factory
+
+        out, dirs = corpus_factory(
+            args.input, work_dir=args.out, resume=not args.no_resume)
+        stats = {k: out[k][0].as_py() for k in out.column_names}
+        stats.update({k: v for k, v in dirs.items() if k != "work_dir"})
+        print(json.dumps(stats))
         ray.shutdown()
         return 0
 

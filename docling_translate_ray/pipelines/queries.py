@@ -3091,6 +3091,61 @@ def q_ivfpq_residual(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_corpus_factory(sf_dir: str):
+    """The END-TO-END corpus factory (pipelines/factory.corpus_factory):
+    WARC segments (the webcurate synth pages with real CC content-
+    language headers) → main-content extraction → curate (quality →
+    exact dedup → near-dedup) → mixture (DSIR vs lang='en' → 50%-token
+    budget → α=0.5 rebalance) → training shards → .jsonl.gz export
+    with read-back verification.  One stats row whose counts AND
+    value-pinning aggregates (mixture token/score sums, rank-weighted
+    shard order checksum) a single composed DuckDB oracle replays from
+    the raw documents — ids are SQL-replayable via ``id_regex`` over
+    the planted urls; production uses the url-hash default."""
+    import os
+    import shutil
+    import tempfile
+
+    from docling_translate_ray.pipelines.factory import (
+        corpus_factory,
+        synth_warc_corpus,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dtr_factory_q_")
+    try:
+        synth_warc_corpus(sf_dir, os.path.join(tmp, "warc"))
+        out, _dirs = corpus_factory(
+            os.path.join(tmp, "warc"),
+            work_dir=os.path.join(tmp, "work"),
+            id_regex=r"d(\d+)\.example", target_lang="en",
+            hash_mode="md5")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def webcurate_synth_html(doc_id: int, text: str) -> bytes:
+    """The planted-truth page layout the webcurate / boilerplate
+    oracles replay: nav chrome, the doc's words re-cut into 12-word
+    ``<p>`` chunks with every 5th fully link-wrapped (link density 1),
+    a teaser, and a host-templated footer.  Shared by q_webcurate and
+    the corpus-factory WARC plant so ONE SQL CTE chain covers both."""
+    ws = (text or "").split()
+    d = doc_id
+    parts = [f'<nav><a href="/">Home</a> | '
+             f'<a href="/c{d % 7}">Cat {d % 7}</a></nav>']
+    for ci in range((len(ws) + 11) // 12):
+        s = " ".join(ws[ci * 12:ci * 12 + 12])
+        if ci % 5 == 4:
+            parts.append(f'<p><a href="/l{ci}">{s}</a></p>')
+        else:
+            parts.append(f"<p>{s}</p>")
+    parts.append("<p>Read more</p>")
+    parts.append(f"<footer>© host{d % 211} all rights reserved</footer>")
+    return ("<html><body>" + "".join(parts) + "</body></html>") \
+        .encode("utf-8")
+
+
 def q_webcurate(sf_dir: str):
     """The north-star first mile end to end with a FULL composed SQL
     oracle (pipelines/curate.curate_pages): the q_boilerplate_strip
@@ -3109,24 +3164,9 @@ def q_webcurate(sf_dir: str):
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        urls, htmls = [], []
-        for d, t in zip(ids, texts):
-            ws = (t or "").split()
-            parts = [f'<nav><a href="/">Home</a> | '
-                     f'<a href="/c{d % 7}">Cat {d % 7}</a></nav>']
-            for ci in range((len(ws) + 11) // 12):
-                s = " ".join(ws[ci * 12:ci * 12 + 12])
-                if ci % 5 == 4:
-                    parts.append(f'<p><a href="/l{ci}">{s}</a></p>')
-                else:
-                    parts.append(f"<p>{s}</p>")
-            parts.append("<p>Read more</p>")
-            parts.append(
-                f"<footer>© host{d % 211} all rights reserved</footer>")
-            urls.append(f"https://d{d}.example/a")
-            htmls.append(
-                ("<html><body>" + "".join(parts) + "</body></html>")
-                .encode("utf-8"))
+        urls = [f"https://d{d}.example/a" for d in ids]
+        htmls = [webcurate_synth_html(d, t or "")
+                 for d, t in zip(ids, texts)]
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "html": pa.array(htmls, pa.binary()),

@@ -61,7 +61,11 @@ def build_warc_bytes(records, gzip_whole: bool = False,
     emits one gzip member per record (the Common Crawl layout);
     ``gzip_whole`` compresses the concatenated stream."""
     out = bytearray()
-    for url, ts, body in records:
+    for rec_tuple in records:
+        # (url, ts, body) or (url, ts, body, lang) — lang emits the real
+        # Common Crawl 'WARC-Identified-Content-Language' header
+        url, ts, body = rec_tuple[0], rec_tuple[1], rec_tuple[2]
+        lang = rec_tuple[3] if len(rec_tuple) > 3 else ""
         body = bytes(body or b"")
         http = (b"HTTP/1.1 200 OK\r\n"
                 b"Content-Type: text/html\r\n"
@@ -69,11 +73,14 @@ def build_warc_bytes(records, gzip_whole: bool = False,
                 + body)
         rid = hashlib.md5(
             (url + "|" + _warc_date(ts)).encode("utf-8")).hexdigest()
+        lang_hdr = (b"WARC-Identified-Content-Language: "
+                    + lang.encode("utf-8") + _CRLF) if lang else b""
         rec = (b"WARC/1.0\r\n"
                b"WARC-Type: response\r\n"
                b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
                b"WARC-Date: " + _warc_date(ts).encode() + _CRLF +
                b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
+               lang_hdr +
                b"Content-Type: application/http; msgtype=response\r\n"
                b"Content-Length: " + str(len(http)).encode() + _HDR_END
                + http + _HDR_END)
@@ -135,6 +142,15 @@ def parse_warc_records(blob: bytes):
     a WARC blob; non-response records (warcinfo / request / metadata /
     conversion) are skipped.  Malformed-tail tolerance per
     :func:`_iter_records`."""
+    for url, ts, body, _lang in parse_warc_records_ex(blob):
+        yield url, ts, body
+
+
+def parse_warc_records_ex(blob: bytes):
+    """:func:`parse_warc_records` plus the record's declared content
+    language — ``(url, ts, body_bytes, lang)`` with ``lang`` from the
+    ``WARC-Identified-Content-Language`` header ('' when absent), the
+    real Common Crawl annotation."""
     for headers, payload in _iter_records(blob):
         if headers.get("warc-type") != "response":
             continue
@@ -145,7 +161,8 @@ def parse_warc_records(blob: bytes):
         # without one pass through whole)
         split = payload.find(_HDR_END)
         body = payload[split + len(_HDR_END):] if split >= 0 else payload
-        yield url, _record_ts(headers), body
+        yield url, _record_ts(headers), body, \
+            headers.get("warc-identified-content-language", "")
 
 
 def read_warc(path: str):
@@ -160,17 +177,19 @@ def read_warc(path: str):
         urls: list[str] = []
         ts: list[_dt.datetime] = []
         bodies: list[bytes] = []
+        langs: list[str] = []
         for blob in batch["bytes"].to_pylist():
-            for url, t, body in parse_warc_records(blob):
+            for url, t, body, lang in parse_warc_records_ex(blob):
                 urls.append(url)
                 ts.append(t)
                 bodies.append(body)
+                langs.append(lang)
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": pa.array(bodies, pa.binary()),
             "text": pa.array([""] * len(urls), pa.string()),
-            "lang": pa.array([""] * len(urls), pa.string()),
+            "lang": pa.array(langs, pa.string()),
         })
 
     # one segment file per task: records inside a WARC parse

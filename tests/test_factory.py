@@ -1,0 +1,95 @@
+"""End-to-end corpus factory (pipelines/factory.py): WARC → extract →
+curate → mixture → shards → .jsonl.gz, stage resume, export fidelity."""
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from docling_translate_ray.pipelines.factory import (
+    _STATS_COLS,
+    corpus_factory,
+    synth_warc_corpus,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(tmp, **kw):
+    warc_dir = os.path.join(tmp, "warc")
+    if not os.path.isdir(warc_dir):
+        n = synth_warc_corpus(SF, warc_dir)
+        assert n == 500
+    return corpus_factory(warc_dir, work_dir=os.path.join(tmp, "work"),
+                          id_regex=r"d(\d+)\.example", hash_mode="md5",
+                          **kw)
+
+
+def test_factory_end_to_end_and_export(ray_session, tmp_path):
+    out, dirs = _run(str(tmp_path))
+    row = {k: out[k][0].as_py() for k in out.column_names}
+    assert out.column_names == _STATS_COLS
+    # the chain only ever narrows
+    assert (row["n_pages"] >= row["n_curated"] >= row["n_mixture"] > 0)
+    assert row["n_exported"] == row["n_mixture"]
+    assert 1 <= row["n_shards"] <= 16
+
+    # export files are real gzip NDJSON with the contract columns
+    files = [f for f in os.listdir(dirs["export"])
+             if f.endswith(".jsonl.gz")]
+    assert files
+    rec = json.loads(gzip.decompress(
+        open(os.path.join(dirs["export"], files[0]), "rb").read())
+        .splitlines()[0])
+    assert set(rec) == {"doc_id", "url", "lang", "text",
+                        "n_tokens", "dsir_score"}
+    assert rec["url"].startswith("https://d") and rec["text"]
+
+    # shard files exist, are keyed-sorted, and cover exactly the mixture
+    shard_files = os.listdir(dirs["shard_files"])
+    assert len(shard_files) == row["n_shards"]
+    n_docs = 0
+    for f in shard_files:
+        t = pq.read_table(os.path.join(dirs["shard_files"], f))
+        keys = t["key"].to_pylist()
+        assert keys == sorted(keys)
+        n_docs += t.num_rows
+    assert n_docs == row["n_mixture"]
+
+
+def test_factory_resume_skips_completed_stages(ray_session, tmp_path):
+    out1, dirs = _run(str(tmp_path))
+    # mark a sentinel inside a completed stage dir; a true resume must
+    # not rewrite the stage (the sentinel survives)
+    sentinel = os.path.join(dirs["maincontent"], "_SENTINEL")
+    open(sentinel, "w").write("x")
+    out2, _ = _run(str(tmp_path), resume=True)
+    assert os.path.exists(sentinel)
+    assert out1.to_pydict() == out2.to_pydict()
+
+
+def test_factory_resume_refuses_param_mismatch(ray_session, tmp_path):
+    import pytest
+
+    _run(str(tmp_path))
+    with pytest.raises(ValueError, match="different parameters"):
+        _run(str(tmp_path), resume=True, target_lang="fr")
+
+
+def test_factory_urlhash_id_mode_same_counts(ray_session, tmp_path):
+    # production id mode (url hash): identical survivor counts — every
+    # count is id-invariant (groups keyed on content, not ids); the
+    # id-DEPENDENT aggregates (order_check) legitimately differ
+    warc_dir = os.path.join(str(tmp_path), "warc")
+    synth_warc_corpus(SF, warc_dir)
+    out_h, _ = corpus_factory(
+        warc_dir, work_dir=os.path.join(str(tmp_path), "wh"),
+        hash_mode="md5")
+    out_r, _ = corpus_factory(
+        warc_dir, work_dir=os.path.join(str(tmp_path), "wr"),
+        id_regex=r"d(\d+)\.example", hash_mode="md5")
+    for col in ["n_pages", "n_input", "n_quality_ok", "n_exact_unique",
+                "n_curated", "mix_n_input", "mix_n_quality", "n_shards"]:
+        assert out_h[col][0].as_py() == out_r[col][0].as_py(), col
