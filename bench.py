@@ -153,6 +153,9 @@ def extra_queries(sf_dir: str) -> dict:
         "ivfpq_topk": lambda: q.q_ivfpq_topk(sf_dir).num_rows,
         # session-7: raw pages → strip → curate, end-to-end SQL oracle
         "webcurate": lambda: q.q_webcurate(sf_dir).num_rows,
+        # round-5: the full corpus factory (WARC → extract → curate →
+        # mixture → shards → jsonl.gz, composed oracle)
+        "corpus_factory": lambda: q.q_corpus_factory(sf_dir).num_rows,
         # round-4: WET round-trip, BM25 ranked retrieval (index build +
         # join-free dl-normalized scoring), residual IVF-PQ (IVFADC)
         "wet_roundtrip": lambda: q.q_wet_roundtrip(sf_dir).num_rows,

@@ -245,13 +245,14 @@ def host_template_lines(ds, url_column: str = "url", column: str = "text",
         raise ValueError(f"unknown strategy {strategy!r}")
 
     def explode_lines(batch: pa.Table) -> pa.Table:
-        df = pl.DataFrame({
-            id_column: pl.Series(batch[id_column].to_pylist(), dtype=pl.Int64),
-            url_column: pl.Series(batch[url_column].to_pylist(),
-                                  dtype=pl.String),
-            column: pl.Series(batch[column].to_pylist(),
-                              dtype=pl.String).fill_null(""),
-        }).filter(pl.col(column).str.strip_chars() != "")
+        df = (
+            pl.from_arrow(  # zero-copy
+                batch.select([id_column, url_column, column]))
+            .with_columns(pl.col(id_column).cast(pl.Int64),
+                          pl.col(url_column).cast(pl.String),
+                          pl.col(column).cast(pl.String).fill_null(""))
+            .filter(pl.col(column).str.strip_chars() != "")
+        )
         df = df.with_columns(extract_hosts(df[url_column]).alias("host"))
         return (
             df.with_columns(pl.col(column).str.split("\n").alias("_lines"))

@@ -181,7 +181,10 @@ def hash_embed(ds, id_column: str = "doc_id", column: str = "text",
         return hash_partition_apply_spill(
             partial, [id_column, "dim"], final,
             num_partitions=num_partitions, scratch_dir=scratch_dir,
-            label="id,dim:embed_merge")
+            label="id,dim:embed_merge",
+            empty_schema=pa.schema([(id_column, pa.int64()),
+                                    ("dim", pa.uint8()),
+                                    ("val", pa.int32())]))
     return hash_partition_apply(
         partial, [id_column, "dim"], final,
         num_partitions=num_partitions, label="id,dim:embed_merge")

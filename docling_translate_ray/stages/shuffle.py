@@ -163,9 +163,13 @@ def hash_partition_apply_spill(
     num_partitions: int = 64,
     scratch_dir: str | None = None,
     label: str | None = None,
+    empty_schema: pa.Schema | None = None,
 ):
     """:func:`hash_partition_apply`, but the exchange SPILLS through
     scratch parquet instead of riding the object store.
+    ``empty_schema`` is the pre-``block_fn`` schema used to replay the
+    block on a fully empty input (an empty dataset's ``schema()`` can
+    be ``None``, so it can't be inferred).
 
     The plasma variant holds the whole shuffled table in object-store
     memory at the exchange barrier (hash_embed's 39M sparse rows peaked
@@ -201,8 +205,11 @@ def hash_partition_apply_spill(
         int(d.split("=", 1)[1]) for d in os.listdir(out)
         if d.startswith(f"{PKEY}="))
     if not parts:  # empty input: replay block_fn on the empty schema
-        empty = ds.schema().base_schema.empty_table()
-        return ray.data.from_arrow(block_fn(empty))
+        schema = ds.schema()
+        base = (schema.base_schema if schema is not None else empty_schema)
+        if base is None:
+            return ray.data.from_items([])
+        return ray.data.from_arrow(block_fn(base.empty_table()))
 
     def apply_part(batch: pa.Table) -> pa.Table:
         import time

@@ -103,3 +103,16 @@ def test_spill_and_plasma_exchanges_identical(ray_session):
         a = _sparse(rows, hash_mode=mode, exchange="spill")
         b = _sparse(rows, hash_mode=mode, exchange="plasma")
         assert a == b and len(a) > 0
+
+
+def test_spill_exchange_empty_and_blank_inputs(ray_session):
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert femb.hash_embed(empty).take_all() == []
+    blank = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([""], pa.string())}))
+    assert femb.hash_embed(blank).take_all() == []
