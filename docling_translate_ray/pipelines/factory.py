@@ -185,17 +185,25 @@ def corpus_factory(warc_dir: str, work_dir: str | None = None,
     mixrows = ray.data.read_parquet(mix_dir)
     stats["n_mixture"] = mixrows.count()
 
-    def _sum(col: str) -> int:
+    def _sums(cols: list[str]) -> list[int]:
+        # distributed partial sums — one tiny row per block reaches the
+        # driver, never the mixture rows themselves
         import pyarrow.compute as pc
 
-        total = 0
-        for b in mixrows.select_columns([col]).iter_batches(
-                batch_format="pyarrow"):
-            total += pc.sum(b[col]).as_py() or 0
-        return int(total)
+        def partial(b: pa.Table) -> pa.Table:
+            return pa.table({c: pa.array([pc.sum(b[c]).as_py() or 0],
+                                         pa.int64()) for c in cols})
 
-    stats["mix_tokens"] = _sum("n_tokens")
-    stats["mix_dsir_sum"] = _sum("dsir_score")
+        totals = [0] * len(cols)
+        for b in mixrows.select_columns(cols).map_batches(
+                partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            for i, c in enumerate(cols):
+                totals[i] += pc.sum(b[c]).as_py() or 0
+        return [int(t) for t in totals]
+
+    stats["mix_tokens"], stats["mix_dsir_sum"] = _sums(
+        ["n_tokens", "dsir_score"])
 
     # stage 6 — the selected documents' full rows (text re-attached by a
     # semi filter; the corpus side never crosses an exchange under the

@@ -141,7 +141,9 @@ def persist_dataset(ds, scratch_prefix: str, scratch_dir: str | None,
 
     The scratch dir must outlive consumption of the returned datasets;
     pass ``scratch_dir`` to own the lifecycle (pipelines pass their work
-    dir), else a process-lifetime tempdir is used.
+    dir), else a process-lifetime tempdir is used.  Multi-node: the dir
+    must be on worker-reachable shared storage (the composites'
+    standing ``work_dir`` contract).
     """
     import os
     import tempfile
@@ -184,7 +186,10 @@ def hash_partition_apply_spill(
     Trade-off: one durable write + one read of the (compressed)
     exchange table vs zero disk in the plasma path — use for
     corpus-sized exchanges; the scratch dir must outlive consumption
-    of the returned (lazy) dataset.
+    of the returned (lazy) dataset.  Multi-node: ``scratch_dir`` must
+    be on storage every worker can reach (the composite pipelines'
+    standing ``work_dir`` contract) — a driver-local /tmp default only
+    works single-node.
     """
     import os
     import tempfile
