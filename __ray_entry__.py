@@ -46,6 +46,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # read-back verify), ONE composed SQL oracle replaying counts
         # AND value-pinning aggregates from the raw documents
         "corpus_factory": q.q_corpus_factory,
+        # round-5 addition — never driver-checked: ingest-level exact
+        # dedup by the real Common Crawl WARC-Payload-Digest annotation
+        # (sources/warc.py — headers-only scan, payload bytes never
+        # move; plant-rule replay oracle)
+        "warc_digest_dedup": q.q_warc_digest_dedup,
         # round-4 latest addition — never driver-checked, first in the
         # window: table-structure recovery (functions/tables.py — the
         # Docling TableFormer slot the north-star names: WHATWG
@@ -171,7 +176,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature language rebalancing (all oracle-backed)
         "semdedup": q.q_semdedup,
         "bitext_mine": q.q_bitext_mine,
-        "bpe_pair_counts": q.q_bpe_pair_counts,
         "mixture": q.q_mixture,
         # never driver-checked before round 3 — first in the window
         "image_near_dup": q.q_image_near_dup,
@@ -479,6 +483,11 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
       VERBATIM inside mixture's oracle and the prefix-sum kernel stays
       oracle-checked here) — driver-hash-verified r01–r03, demoted
       round 4 for line_quality_trim
+    * bpe_pair_counts → bpe_train / bpe_encode (the single-iteration
+      pair-count primitive; bpe_train executes the identical kernel on
+      every merge and its iteration-1 ranking is what this entry
+      checked) — driver-hash-verified r03 AND r04, demoted round 5 to
+      make window room for warc_digest_dedup
     * minhash_near_dup → webcurate + corpus_factory (minhash_lsh_dedup
       runs VERBATIM inside both in-window composites' curate stage, and
       its recursive-CTE closure oracle replays inside both composed
@@ -488,6 +497,7 @@ def queries_legacy() -> dict[str, Callable[[str], Any]]:
     from docling_translate_ray.pipelines import queries as q
 
     return {
+        "bpe_pair_counts": q.q_bpe_pair_counts,
         "minhash_near_dup": q.q_minhash_near_dup,
         "robots_filter": q.q_robots_filter,
         "snapshot_diff": q.q_snapshot_diff,
@@ -2948,6 +2958,19 @@ def oracle_sql() -> dict[str, str]:
         # exact-Jaccard near-dup closure).  The pipeline's internal ids
         # are polars url hashes, but every count is id-invariant
         # (groups key on md5(text) / gram sets, not on ids)
+        # ingest dedup by the planted digest-equivalence classes: every
+        # doc_id % 7 == 3 page shares one constant payload (one group),
+        # all other pages embed their doc_id (singletons); canonical =
+        # lexicographic-min url, count = members
+        "warc_digest_dedup": """
+            WITH grp AS (
+              SELECT CASE WHEN doc_id % 7 = 3 THEN '__dup__'
+                          ELSE 'doc:' || doc_id END AS g,
+                     'doc://' || doc_id AS url
+              FROM documents)
+            SELECT min(url) AS url, count(*)::BIGINT AS n_dups
+            FROM grp GROUP BY g
+        """,
         # the corpus factory: ONE composed replay of the whole artifact
         # chain — the webcurate CTE ladder (synth page → boilerplate
         # keep → quality → exact dedup → minhash closure) feeding the

@@ -3091,6 +3091,54 @@ def q_ivfpq_residual(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_warc_digest_dedup(sf_dir: str):
+    """Ingest-level exact dedup by the real ``WARC-Payload-Digest``
+    annotation (sources/warc.warc_digest_dedup — the Common Crawl
+    practice): segments planted from `documents` with every
+    ``doc_id % 7 == 3`` page replaced by one constant body (one big
+    digest group; all other pages embed their doc_id so they stay
+    singletons), headers-only scan, one narrow keyed exchange,
+    canonical = lexicographic-min url.  The oracle replays the
+    equivalence classes from the plant rule (sha1 values themselves
+    never reach the output — DuckDB has no sha1)."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from docling_translate_ray.sources.warc import (
+        build_warc_bytes,
+        warc_digest_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dtr_wdigest_")
+    try:
+        ts = _dt.datetime(2017, 3, 6, 4, 3, 53)
+        CONST = b"<html><body><p>syndicated boilerplate page</p></body></html>"
+
+        def write_segment(batch: pa.Table) -> pa.Table:
+            recs = []
+            for i, t, l in zip(batch["doc_id"].to_pylist(),
+                               batch["text"].to_pylist(),
+                               batch["lang"].to_pylist()):
+                body = (CONST if i % 7 == 3 else
+                        corpus.doc_row_to_page_html(i, t or "", l or "")
+                        .encode("utf-8"))
+                recs.append((f"doc://{i}", ts, body, l or ""))
+            blob = build_warc_bytes(recs, gzip_per_record=True)
+            with open(os.path.join(tmp, f"seg-{uuid.uuid4().hex}.warc.gz"),
+                      "wb") as f:
+                f.write(blob)
+            return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            write_segment, batch_format="pyarrow").materialize()
+        return _collect(warc_digest_dedup(tmp)).sort_by("url")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_corpus_factory(sf_dir: str):
     """The END-TO-END corpus factory (pipelines/factory.corpus_factory):
     WARC segments (the webcurate synth pages with real CC content-

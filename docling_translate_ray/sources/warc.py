@@ -28,6 +28,7 @@ byte-identically through the parser.
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import gzip
 import hashlib
@@ -75,12 +76,17 @@ def build_warc_bytes(records, gzip_whole: bool = False,
             (url + "|" + _warc_date(ts)).encode("utf-8")).hexdigest()
         lang_hdr = (b"WARC-Identified-Content-Language: "
                     + lang.encode("utf-8") + _CRLF) if lang else b""
+        # the real Common Crawl payload annotation: sha1 of the HTTP
+        # payload body, base32 (RFC 4648) — digest-equality dedup at
+        # ingest reads headers only, never the payload
+        digest = base64.b32encode(hashlib.sha1(body).digest()).decode()
         rec = (b"WARC/1.0\r\n"
                b"WARC-Type: response\r\n"
                b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
                b"WARC-Date: " + _warc_date(ts).encode() + _CRLF +
                b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF +
                lang_hdr +
+               b"WARC-Payload-Digest: sha1:" + digest.encode() + _CRLF +
                b"Content-Type: application/http; msgtype=response\r\n"
                b"Content-Length: " + str(len(http)).encode() + _HDR_END
                + http + _HDR_END)
@@ -142,15 +148,15 @@ def parse_warc_records(blob: bytes):
     a WARC blob; non-response records (warcinfo / request / metadata /
     conversion) are skipped.  Malformed-tail tolerance per
     :func:`_iter_records`."""
-    for url, ts, body, _lang in parse_warc_records_ex(blob):
+    for url, ts, body, _lang, _digest in parse_warc_records_ex(blob):
         yield url, ts, body
 
 
 def parse_warc_records_ex(blob: bytes):
-    """:func:`parse_warc_records` plus the record's declared content
-    language — ``(url, ts, body_bytes, lang)`` with ``lang`` from the
-    ``WARC-Identified-Content-Language`` header ('' when absent), the
-    real Common Crawl annotation."""
+    """:func:`parse_warc_records` plus the record's Common Crawl
+    annotations — ``(url, ts, body_bytes, lang, payload_digest)`` with
+    ``lang`` from ``WARC-Identified-Content-Language`` and
+    ``payload_digest`` from ``WARC-Payload-Digest`` ('' when absent)."""
     for headers, payload in _iter_records(blob):
         if headers.get("warc-type") != "response":
             continue
@@ -162,7 +168,8 @@ def parse_warc_records_ex(blob: bytes):
         split = payload.find(_HDR_END)
         body = payload[split + len(_HDR_END):] if split >= 0 else payload
         yield url, _record_ts(headers), body, \
-            headers.get("warc-identified-content-language", "")
+            headers.get("warc-identified-content-language", ""), \
+            headers.get("warc-payload-digest", "")
 
 
 def read_warc(path: str):
@@ -178,24 +185,95 @@ def read_warc(path: str):
         ts: list[_dt.datetime] = []
         bodies: list[bytes] = []
         langs: list[str] = []
+        digests: list[str] = []
         for blob in batch["bytes"].to_pylist():
-            for url, t, body, lang in parse_warc_records_ex(blob):
+            for url, t, body, lang, digest in parse_warc_records_ex(blob):
                 urls.append(url)
                 ts.append(t)
                 bodies.append(body)
                 langs.append(lang)
+                digests.append(digest)
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": pa.array(bodies, pa.binary()),
             "text": pa.array([""] * len(urls), pa.string()),
             "lang": pa.array(langs, pa.string()),
+            "payload_digest": pa.array(digests, pa.string()),
         })
 
     # one segment file per task: records inside a WARC parse
     # sequentially; parallelism comes from the file count, as in CC
     return raw.map_batches(parse_files, batch_format="pyarrow",
                            batch_size=1)
+
+
+def read_warc_digests(path: str):
+    """Narrow ``(url, payload_digest)`` rows from WARC segments — the
+    headers-only ingest view: page bytes never enter the object store,
+    so digest-level decisions cost header parsing, not payload I/O."""
+    import ray.data
+
+    raw = ray.data.read_binary_files(path, include_paths=True)
+
+    def parse_files(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        digests: list[str] = []
+        for blob in batch["bytes"].to_pylist():
+            for url, _ts, _body, _lang, digest in parse_warc_records_ex(blob):
+                urls.append(url)
+                digests.append(digest)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "payload_digest": pa.array(digests, pa.string()),
+        })
+
+    return raw.map_batches(parse_files, batch_format="pyarrow",
+                           batch_size=1)
+
+
+def warc_digest_dedup(path: str, num_partitions: int = 32):
+    """Ingest-level exact dedup by ``WARC-Payload-Digest`` — the
+    Common Crawl practice: identical payloads share the sha1 digest
+    their fetcher already recorded, so duplicate elimination needs only
+    the record HEADERS.  Returns one row per distinct digest:
+    ``(url, n_dups)`` with ``url`` = the lexicographic-min member (the
+    canonical fetch) — the pruned fetch list a downstream extract job
+    consumes.  Digest-less records (non-CC writers) each stay their own
+    group, keyed by url.
+
+    Scale shape: headers-only scan (:func:`read_warc_digests`) →
+    per-batch combiner → ONE narrow (digest, url) keyed exchange; the
+    payload bytes of a 100 TB crawl never move."""
+    import polars as pl
+
+    from docling_translate_ray.stages.shuffle import hash_partition_apply
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.when(pl.col("payload_digest") == "")
+            .then(pl.lit("\x00url:") + pl.col("url"))
+            .otherwise(pl.col("payload_digest")).alias("_g"))
+        return (df.group_by("_g")
+                .agg(pl.col("url").min(),
+                     pl.len().cast(pl.Int64).alias("n_dups"))
+                .to_arrow())
+
+    def finalize(part: pa.Table) -> pa.Table:
+        return (pl.from_arrow(part)
+                .group_by("_g")
+                .agg(pl.col("url").min(),
+                     pl.col("n_dups").sum())
+                .select(["url", "n_dups"])
+                .to_arrow()
+                .cast(pa.schema([("url", pa.string()),
+                                 ("n_dups", pa.int64())])))
+
+    return hash_partition_apply(
+        read_warc_digests(path).map_batches(
+            combiner, batch_format="pyarrow"),
+        ["_g"], finalize, num_partitions=num_partitions,
+        label="digest:warc_dedup")
 
 
 def write_warc(ds, out_dir: str, url_column: str = "url",

@@ -203,3 +203,53 @@ def test_write_warc_read_warc_roundtrip(tmp_path):
         r = by_url[f"https://rt.example/p{i}"]
         assert r["html"] == f"<html>page {i}</html>".encode()
         assert r["warc_ts"] == ts
+
+
+def test_warc_payload_digest_header_and_dedup(ray_session, tmp_path):
+    import base64
+    import datetime as dt
+    import hashlib
+
+    from docling_translate_ray.sources import warc
+
+    ts = dt.datetime(2020, 5, 5, 12, 0, 0)
+    body = b"<html>same payload</html>"
+    recs = [("http://a/1", ts, body), ("http://a/2", ts, body),
+            ("http://b/1", ts, b"<html>unique</html>")]
+    blob = warc.build_warc_bytes(recs, gzip_per_record=True)
+    (tmp_path / "seg.warc.gz").write_bytes(blob)
+
+    # header carries the real CC annotation: sha1, base32
+    got = list(warc.parse_warc_records_ex(blob))
+    want = "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+    assert got[0][4] == want and got[1][4] == want
+    assert got[2][4] != want and got[2][4].startswith("sha1:")
+
+    # read_warc surfaces it as a column
+    rows = sorted(warc.read_warc(str(tmp_path)).take_all(),
+                  key=lambda r: r["url"])
+    assert rows[0]["payload_digest"] == want
+
+    # dedup: headers-only, min-url canonical, digest-less kept verbatim
+    out = sorted(warc.warc_digest_dedup(str(tmp_path)).take_all(),
+                 key=lambda r: r["url"])
+    assert [(r["url"], r["n_dups"]) for r in out] == [
+        ("http://a/1", 2), ("http://b/1", 1)]
+
+
+def test_warc_digest_dedup_keeps_digestless_records(ray_session, tmp_path):
+    import datetime as dt
+
+    from docling_translate_ray.sources import warc
+
+    ts = dt.datetime(2020, 5, 5, 12, 0, 0)
+    blob = warc.build_warc_bytes([("http://c/1", ts, b"x")])
+    # strip the digest header to simulate a non-CC writer
+    blob = b"".join(line for line in blob.splitlines(keepends=True)
+                    if not line.startswith(b"WARC-Payload-Digest"))
+    # content-length of the WARC record header block changed? No — the
+    # digest header sits inside the WARC header block, whose length is
+    # not length-prefixed (only the payload is), so stripping is safe.
+    (tmp_path / "seg.warc").write_bytes(blob)
+    out = warc.warc_digest_dedup(str(tmp_path)).take_all()
+    assert [(r["url"], r["n_dups"]) for r in out] == [("http://c/1", 1)]
