@@ -520,3 +520,17 @@ def test_pq_scale_query_matches_kmeans_quantizer(vec):
     expected = _to_int_matrix(t, "embedding")[0]
     got = _scale_query(vec)
     assert np.array_equal(got, expected)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_decode_png_total(blob):
+    # totality: arbitrary bytes either decode or raise ValueError —
+    # never crash, hang, or return garbage shapes
+    from docling_translate_ray.functions.multimodal import decode_png
+
+    try:
+        out = decode_png(b"\x89PNG\r\n\x1a\n" + blob)
+    except ValueError:
+        return
+    assert out.ndim == 3 and out.dtype.name == "uint8"
