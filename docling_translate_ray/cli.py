@@ -95,13 +95,21 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # own the session only if nobody else does (under `ray job submit`
+    # or a pytest session the caller's session is reused and NOT shut
+    # down on exit)
+    owns_session = not ray.is_initialized()
+    if owns_session:
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(address="local", **kwargs,
          runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"},
                       "worker_process_setup_hook": "docling_translate_ray.util.warm_imports"})
+
+    def _shutdown():
+        if owns_session:
+            ray.shutdown()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -116,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
                           if f.endswith((".wet", ".wet.gz"))])
         print(json.dumps({"out": args.out, "segments": n_segments,
                           "records": read_wet(args.out).count()}))
-        ray.shutdown()
+        _shutdown()
         return 0
 
     if args.pipeline == "wat":
@@ -129,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
                           if f.endswith((".wat", ".wat.gz"))])
         print(json.dumps({"out": args.out, "segments": n_segments,
                           "records": read_wat(args.out).count()}))
-        ray.shutdown()
+        _shutdown()
         return 0
 
     if args.pipeline == "jsonl":
@@ -145,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
             "out": args.out, "shards": n_shards,
             "records": read_jsonl(args.out,
                                   schema=JSONL_CORPUS_SCHEMA).count()}))
-        ray.shutdown()
+        _shutdown()
         return 0
 
     if args.pipeline == "factory":
@@ -156,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         stats = {k: out[k][0].as_py() for k in out.column_names}
         stats.update({k: v for k, v in dirs.items() if k != "work_dir"})
         print(json.dumps(stats))
-        ray.shutdown()
+        _shutdown()
         return 0
 
     if args.pipeline in ("curate", "mixture", "webcurate"):
@@ -201,7 +209,7 @@ def main(argv: list[str] | None = None) -> int:
             final.write_parquet(final_dir)
             stats["final_dir"] = final_dir
         print(json.dumps(stats))
-        ray.shutdown()
+        _shutdown()
         return 0
 
     from docling_translate_ray.pipelines.extract import run_extract_job
@@ -220,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
         speed_mode=args.speed_mode,
     )
     print(json.dumps(res))
-    ray.shutdown()
+    _shutdown()
     return 0
 
 

@@ -93,3 +93,19 @@ def test_factory_urlhash_id_mode_same_counts(ray_session, tmp_path):
     for col in ["n_pages", "n_input", "n_quality_ok", "n_exact_unique",
                 "n_curated", "mix_n_input", "mix_n_quality", "n_shards"]:
         assert out_h[col][0].as_py() == out_r[col][0].as_py(), col
+
+
+def test_factory_cli_pipeline(ray_session, tmp_path, capsys):
+    # the `--pipeline factory` CLI branch drives the same composite
+    # (ray already initialised by the session fixture — the CLI reuses)
+    import json
+
+    from docling_translate_ray import cli
+
+    warc_dir = os.path.join(str(tmp_path), "warc")
+    synth_warc_corpus(SF, warc_dir)
+    rc = cli.main([warc_dir, os.path.join(str(tmp_path), "work"),
+                   "--pipeline", "factory"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_pages"] == 500 and out["n_exported"] == out["n_mixture"]
