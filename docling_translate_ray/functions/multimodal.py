@@ -6,13 +6,15 @@ S10 in SURVEY.md §2); at corpus scale media are opaque ``binary`` columns
 with typed metadata, processed by actor-pool stages.  No PIL/ffmpeg exists
 in this container, so the codec story is:
 
-* **images are real BMPs and PNGs** — 24-bit uncompressed BMP in pure
-  numpy (:func:`decode_bmp` / :func:`encode_bmp`) and 8-bit
+* **images are real BMPs, PNGs and JPEGs** — 24-bit uncompressed BMP
+  in pure numpy (:func:`decode_bmp` / :func:`encode_bmp`), 8-bit
   gray/RGB/RGBA PNG via stdlib zlib + per-scanline unfiltering
-  (:func:`decode_png` / :func:`encode_png`, all five spec filters), so
-  decode, featurize and nearest-neighbor resize are REAL pixel work
-  over the web's dominant lossless format (JPEG/DCT stays honestly out
-  of scope);
+  (:func:`decode_png` / :func:`encode_png`, all five spec filters),
+  and baseline-sequential JPEG (``functions/jpeg.py``: standard Annex
+  K tables, exact orthonormal DCT, 4:4:4 / 4:2:0, DRI/RST restarts;
+  progressive/arithmetic/12-bit honestly rejected) — decode, featurize
+  and nearest-neighbor resize are REAL pixel work over all three web
+  image formats;
 * **audio is real WAV** — PCM16 WAV via the stdlib ``wave`` module
   (:func:`decode_wav` / :func:`encode_wav`): RMS / zero-crossing features
   are computed from actual samples;
@@ -105,7 +107,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
 # lossless format next to the BMP lane (reference handles PNG via PIL,
 # utils.py:64-71 / core.py:119-134).  8-bit depth, color types 0 (gray),
 # 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlace, no palette (those
-# raise ValueError — JPEG/DCT stays honestly out of scope).
+# raise ValueError).  The lossy web format has its own lane:
+# functions/jpeg.py (baseline DCT, 4:4:4 / 4:2:0, DRI/RST).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -254,9 +257,10 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff-and-decode an image payload → (h, w, 3) uint8 RGB.
 
-    BMP (``BM``) and PNG (signature) lanes; PNG gray replicates to 3
-    channels and alpha is dropped (the featurize/hash consumers are
-    RGB-shaped).  Unknown magic raises ValueError."""
+    BMP (``BM``), PNG (signature) and baseline JPEG (SOI) lanes; gray
+    replicates to 3 channels and PNG alpha is dropped (the
+    featurize/hash consumers are RGB-shaped).  Unknown magic raises
+    ValueError."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -267,7 +271,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         if ch == 2:  # gray+alpha: replicate luma, drop alpha
             return np.repeat(img[:, :, :1], 3, axis=2)
         return np.ascontiguousarray(img[:, :, :3])
-    raise ValueError("unknown image payload (not BMP or PNG)")
+    if payload[:2] == b"\xFF\xD8":
+        from docling_translate_ray.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        return img
+    raise ValueError("unknown image payload (not BMP, PNG or JPEG)")
 
 
 # ---------------------------------------------------------------- WAV codec
@@ -443,6 +454,10 @@ class MediaResizer:
         # re-encode in the payload's own container
         if payload[:8] == _PNG_SIG:
             return encode_png(resized)
+        if payload[:2] == b"\xFF\xD8":
+            from docling_translate_ray.functions.jpeg import encode_jpeg
+
+            return encode_jpeg(resized, quality=90)
         return encode_bmp(resized)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -587,10 +602,11 @@ def gen_image_corpus(n_base: int, n_dup: int, seed: int = 42) -> pa.Table:
     reuses an earlier base pattern with 0–3 blocks flipped, a different
     scale and fresh noise: Hamming(base, dup) = #flipped ≤ 3, while two
     independent random patterns differ in ~32 bits.  All rows are
-    MEDIA_SCHEMA images; dup ids continue after the base ids.  Every
-    third row (base and dup alike) is a PNG — including RGBA every
-    ninth — the rest BMP: near-dup relations must hold ACROSS container
-    formats (the hash sees pixels, not encodings)."""
+    MEDIA_SCHEMA images; dup ids continue after the base ids.  Rows
+    rotate containers — PNG every third (RGBA every ninth), baseline
+    JPEG (4:2:0 every other one) where ``i % 3 == 1``, BMP otherwise:
+    near-dup relations must hold ACROSS formats, including the lossy
+    one (the aHash threshold margin dwarfs JPEG quantization error)."""
     rng = np.random.RandomState(seed % (1 << 31))
     patterns = []
     rows_id, rows_url, rows_payload, rows_meta = [], [], [], []
@@ -607,6 +623,10 @@ def gen_image_corpus(n_base: int, n_dup: int, seed: int = 42) -> pa.Table:
                     [img, np.full(img.shape[:2] + (1,), 255, np.uint8)],
                     axis=2)
             payload = encode_png(img, filter_type=i % 5)
+        elif i % 3 == 1:
+            from docling_translate_ray.functions.jpeg import encode_jpeg
+
+            payload = encode_jpeg(img, quality=92, subsample=i % 6 == 1)
         else:
             payload = encode_bmp(img)
         rows_id.append(i)

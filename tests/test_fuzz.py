@@ -534,3 +534,16 @@ def test_decode_png_total(blob):
     except ValueError:
         return
     assert out.ndim == 3 and out.dtype.name == "uint8"
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None)
+def test_decode_jpeg_total(blob):
+    # totality: arbitrary bytes after SOI either decode or ValueError
+    from docling_translate_ray.functions.jpeg import decode_jpeg
+
+    try:
+        out = decode_jpeg(b"\xFF\xD8" + blob)
+    except ValueError:
+        return
+    assert out.ndim == 3 and out.dtype.name == "uint8"
