@@ -504,6 +504,28 @@ def kernel_bench() -> dict:
     mh = MinHasher()
     t_mh_old = best_of(lambda: [mh.signature(t) for t in texts], 1)
     t_mh_new = best_of(lambda: mh.signatures_batch(texts))
+    # image codec throughput (absolute, no scalar baseline — there is
+    # no slower round-1 loop to compare against): MB/s of pixel data
+    # through encode+decode at a web-ish 256×256
+    from docling_translate_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from docling_translate_ray.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    xx, yy = np.meshgrid(np.arange(256), np.arange(256))
+    img = np.stack([(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256],
+                   axis=2).astype(np.uint8)
+    mb = img.nbytes / 1e6
+
+    jpeg_blob = encode_jpeg(img, quality=90, subsample=True)
+    png_blob = encode_png(img, filter_type=2)
+    t_jenc = best_of(lambda: encode_jpeg(img, quality=90, subsample=True))
+    t_jdec = best_of(lambda: decode_jpeg(jpeg_blob))
+    t_penc = best_of(lambda: encode_png(img, filter_type=2))
+    t_pdec = best_of(lambda: decode_png(png_blob))
+
     return {
         "minhash_sig": {"scalar_sec": round(t_mh_old, 3),
                         "vector_sec": round(t_mh_new, 3),
@@ -514,6 +536,12 @@ def kernel_bench() -> dict:
         "langid": {"scalar_sec": round(t_lid_old, 3),
                    "vector_sec": round(t_lid_new, 3),
                    "speedup": round(t_lid_old / t_lid_new, 1)},
+        "jpeg_codec_256": {"encode_mb_s": round(mb / t_jenc, 1),
+                           "decode_mb_s": round(mb / t_jdec, 1),
+                           "bytes": len(jpeg_blob)},
+        "png_codec_256": {"encode_mb_s": round(mb / t_penc, 1),
+                          "decode_mb_s": round(mb / t_pdec, 1),
+                          "bytes": len(png_blob)},
     }
 
 

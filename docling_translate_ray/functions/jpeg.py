@@ -146,55 +146,72 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-segment reader with 0xFF00 unstuffing; RST markers end
-    the current run (the caller resets predictors and continues)."""
+    """Entropy-segment reader with 0xFF00 unstuffing and a 16-bit
+    lookahead window (the standard fast-Huffman layout).  Any marker
+    stops the fill (the byte stream virtually zero-pads past it —
+    padding is only ever PEEKED on valid streams, and a 64-bit consumed
+    cap turns endless garbage into ValueError)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "stopped", "padded")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.stopped = False
+        self.padded = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
-                else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
+    def _fill_byte(self) -> None:
+        if not self.stopped and self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] \
+                    if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:          # RSTn / EOI / any marker: end of segment
+                    self.stopped = True
             else:
-                raise ValueError("unexpected marker inside entropy stream")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
+                self.pos += 1
+            if not self.stopped:
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+        self.acc <<= 8         # virtual zero padding past the marker
         self.nbits += 8
+        self.padded += 8
+        if self.padded > 64:
+            raise ValueError("truncated JPEG entropy stream")
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill_byte()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill_byte()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def sync_to_restart(self) -> None:
-        """Byte-align and consume the RSTn marker just raised."""
+    def align_to_restart(self) -> bool:
+        """Discard buffered bits, expect an RSTn at the current byte;
+        consume it and resume.  Returns False when absent."""
         self.acc = 0
         self.nbits = 0
-        self.pos += 2  # the 0xFF 0xDn pair
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int):
-        self.marker = marker
+        self.padded = 0
+        self.stopped = False
+        if (self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+            return True
+        return False
 
 
 # ---------------------------------------------------------------- huffman
@@ -210,28 +227,42 @@ def _build_encode_table(bits, values):
     return table
 
 
+_DECODE_TABLE_CACHE: dict = {}
+
+
 def _build_decode_table(bits, values):
-    """(code, length) → symbol map, plus min/max code per length for
-    the canonical walk."""
-    code, k, table = 0, 0, {}
+    """16-bit lookahead arrays ``(sym[65536], length[65536])`` — every
+    16-bit window whose prefix is a code maps to (symbol, code length);
+    length 0 marks invalid prefixes.  Cached by table spec (the
+    standard Annex K tables hit the cache after the first image)."""
+    key = (tuple(bits), tuple(values))
+    hit = _DECODE_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            start = code << (16 - length)
+            end = (code + 1) << (16 - length)
+            sym[start:end] = values[k]
+            ln[start:end] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    _DECODE_TABLE_CACHE[key] = (sym, ln)
+    return sym, ln
 
 
 def _decode_symbol(reader: _BitReader, table) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+    sym, ln = table
+    w = reader.peek16()
+    length = ln[w]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    reader.consume(int(length))
+    return int(sym[w])
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -249,44 +280,48 @@ def _extend(v: int, s: int) -> int:
 
 # ---------------------------------------------------------------- encoder
 
-def _encode_block(writer, block, qtable, dc_tbl, ac_tbl, pred):
-    coef = _D @ (block.astype(np.float64) - 128.0) @ _D.T
-    q = np.round(coef.reshape(64) / qtable).astype(np.int64)[ZIGZAG]
+def _quantize_plane(plane: np.ndarray, qtable: np.ndarray,
+                    pad_to: int = 8) -> tuple[np.ndarray, int]:
+    """Plane → (N, 64) quantized zigzag coefficient rows in raster
+    block order (one batched FDCT einsum) + blocks-per-row count."""
+    h, w = plane.shape
+    H = (h + pad_to - 1) // pad_to * pad_to
+    W = (w + pad_to - 1) // pad_to * pad_to
+    p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    blocks = (p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8).astype(np.float64) - 128.0)
+    coef = np.einsum("ij,njk,kl->nil", _D, blocks, _D.T).reshape(-1, 64)
+    q = np.round(coef / qtable).astype(np.int64)[:, ZIGZAG]
+    return q, W // 8
+
+
+def _encode_qz(writer, q, dc_tbl, ac_tbl, pred):
+    """Huffman-encode one quantized zigzag row; touches NONZERO
+    coefficients only (typical blocks are mostly zeros)."""
     diff = int(q[0]) - pred
     s, bitsv = _magnitude(diff)
     code, length = dc_tbl[s]
     writer.write(code, length)
     if s:
         writer.write(bitsv, s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(q)[0])) if np.any(q[1:]) else 0
-    for i in range(1, 64):
-        v = int(q[i])
-        if v == 0:
-            run += 1
-            continue
+    nz = np.nonzero(q[1:])[0]
+    prev = 0
+    for i in nz:
+        i = int(i) + 1
+        run = i - prev - 1
         while run > 15:
             code, length = ac_tbl[0xF0]   # ZRL
             writer.write(code, length)
             run -= 16
-        s, bitsv = _magnitude(v)
+        s, bitsv = _magnitude(int(q[i]))
         code, length = ac_tbl[(run << 4) | s]
         writer.write(code, length)
         writer.write(bitsv, s)
-        run = 0
-    if last_nz < 63:
+        prev = i
+    if prev < 63:
         code, length = ac_tbl[0x00]       # EOB
         writer.write(code, length)
     return int(q[0])
-
-
-def _plane_blocks(plane: np.ndarray):
-    h, w = plane.shape
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
-            yield padded[by:by + 8, bx:bx + 8]
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
@@ -370,40 +405,41 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
             preds = [0, 0, 0]
 
     if gray or not subsample:
-        iters = [list(_plane_blocks(p)) for p in planes]
-        n_blocks = len(iters[0])
+        qz = [_quantize_plane(p, qt_l if c == 0 else qt_c)[0]
+              for c, p in enumerate(planes)]
+        n_blocks = qz[0].shape[0]
         for i in range(n_blocks):
             for c in range(len(planes)):
-                qt = qt_l if c == 0 else qt_c
                 dc = enc_dc_l if c == 0 else enc_dc_c
                 ac = enc_ac_l if c == 0 else enc_ac_c
-                preds[c] = _encode_block(writer, iters[c][i], qt, dc, ac,
-                                         preds[c])
+                preds[c] = _encode_qz(writer, qz[c][i], dc, ac, preds[c])
             if i < n_blocks - 1:
                 maybe_restart()
     else:
         # 4:2:0 MCU = 4 luma blocks + 1 cb + 1 cr
         y, cb, cr = planes
-        H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
-        yp = np.pad(y, ((0, H - h), (0, W - w)), mode="edge")
-        ch, cw = cb.shape
-        cbp = np.pad(cb, ((0, H // 2 - ch), (0, W // 2 - cw)), mode="edge")
-        crp = np.pad(cr, ((0, H // 2 - ch), (0, W // 2 - cw)), mode="edge")
-        last = (H - 16, W - 16)
-        for my in range(0, H, 16):
-            for mx in range(0, W, 16):
-                for sy in (0, 8):
-                    for sx in (0, 8):
-                        preds[0] = _encode_block(
-                            writer, yp[my + sy:my + sy + 8,
-                                       mx + sx:mx + sx + 8],
-                            qt_l, enc_dc_l, enc_ac_l, preds[0])
-                cy, cx = my // 2, mx // 2
-                preds[1] = _encode_block(writer, cbp[cy:cy + 8, cx:cx + 8],
-                                         qt_c, enc_dc_c, enc_ac_c, preds[1])
-                preds[2] = _encode_block(writer, crp[cy:cy + 8, cx:cx + 8],
-                                         qt_c, enc_dc_c, enc_ac_c, preds[2])
-                if (my, mx) != last:
+        qz_y, nbx_y = _quantize_plane(y, qt_l, pad_to=16)
+        H2, W2 = (h + 15) // 16 * 16 // 2, (w + 15) // 16 * 16 // 2
+        qz_cb, nbx_c = _quantize_plane(
+            np.pad(cb, ((0, H2 - cb.shape[0]), (0, W2 - cb.shape[1])),
+                   mode="edge"), qt_c)
+        qz_cr, _ = _quantize_plane(
+            np.pad(cr, ((0, H2 - cr.shape[0]), (0, W2 - cr.shape[1])),
+                   mode="edge"), qt_c)
+        mys, mxs = (h + 15) // 16, (w + 15) // 16
+        for my in range(mys):
+            for mx in range(mxs):
+                for sy in (0, 1):
+                    for sx in (0, 1):
+                        preds[0] = _encode_qz(
+                            writer,
+                            qz_y[(2 * my + sy) * nbx_y + 2 * mx + sx],
+                            enc_dc_l, enc_ac_l, preds[0])
+                preds[1] = _encode_qz(writer, qz_cb[my * nbx_c + mx],
+                                      enc_dc_c, enc_ac_c, preds[1])
+                preds[2] = _encode_qz(writer, qz_cr[my * nbx_c + mx],
+                                      enc_dc_c, enc_ac_c, preds[2])
+                if (my, mx) != (mys - 1, mxs - 1):
                     maybe_restart()
     writer.flush()
     out += writer.out
@@ -413,11 +449,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 
 # ---------------------------------------------------------------- decoder
 
-def _decode_block(reader, dc_tbl, ac_tbl, qtable, pred):
+def _decode_coeffs(reader, dc_tbl, ac_tbl, pred):
+    """One block's entropy decode → (zigzag int list, new DC pred).
+    Dequant + IDCT happen BATCHED per component after the scan loop."""
     s = _decode_symbol(reader, dc_tbl)
     diff = _extend(reader.read_bits(s), s) if s else 0
     dc = pred + diff
-    zz = np.zeros(64, dtype=np.int64)
+    zz = [0] * 64
     zz[0] = dc
     i = 1
     while i < 64:
@@ -433,9 +471,16 @@ def _decode_block(reader, dc_tbl, ac_tbl, qtable, pred):
             raise ValueError("JPEG AC run past block end")
         zz[i] = _extend(reader.read_bits(s), s)
         i += 1
-    coef = (zz * qtable[ZIGZAG])[_UNZIGZAG].reshape(8, 8)
-    block = _D.T @ coef.astype(np.float64) @ _D + 128.0
-    return np.clip(np.round(block), 0, 255).astype(np.uint8), dc
+    return zz, dc
+
+
+def _idct_blocks(zz_rows: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """(N, 64) zigzag coefficients → (N, 8, 8) uint8 pixels, one
+    batched einsum instead of N small matmuls."""
+    coef = (zz_rows * qtable[ZIGZAG])[:, _UNZIGZAG] \
+        .reshape(-1, 8, 8).astype(np.float64)
+    px = np.einsum("ij,njk,kl->nil", _D.T, coef, _D) + 128.0
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -542,35 +587,38 @@ def _decode_scan(data, pos, frame, scan_tbl, qtables, huff,
     reader = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0
+    coeffs: list[list] = [[] for _ in comps]   # zigzag rows per component
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
-                # byte-align (discard pad bits), then the next bytes
-                # must be an RSTn marker; reset DC predictors
-                reader.acc = 0
-                reader.nbits = 0
-                if (reader.pos + 1 < len(data)
-                        and data[reader.pos] == 0xFF
-                        and 0xD0 <= data[reader.pos + 1] <= 0xD7):
-                    reader.pos += 2
-                    preds = [0] * len(comps)
-                else:
+                if not reader.align_to_restart():
                     raise ValueError("missing JPEG restart marker")
-            try:
-                for c, (cid, hi, vi, tq) in enumerate(comps):
-                    td, ta = scan_tbl[cid]
-                    for by in range(vi):
-                        for bx in range(hi):
-                            block, preds[c] = _decode_block(
-                                reader, huff[0x00 | td], huff[0x10 | ta],
-                                qtables[tq], preds[c])
-                            y0 = (my * vi + by) * 8
-                            x0 = (mx * hi + bx) * 8
-                            planes[c][y0:y0 + 8, x0:x0 + 8] = block
-            except _RestartMarker:
-                raise ValueError("unexpected JPEG restart marker")
+                preds = [0] * len(comps)
+            for c, (cid, hi, vi, tq) in enumerate(comps):
+                td, ta = scan_tbl[cid]
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz, preds[c] = _decode_coeffs(
+                            reader, huff[0x00 | td], huff[0x10 | ta],
+                            preds[c])
+                        coeffs[c].append(zz)
             mcu_count += 1
+
+    # batched dequant + IDCT, then scatter blocks into the plane (the
+    # per-component block order is MCU raster order)
+    for c, (cid, hi, vi, tq) in enumerate(comps):
+        px = _idct_blocks(np.asarray(coeffs[c], dtype=np.int64),
+                          qtables[tq])
+        i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[c][y0:y0 + 8, x0:x0 + 8] = px[i]
+                        i += 1
 
     out_planes = []
     for c, (cid, hi, vi, tq) in enumerate(comps):
